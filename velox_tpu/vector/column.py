@@ -1,0 +1,324 @@
+"""Columnar batch layer: the TPU re-design of the reference's vector layer.
+
+Reference: velox/vector/BaseVector.h:69 (BaseVector + Flat/Constant/Dictionary
+encodings, VectorEncoding.h:32), velox/vector/DecodedVector.h:76,
+velox/vector/SelectivityVector.h:39.
+
+TPU-first design decisions (SURVEY.md §7):
+
+* A ``Column`` is a struct-of-arrays pytree of fixed-capacity jnp arrays so a whole
+  ``Batch`` can flow through ``jax.jit`` with **static shapes**.  The dynamic row
+  count rides along as a traced int32 scalar (``Batch.length``); rows beyond it are
+  padding.
+* The reference's SelectivityVector becomes ``Batch.selection`` — a boolean mask over
+  the capacity.  Filters narrow the mask; compaction (dense gather) happens only at
+  operator boundaries that need density (see velox_tpu.ops.compact).
+* Encodings FLAT / CONSTANT / DICTIONARY are kept because they are *algebraic*
+  optimizations (eval-on-base + gather), not memory tricks; SEQUENCE/BIAS/LAZY from
+  the reference are dropped — XLA fusion and the scan pipeline make them moot.
+* ``decode`` is the DecodedVector analog: collapse any encoding to (values, validity).
+  Inside jit this is a gather/broadcast that XLA fuses into the consumer.
+* Strings on device are always int32 dictionary codes (see string_table.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import Enum
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import DataType, RowType, TypeKind
+from .string_table import StringTable
+
+
+class Encoding(str, Enum):
+    FLAT = "FLAT"
+    CONSTANT = "CONSTANT"
+    DICTIONARY = "DICTIONARY"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Column:
+    """One column of a Batch.
+
+    data:
+      FLAT        -> values, shape [capacity]
+      CONSTANT    -> scalar value, shape ()
+      DICTIONARY  -> int32 indices into ``base``, shape [capacity]
+    validity: optional bool array (True = valid / not NULL), shaped like data.
+    base: the dictionary's base column (FLAT), present iff DICTIONARY.
+    """
+
+    data: jax.Array
+    validity: Optional[jax.Array]
+    base: Optional["Column"]
+    dtype: DataType = dataclasses.field(metadata=dict(static=True))
+    encoding: Encoding = dataclasses.field(metadata=dict(static=True))
+    strings: Optional[StringTable] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+
+    # ---- constructors ----------------------------------------------------
+    @staticmethod
+    def flat(
+        data: jax.Array,
+        dtype: DataType,
+        validity: Optional[jax.Array] = None,
+        strings: Optional[StringTable] = None,
+    ) -> "Column":
+        return Column(data, validity, None, dtype, Encoding.FLAT, strings)
+
+    @staticmethod
+    def constant(
+        value,
+        dtype: DataType,
+        is_null: bool = False,
+        strings: Optional[StringTable] = None,
+    ) -> "Column":
+        data = jnp.asarray(value, dtype=dtype.device_dtype)
+        validity = jnp.asarray(False) if is_null else None
+        return Column(data, validity, None, dtype, Encoding.CONSTANT, strings)
+
+    @staticmethod
+    def dictionary(
+        indices: jax.Array,
+        base: "Column",
+        validity: Optional[jax.Array] = None,
+    ) -> "Column":
+        assert base.encoding == Encoding.FLAT, "dictionary base must be flat"
+        return Column(
+            indices, validity, base, base.dtype, Encoding.DICTIONARY, base.strings
+        )
+
+    # ---- shape -----------------------------------------------------------
+    @property
+    def capacity(self) -> int:
+        if self.encoding == Encoding.CONSTANT:
+            raise ValueError("constant column has no capacity; use batch capacity")
+        return self.data.shape[0]
+
+    @property
+    def is_constant(self) -> bool:
+        return self.encoding == Encoding.CONSTANT
+
+    # ---- DecodedVector analog -------------------------------------------
+    def decode(self, capacity: int) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """Collapse any encoding stack to (flat values[capacity], validity|None).
+
+        Reference: velox/vector/DecodedVector.h:76.  Inside jit the broadcast /
+        gather fuses into the consuming computation.
+        """
+        if self.encoding == Encoding.FLAT:
+            return self.data, self.validity
+        if self.encoding == Encoding.CONSTANT:
+            values = jnp.broadcast_to(self.data, (capacity,) + self.data.shape[1:])
+            if self.validity is None:
+                return values, None
+            return values, jnp.broadcast_to(self.validity, (capacity,))
+        # DICTIONARY
+        base_values, base_validity = self.base.data, self.base.validity
+        values = jnp.take(base_values, self.data, axis=0, mode="clip")
+        validity = self.validity
+        if base_validity is not None:
+            inner = jnp.take(base_validity, self.data, axis=0, mode="clip")
+            validity = inner if validity is None else (validity & inner)
+        return values, validity
+
+    def values(self, capacity: int) -> jax.Array:
+        return self.decode(capacity)[0]
+
+    def validity_or_true(self, capacity: int) -> jax.Array:
+        _, v = self.decode(capacity)
+        if v is None:
+            return jnp.ones((capacity,), dtype=jnp.bool_)
+        return v
+
+    # ---- transforms ------------------------------------------------------
+    def gather(self, indices: jax.Array) -> "Column":
+        """Row-reordering gather; result is FLAT with the indices' length."""
+        if self.encoding == Encoding.CONSTANT:
+            cap = indices.shape[0]
+            values, validity = self.decode(cap)
+            return Column.flat(values, self.dtype, validity, self.strings)
+        if self.encoding == Encoding.DICTIONARY:
+            # Compose index arrays instead of materializing the gather.
+            new_idx = jnp.take(self.data, indices, axis=0, mode="clip")
+            validity = (
+                None
+                if self.validity is None
+                else jnp.take(self.validity, indices, axis=0, mode="clip")
+            )
+            return Column.dictionary(new_idx, self.base, validity)
+        data = jnp.take(self.data, indices, axis=0, mode="clip")
+        validity = (
+            None
+            if self.validity is None
+            else jnp.take(self.validity, indices, axis=0, mode="clip")
+        )
+        return Column.flat(data, self.dtype, validity, self.strings)
+
+    def flatten(self, capacity: int) -> "Column":
+        values, validity = self.decode(capacity)
+        return Column.flat(values, self.dtype, validity, self.strings)
+
+    # ---- host interop ----------------------------------------------------
+    @staticmethod
+    def from_numpy(
+        arr: np.ndarray,
+        dtype: DataType,
+        validity: Optional[np.ndarray] = None,
+        strings: Optional[StringTable] = None,
+    ) -> "Column":
+        if dtype.is_string and arr.dtype.kind in ("U", "S", "O"):
+            table = strings if strings is not None else StringTable()
+            codes = table.intern_all([("" if v is None else str(v)) for v in arr])
+            return Column.flat(
+                jnp.asarray(codes),
+                dtype,
+                None if validity is None else jnp.asarray(validity, dtype=jnp.bool_),
+                table,
+            )
+        data = jnp.asarray(np.asarray(arr), dtype=dtype.device_dtype)
+        v = None if validity is None else jnp.asarray(validity, dtype=jnp.bool_)
+        return Column.flat(data, dtype, v, strings)
+
+    def to_numpy(self, length: int, decode_strings: bool = True):
+        """Materialize the first ``length`` rows on the host.
+
+        Returns (values, validity_or_None); strings decode to object arrays.
+        """
+        cap = length if self.is_constant else self.capacity
+        values, validity = self.decode(cap)
+        values = np.asarray(values)[:length]
+        validity_np = None if validity is None else np.asarray(validity)[:length]
+        if self.dtype.is_string and self.strings is not None and decode_strings:
+            values = self.strings.decode(values)
+        if self.dtype.kind == TypeKind.DECIMAL:
+            values = values.astype(np.float64) / (10.0 ** self.dtype.scale)
+        return values, validity_np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Batch:
+    """A fixed-capacity batch of rows: the reference's RowVector + SelectivityVector.
+
+    ``length`` (traced int32) is the number of materialized rows; ``selection``
+    optionally masks a subset of them as live.  Rows in [length, capacity) are
+    padding and always dead.
+    """
+
+    columns: Tuple[Column, ...]
+    length: jax.Array
+    selection: Optional[jax.Array]
+    schema: RowType = dataclasses.field(metadata=dict(static=True))
+    capacity: int = dataclasses.field(metadata=dict(static=True))
+
+    # ---- constructors ----------------------------------------------------
+    @staticmethod
+    def make(
+        schema: RowType,
+        columns: Sequence[Column],
+        length: Union[int, jax.Array],
+        selection: Optional[jax.Array] = None,
+        capacity: Optional[int] = None,
+    ) -> "Batch":
+        if capacity is None:
+            capacity = next(
+                c.capacity for c in columns if c.encoding != Encoding.CONSTANT
+            )
+        return Batch(
+            tuple(columns),
+            jnp.asarray(length, dtype=jnp.int32),
+            selection,
+            schema,
+            capacity,
+        )
+
+    @staticmethod
+    def from_numpy(
+        schema: RowType,
+        arrays: Sequence[np.ndarray],
+        validities: Optional[Sequence[Optional[np.ndarray]]] = None,
+        string_tables: Optional[Sequence[Optional[StringTable]]] = None,
+        capacity: Optional[int] = None,
+    ) -> "Batch":
+        n = len(arrays[0]) if arrays else 0
+        cap = capacity if capacity is not None else max(n, 1)
+        cols = []
+        for i, (name, dtype) in enumerate(zip(schema.names, schema.types)):
+            arr = np.asarray(arrays[i])
+            validity = validities[i] if validities else None
+            table = string_tables[i] if string_tables else None
+            if len(arr) < cap:
+                pad = cap - len(arr)
+                if arr.dtype.kind in ("U", "S", "O"):
+                    arr = np.concatenate([arr, np.asarray([""] * pad, dtype=object)])
+                else:
+                    arr = np.concatenate([arr, np.zeros(pad, dtype=arr.dtype)])
+                if validity is not None:
+                    validity = np.concatenate([validity, np.zeros(pad, dtype=bool)])
+            cols.append(Column.from_numpy(arr, dtype, validity, table))
+        return Batch.make(schema, cols, n, capacity=cap)
+
+    # ---- access ----------------------------------------------------------
+    def column(self, name: str) -> Column:
+        return self.columns[self.schema.index_of(name)]
+
+    def active_mask(self) -> jax.Array:
+        """bool[capacity]: rows that are materialized AND selected."""
+        mask = (
+            jnp.arange(self.capacity, dtype=jnp.int32) < self.length
+        )
+        if self.selection is not None:
+            mask = mask & self.selection
+        return mask
+
+    def num_active(self) -> jax.Array:
+        if self.selection is None:
+            return self.length
+        return jnp.sum(self.active_mask()).astype(jnp.int32)
+
+    # ---- transforms ------------------------------------------------------
+    def with_selection(self, selection: jax.Array) -> "Batch":
+        if self.selection is not None:
+            selection = selection & self.selection
+        return dataclasses.replace(self, selection=selection)
+
+    def project(self, names: Sequence[str], schema: Optional[RowType] = None) -> "Batch":
+        cols = tuple(self.column(n) for n in names)
+        schema = schema or RowType(names, [self.schema.type_of(n) for n in names])
+        return dataclasses.replace(self, columns=cols, schema=schema)
+
+    def with_columns(self, schema: RowType, columns: Sequence[Column]) -> "Batch":
+        return dataclasses.replace(self, columns=tuple(columns), schema=schema)
+
+    # ---- host interop ----------------------------------------------------
+    def to_pydict(self, decode_strings: bool = True) -> dict:
+        """Materialize live rows host-side as {name: numpy array} (None for NULL)."""
+        n = int(self.length)
+        if self.selection is not None:
+            keep = np.asarray(self.active_mask())
+        else:
+            keep = None
+        out = {}
+        for name, col in zip(self.schema.names, self.columns):
+            values, validity = col.to_numpy(n, decode_strings=decode_strings)
+            if keep is not None:
+                values = values[keep[:n]]
+                validity = None if validity is None else validity[keep[:n]]
+            if validity is not None and not validity.all():
+                values = values.astype(object)
+                values[~validity] = None
+            out[name] = values
+        return out
+
+    def to_pandas(self, decode_strings: bool = True):
+        import pandas as pd
+
+        return pd.DataFrame(self.to_pydict(decode_strings=decode_strings))
