@@ -45,5 +45,6 @@ from .dtypes import (  # noqa: E402,F401
     decimal,
 )
 from .vector import Batch, Column, Encoding, StringTable  # noqa: E402,F401
+from .functions import presto as _presto_functions  # noqa: E402,F401  (registers fns)
 
 __version__ = "0.1.0"

@@ -1,0 +1,9 @@
+"""Presto-semantic function package.
+
+Importing this module registers all scalar functions into the default registry
+(reference: velox/functions/prestosql/registration/).
+"""
+
+from . import scalar  # noqa: F401
+
+scalar.register_all()

@@ -1,0 +1,432 @@
+"""Presto-semantic scalar functions (core package).
+
+Reference: velox/functions/prestosql/registration/ (253 scalar registrations) and
+velox/functions/prestosql/Arithmetic.h, Comparisons.h, DateTimeFunctions.h.
+
+Every impl is a batch function over decoded jnp arrays; XLA fuses them into the
+surrounding pipeline.  DECIMAL args arrive as unscaled int64 at an aligned scale
+(the registry's common-numeric coercion inserts rescale casts), so decimal
+plus/minus/compare are plain int64 ops — the reference needs 128-bit software
+arithmetic for this (velox/type/DecimalUtil.h); we restrict to short decimals and
+let the int64 ALU do it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from ...dtypes import (
+    BIGINT,
+    BOOLEAN,
+    DOUBLE,
+    INTEGER,
+    DataType,
+    TypeKind,
+    decimal,
+)
+from ...expr.registry import (
+    ANY,
+    DEFAULT_REGISTRY,
+    INTEGER as INT_M,
+    NUMERIC,
+    ORDERABLE,
+    STRINGY,
+)
+
+_reg = DEFAULT_REGISTRY
+
+
+def _same_type(arg_types: Sequence[DataType]) -> DataType:
+    return arg_types[0]
+
+
+def _decimal_add_type(arg_types):
+    a = arg_types[0]
+    if a.kind != TypeKind.DECIMAL:
+        return a
+    # After coercion both args share (p, s); one more integer digit for the carry.
+    return decimal(min(18, a.precision + 1), a.scale)
+
+
+def _decimal_mul_type(arg_types):
+    a, b = arg_types[0], arg_types[1]
+    if a.kind != TypeKind.DECIMAL:
+        return a
+    return decimal(min(18, a.precision + b.precision), a.scale + b.scale)
+
+
+# ---- arithmetic ----------------------------------------------------------
+
+
+def _plus(ctx, out_t, arg_ts, a, b):
+    return a + b
+
+
+def _minus(ctx, out_t, arg_ts, a, b):
+    return a - b
+
+
+def _multiply(ctx, out_t, arg_ts, a, b):
+    return a * b
+
+
+def _divide_float(ctx, out_t, arg_ts, a, b):
+    # IEEE semantics: x/0 -> inf/nan, matching Presto DOUBLE division.
+    return a / b
+
+
+def _divide_int(ctx, out_t, arg_ts, a, b):
+    errors = b == 0
+    safe_b = jnp.where(errors, jnp.ones_like(b), b)
+    # Presto integer division truncates toward zero; jnp floor-divides.
+    q = jnp.sign(a) * jnp.sign(safe_b) * (jnp.abs(a) // jnp.abs(safe_b))
+    return q.astype(out_t.device_dtype), errors
+
+
+def _divide_decimal(ctx, out_t, arg_ts, a, b):
+    # DECIMAL / DECIMAL -> DOUBLE (documented deviation: Presto keeps decimals;
+    # exact decimal division lands with the long-decimal work).
+    sa, sb = arg_ts[0].scale, arg_ts[1].scale
+    errors = b == 0
+    safe_b = jnp.where(errors, jnp.ones_like(b), b)
+    val = (a.astype(jnp.float64) / 10.0**sa) / (safe_b.astype(jnp.float64) / 10.0**sb)
+    return val, errors
+
+
+def _mod(ctx, out_t, arg_ts, a, b):
+    if arg_ts[0].is_floating:
+        return jnp.fmod(a, b)
+    errors = b == 0
+    safe_b = jnp.where(errors, jnp.ones_like(b), b)
+    # Presto mod takes the dividend's sign (fmod semantics), not Python's.
+    m = jnp.sign(a) * (jnp.abs(a) % jnp.abs(safe_b))
+    return m.astype(out_t.device_dtype), errors
+
+
+def _negate(ctx, out_t, arg_ts, a):
+    return -a
+
+
+_reg.register("plus", [NUMERIC, NUMERIC], _decimal_add_type, _plus, coerce_common_numeric=True)
+_reg.register("minus", [NUMERIC, NUMERIC], _decimal_add_type, _minus, coerce_common_numeric=True)
+_reg.register("multiply", [NUMERIC, NUMERIC], _decimal_mul_type, _multiply, coerce_common_numeric=True)
+_reg.register("divide", [TypeKind.DOUBLE, TypeKind.DOUBLE], DOUBLE, _divide_float)
+_reg.register("divide", [TypeKind.REAL, TypeKind.REAL], _same_type, _divide_float, coerce_common_numeric=True)
+_reg.register("divide", [TypeKind.DECIMAL, TypeKind.DECIMAL], DOUBLE, _divide_decimal)
+_reg.register("divide", [INT_M, INT_M], _same_type, _divide_int, coerce_common_numeric=True)
+_reg.register("mod", [NUMERIC, NUMERIC], _same_type, _mod, coerce_common_numeric=True)
+_reg.register("negate", [NUMERIC], _same_type, _negate)
+
+# DATE +/- integer days (Presto: date + interval day; simplified to int days).
+_reg.register(
+    "date_add_days",
+    [TypeKind.DATE, INT_M],
+    lambda ts: ts[0],
+    lambda ctx, out_t, arg_ts, d, n: d + n.astype(jnp.int32),
+)
+
+# ---- comparisons ---------------------------------------------------------
+
+
+def _cmp(op):
+    def impl(ctx, out_t, arg_ts, a, b):
+        return op(a, b)
+
+    return impl
+
+
+for _name, _op in [
+    ("eq", lambda a, b: a == b),
+    ("neq", lambda a, b: a != b),
+    ("lt", lambda a, b: a < b),
+    ("gt", lambda a, b: a > b),
+    ("lte", lambda a, b: a <= b),
+    ("gte", lambda a, b: a >= b),
+]:
+    _reg.register(_name, [NUMERIC, NUMERIC], BOOLEAN, _cmp(_op), coerce_common_numeric=True)
+    _reg.register(_name, [TypeKind.DATE, TypeKind.DATE], BOOLEAN, _cmp(_op))
+    _reg.register(_name, [TypeKind.TIMESTAMP, TypeKind.TIMESTAMP], BOOLEAN, _cmp(_op))
+    _reg.register(_name, [TypeKind.BOOLEAN, TypeKind.BOOLEAN], BOOLEAN, _cmp(_op))
+
+# String equality compares dictionary codes — valid because literals are interned
+# into the column's table at bind time (velox_tpu.expr.binding).
+_reg.register("eq", [STRINGY, STRINGY], BOOLEAN, _cmp(lambda a, b: a == b))
+_reg.register("neq", [STRINGY, STRINGY], BOOLEAN, _cmp(lambda a, b: a != b))
+
+
+def _between(ctx, out_t, arg_ts, x, lo, hi):
+    return (x >= lo) & (x <= hi)
+
+
+_reg.register("between", [NUMERIC, NUMERIC, NUMERIC], BOOLEAN, _between, coerce_common_numeric=True)
+_reg.register("between", [TypeKind.DATE, TypeKind.DATE, TypeKind.DATE], BOOLEAN, _between)
+_reg.register(
+    "between",
+    [TypeKind.TIMESTAMP, TypeKind.TIMESTAMP, TypeKind.TIMESTAMP],
+    BOOLEAN,
+    _between,
+)
+
+# ---- null handling (null-aware) -----------------------------------------
+
+
+def _is_null(ctx, out_t, arg_ts, a):
+    values, validity = a
+    if validity is None:
+        return jnp.zeros_like(values, dtype=jnp.bool_), None
+    return ~validity, None
+
+
+def _is_not_null(ctx, out_t, arg_ts, a):
+    values, validity = a
+    if validity is None:
+        return jnp.ones_like(values, dtype=jnp.bool_), None
+    return validity, None
+
+
+def _nullif(ctx, out_t, arg_ts, a, b):
+    av, avalid = a
+    bv, bvalid = b
+    both_valid = None
+    if avalid is not None and bvalid is not None:
+        both_valid = avalid & bvalid
+    elif avalid is not None:
+        both_valid = avalid
+    elif bvalid is not None:
+        both_valid = bvalid
+    equal = av == bv
+    if both_valid is not None:
+        equal = equal & both_valid
+    validity = ~equal if avalid is None else (avalid & ~equal)
+    return av, validity
+
+
+_reg.register("is_null", [ANY], BOOLEAN, _is_null, null_aware=True)
+_reg.register("is_not_null", [ANY], BOOLEAN, _is_not_null, null_aware=True)
+_reg.register("nullif", [ANY, ANY], _same_type, _nullif, null_aware=True)
+
+# ---- logical -------------------------------------------------------------
+
+_reg.register(
+    "not",
+    [TypeKind.BOOLEAN],
+    BOOLEAN,
+    lambda ctx, out_t, arg_ts, a: ~a,
+)
+
+# ---- math ----------------------------------------------------------------
+
+
+def _abs(ctx, out_t, arg_ts, a):
+    return jnp.abs(a)
+
+
+def _round(ctx, out_t, arg_ts, a, *rest):
+    digits = rest[0] if rest else None
+    t = arg_ts[0]
+    if t.kind == TypeKind.DECIMAL:
+        # round to `digits` fractional digits in decimal space, half away from zero
+        if digits is None:
+            drop = t.scale
+        else:
+            raise TypeError("round(decimal, n) with traced n unsupported; use cast")
+        factor = 10**drop
+        half = factor // 2
+        return jnp.sign(a) * ((jnp.abs(a) + half) // factor) * factor
+    if digits is None:
+        # Presto rounds half away from zero; jnp.round is half-to-even.
+        return jnp.sign(a) * jnp.floor(jnp.abs(a) + 0.5)
+    factor = jnp.power(10.0, digits.astype(jnp.float64))
+    return jnp.sign(a) * jnp.floor(jnp.abs(a) * factor + 0.5) / factor
+
+
+def _floor(ctx, out_t, arg_ts, a):
+    t = arg_ts[0]
+    if t.kind == TypeKind.DECIMAL:
+        factor = 10**t.scale
+        return jnp.floor_divide(a, factor)
+    if t.is_integer:
+        return a
+    return jnp.floor(a)
+
+
+def _ceil(ctx, out_t, arg_ts, a):
+    t = arg_ts[0]
+    if t.kind == TypeKind.DECIMAL:
+        factor = 10**t.scale
+        return -jnp.floor_divide(-a, factor)
+    if t.is_integer:
+        return a
+    return jnp.ceil(a)
+
+
+def _ceil_floor_type(arg_types):
+    t = arg_types[0]
+    if t.kind == TypeKind.DECIMAL:
+        return BIGINT
+    return t
+
+
+_reg.register("abs", [NUMERIC], _same_type, _abs)
+_reg.register("round", [NUMERIC], _same_type, _round)
+_reg.register("round", [NUMERIC, INT_M], _same_type, _round)
+_reg.register("floor", [NUMERIC], _ceil_floor_type, _floor)
+_reg.register("ceil", [NUMERIC], _ceil_floor_type, _ceil)
+_reg.register("ceiling", [NUMERIC], _ceil_floor_type, _ceil)
+
+for _name, _fn in [
+    ("sqrt", jnp.sqrt),
+    ("cbrt", jnp.cbrt),
+    ("exp", jnp.exp),
+    ("ln", jnp.log),
+    ("log2", jnp.log2),
+    ("log10", jnp.log10),
+    ("sin", jnp.sin),
+    ("cos", jnp.cos),
+    ("tan", jnp.tan),
+    ("asin", jnp.arcsin),
+    ("acos", jnp.arccos),
+    ("atan", jnp.arctan),
+    ("sinh", jnp.sinh),
+    ("cosh", jnp.cosh),
+    ("tanh", jnp.tanh),
+    ("sign", jnp.sign),
+]:
+    _reg.register(
+        _name,
+        [TypeKind.DOUBLE],
+        DOUBLE if _name != "sign" else _same_type,
+        (lambda f: lambda ctx, out_t, arg_ts, a: f(a))(_fn),
+    )
+
+_reg.register(
+    "power",
+    [TypeKind.DOUBLE, TypeKind.DOUBLE],
+    DOUBLE,
+    lambda ctx, out_t, arg_ts, a, b: jnp.power(a, b),
+)
+_reg.register(
+    "atan2",
+    [TypeKind.DOUBLE, TypeKind.DOUBLE],
+    DOUBLE,
+    lambda ctx, out_t, arg_ts, a, b: jnp.arctan2(a, b),
+)
+
+
+def _greatest(ctx, out_t, arg_ts, *args):
+    out = args[0]
+    for a in args[1:]:
+        out = jnp.maximum(out, a)
+    return out
+
+
+def _least(ctx, out_t, arg_ts, *args):
+    out = args[0]
+    for a in args[1:]:
+        out = jnp.minimum(out, a)
+    return out
+
+
+_reg.register("greatest", [NUMERIC, NUMERIC], _same_type, _greatest, coerce_common_numeric=True, variadic=True)
+_reg.register("least", [NUMERIC, NUMERIC], _same_type, _least, coerce_common_numeric=True, variadic=True)
+
+# ---- datetime ------------------------------------------------------------
+#
+# DATE is int32 days since 1970-01-01.  Civil-calendar decomposition uses the
+# days-to-(y,m,d) algorithm over the proleptic Gregorian calendar, all in int32
+# vector ops (no lookup tables -> no gathers on the hot path).
+
+
+def _civil_from_days(z):
+    z = z.astype(jnp.int64) + 719468
+    era = jnp.floor_divide(z, 146097)
+    doe = z - era * 146097  # [0, 146096]
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365  # [0, 399]
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)  # [0, 365]
+    mp = (5 * doy + 2) // 153  # [0, 11]
+    d = doy - (153 * mp + 2) // 5 + 1  # [1, 31]
+    m = jnp.where(mp < 10, mp + 3, mp - 9)  # [1, 12]
+    y = jnp.where(m <= 2, y + 1, y)
+    return y, m, d, doy
+
+
+def _days_from_civil(y, m, d):
+    """Inverse of _civil_from_days; host-side helper used for literals too."""
+    y = y - (m <= 2)
+    era = (y if isinstance(y, int) else y) // 400
+    yoe = y - era * 400
+    mp = (m + 9) % 12
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _date_days(values, dtype):
+    if dtype.kind == TypeKind.TIMESTAMP:
+        return jnp.floor_divide(values, 86_400_000_000)
+    return values
+
+
+def _year(ctx, out_t, arg_ts, a):
+    y, _, _, _ = _civil_from_days(_date_days(a, arg_ts[0]))
+    return y.astype(jnp.int64)
+
+
+def _quarter(ctx, out_t, arg_ts, a):
+    _, m, _, _ = _civil_from_days(_date_days(a, arg_ts[0]))
+    return ((m - 1) // 3 + 1).astype(jnp.int64)
+
+
+def _month(ctx, out_t, arg_ts, a):
+    _, m, _, _ = _civil_from_days(_date_days(a, arg_ts[0]))
+    return m.astype(jnp.int64)
+
+
+def _day(ctx, out_t, arg_ts, a):
+    _, _, d, _ = _civil_from_days(_date_days(a, arg_ts[0]))
+    return d.astype(jnp.int64)
+
+
+def _day_of_week(ctx, out_t, arg_ts, a):
+    days = _date_days(a, arg_ts[0]).astype(jnp.int64)
+    # 1970-01-01 was a Thursday; Presto dow: Monday=1..Sunday=7.
+    return ((days + 3) % 7 + 1).astype(jnp.int64)
+
+
+def _day_of_year(ctx, out_t, arg_ts, a):
+    days = _date_days(a, arg_ts[0])
+    y, m, d, _ = _civil_from_days(days)
+    jan1 = _days_from_civil_jnp(y, jnp.ones_like(m), jnp.ones_like(d))
+    return (days.astype(jnp.int64) - jan1 + 1).astype(jnp.int64)
+
+
+def _days_from_civil_jnp(y, m, d):
+    y = jnp.where(m <= 2, y - 1, y)
+    era = jnp.floor_divide(y, 400)
+    yoe = y - era * 400
+    mp = (m + 9) % 12
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+for _name, _impl in [
+    ("year", _year),
+    ("quarter", _quarter),
+    ("month", _month),
+    ("day", _day),
+    ("day_of_month", _day),
+    ("day_of_week", _day_of_week),
+    ("dow", _day_of_week),
+    ("day_of_year", _day_of_year),
+    ("doy", _day_of_year),
+]:
+    _reg.register(_name, [TypeKind.DATE], BIGINT, _impl)
+    _reg.register(_name, [TypeKind.TIMESTAMP], BIGINT, _impl)
+
+
+def register_all() -> None:
+    """Import-time registration happened above; kept for explicit call sites."""
