@@ -1,0 +1,192 @@
+"""Host-side table abstraction: the ingest boundary of the engine.
+
+Reference: the reader half of velox/dwio/common/Reader.h:162 + the connector
+DataSource contract (velox/connectors/Connector.h:163).  On TPU the host side owns
+variable-width data and file formats; the device only ever sees fixed-width column
+tiles.  A ``Table`` is the materialized host form: numpy columns + string tables,
+sliced into device ``Batch`` tiles by the scan operator.
+
+Parquet/Arrow round-trips go through pyarrow (the reference similarly wraps Arrow
+for its Parquet writer, velox/dwio/parquet/writer/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..dtypes import DataType, RowType, TypeKind
+from ..vector.column import Batch, Column
+from ..vector.string_table import StringTable
+
+
+@dataclasses.dataclass
+class Table:
+    """An immutable host-resident table in device-ready layout.
+
+    Columns are numpy arrays in the *device representation* already: decimals are
+    unscaled int64, dates int32 days, strings int32 codes into ``string_tables``.
+    """
+
+    schema: RowType
+    columns: Dict[str, np.ndarray]
+    string_tables: Dict[str, StringTable] = dataclasses.field(default_factory=dict)
+    validities: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+
+    @property
+    def num_rows(self) -> int:
+        if not self.columns:
+            return 0
+        return len(next(iter(self.columns.values())))
+
+    def select(self, names: Sequence[str]) -> "Table":
+        schema = RowType(list(names), [self.schema.type_of(n) for n in names])
+        return Table(
+            schema,
+            {n: self.columns[n] for n in names},
+            {n: t for n, t in self.string_tables.items() if n in names},
+            {n: v for n, v in self.validities.items() if n in names},
+        )
+
+    # ---- batch slicing ---------------------------------------------------
+    def num_tiles(self, tile_rows: int) -> int:
+        return max(1, -(-self.num_rows // tile_rows))
+
+    def tile(self, index: int, tile_rows: int) -> Batch:
+        """Materialize tile ``index`` as a fixed-capacity Batch (zero-padded)."""
+        start = index * tile_rows
+        stop = min(start + tile_rows, self.num_rows)
+        n = max(0, stop - start)
+        cols: List[Column] = []
+        for name, dtype in zip(self.schema.names, self.schema.types):
+            arr = self.columns[name][start:stop]
+            if n < tile_rows:
+                arr = np.concatenate(
+                    [arr, np.zeros(tile_rows - n, dtype=arr.dtype)]
+                )
+            validity = self.validities.get(name)
+            if validity is not None:
+                validity = validity[start:stop]
+                if n < tile_rows:
+                    validity = np.concatenate(
+                        [validity, np.zeros(tile_rows - n, dtype=bool)]
+                    )
+            cols.append(
+                Column.from_numpy(
+                    arr, dtype, validity, self.string_tables.get(name)
+                )
+            )
+        return Batch.make(self.schema, cols, n, capacity=tile_rows)
+
+    def tiles(self, tile_rows: int) -> Iterator[Batch]:
+        for i in range(self.num_tiles(tile_rows)):
+            yield self.tile(i, tile_rows)
+
+    # ---- pandas ----------------------------------------------------------
+    def to_pandas(self, decode: bool = True):
+        import pandas as pd
+
+        out = {}
+        for name, dtype in zip(self.schema.names, self.schema.types):
+            arr = self.columns[name]
+            if decode and dtype.is_string and name in self.string_tables:
+                arr = self.string_tables[name].decode(arr)
+            elif decode and dtype.kind == TypeKind.DECIMAL:
+                arr = arr.astype(np.float64) / 10.0**dtype.scale
+            out[name] = arr
+        return pd.DataFrame(out)
+
+    # ---- parquet cache ---------------------------------------------------
+    def save_parquet(self, path: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrays, names = [], []
+        meta = {}
+        for name, dtype in zip(self.schema.names, self.schema.types):
+            names.append(name)
+            arr = self.columns[name]
+            if dtype.is_string and name in self.string_tables:
+                arrays.append(
+                    pa.DictionaryArray.from_arrays(
+                        pa.array(arr, type=pa.int32()),
+                        pa.array(self.string_tables[name].values()),
+                    )
+                )
+            else:
+                arrays.append(pa.array(arr))
+            meta[name] = _dtype_tag(dtype)
+        table = pa.Table.from_arrays(arrays, names=names)
+        table = table.replace_schema_metadata(
+            {f"velox_tpu:{k}": v for k, v in meta.items()}
+        )
+        pq.write_table(table, path)
+
+    @staticmethod
+    def load_parquet(path: str, columns: Optional[Sequence[str]] = None) -> "Table":
+        import pyarrow.parquet as pq
+
+        pa_table = pq.read_table(path, columns=list(columns) if columns else None)
+        meta = {
+            k.decode().split(":", 1)[1]: v.decode()
+            for k, v in (pa_table.schema.metadata or {}).items()
+            if k.startswith(b"velox_tpu:")
+        }
+        names, types, cols, tables = [], [], {}, {}
+        for field in pa_table.schema:
+            name = field.name
+            dtype = _dtype_from_tag(meta.get(name, ""), field)
+            names.append(name)
+            types.append(dtype)
+            chunked = pa_table.column(name).combine_chunks()
+            import pyarrow as pa
+
+            if isinstance(chunked, pa.DictionaryArray):
+                codes = chunked.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+                values = chunked.dictionary.to_pylist()
+                table = StringTable()
+                remap = table.intern_all([str(v) for v in values])
+                cols[name] = remap[codes]
+                tables[name] = table
+            else:
+                cols[name] = chunked.to_numpy(zero_copy_only=False)
+        t = Table(RowType(names, types), cols, tables)
+        return t
+
+
+def _dtype_tag(dtype: DataType) -> str:
+    if dtype.kind == TypeKind.DECIMAL:
+        return f"DECIMAL:{dtype.precision}:{dtype.scale}"
+    return dtype.kind.value
+
+
+def _dtype_from_tag(tag: str, field) -> DataType:
+    import pyarrow as pa
+
+    if tag.startswith("DECIMAL:"):
+        _, p, s = tag.split(":")
+        from ..dtypes import decimal
+
+        return decimal(int(p), int(s))
+    if tag:
+        return DataType(TypeKind(tag))
+    # Fall back to the Arrow type for externally-written files.
+    t = field.type
+    if pa.types.is_dictionary(t) or pa.types.is_string(t):
+        return DataType(TypeKind.VARCHAR)
+    if pa.types.is_int64(t):
+        return DataType(TypeKind.BIGINT)
+    if pa.types.is_int32(t):
+        return DataType(TypeKind.INTEGER)
+    if pa.types.is_float64(t):
+        return DataType(TypeKind.DOUBLE)
+    if pa.types.is_float32(t):
+        return DataType(TypeKind.REAL)
+    if pa.types.is_boolean(t):
+        return DataType(TypeKind.BOOLEAN)
+    if pa.types.is_date32(t):
+        return DataType(TypeKind.DATE)
+    raise TypeError(f"cannot infer type for arrow field {field}")
