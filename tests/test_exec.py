@@ -1,0 +1,163 @@
+"""Execution-engine unit tests: runner, joins, error surfacing, finishers."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import velox_tpu as vt
+from velox_tpu.exec import QueryError, run_plan
+from velox_tpu.dtypes import RowType
+from velox_tpu.io.table import Table
+from velox_tpu.plan import PlanBuilder
+
+
+def make_table(**cols):
+    names, types, arrays = [], [], {}
+    tables = {}
+    for name, (arr, dtype) in cols.items():
+        names.append(name)
+        types.append(dtype)
+        a = np.asarray(arr)
+        if dtype.is_string:
+            from velox_tpu.vector.string_table import StringTable
+
+            t = StringTable()
+            arrays[name] = t.intern_all([str(v) for v in a])
+            tables[name] = t
+        else:
+            arrays[name] = a
+    return Table(RowType(names, types), arrays, tables)
+
+
+def test_filter_project_collect():
+    t = make_table(a=([1, 2, 3, 4, 5], vt.BIGINT), b=([10, 20, 30, 40, 50], vt.BIGINT))
+    plan = PlanBuilder().table_scan(t).filter("a % 2 = 1").project(["a + b as s"]).build()
+    out = run_plan(plan, tile_rows=4).to_pandas()
+    np.testing.assert_array_equal(out["s"], [11, 33, 55])
+
+
+def test_values_ordering_and_limit():
+    t = make_table(x=([5, 3, 1, 4, 2], vt.BIGINT))
+    plan = PlanBuilder().table_scan(t).orderby(["x desc"]).limit(3).build()
+    out = run_plan(plan).to_pandas()
+    np.testing.assert_array_equal(out["x"], [5, 4, 3])
+
+
+def test_error_raises_and_try_masks():
+    t = make_table(a=([1, 0, 2], vt.BIGINT))
+    bad = PlanBuilder().table_scan(t).project(["10 / a as q"]).build()
+    with pytest.raises(QueryError):
+        run_plan(bad)
+    ok = PlanBuilder().table_scan(t).project(["try(10 / a) as q"]).build()
+    out = run_plan(ok).to_pandas()
+    assert out["q"][1] is None or np.isnan(out["q"][1]) or out["q"][1] != out["q"][1] or out["q"].isna()[1]
+
+
+def test_error_on_filtered_row_does_not_raise():
+    # errors on rows already filtered out must not fail the query
+    t = make_table(a=([1, 0, 2], vt.BIGINT))
+    plan = (
+        PlanBuilder().table_scan(t).filter("a > 0").project(["10 / a as q"]).build()
+    )
+    out = run_plan(plan).to_pandas()
+    np.testing.assert_array_equal(out["q"], [10, 5])
+
+
+def test_inner_join_basic():
+    left = make_table(k=([1, 2, 3, 5], vt.BIGINT), v=([10, 20, 30, 50], vt.BIGINT))
+    right = make_table(k2=([2, 3, 4], vt.BIGINT), w=([200, 300, 400], vt.BIGINT))
+    plan = (
+        PlanBuilder()
+        .table_scan(left)
+        .hash_join(
+            PlanBuilder().table_scan(right), ["k"], ["k2"], output=["k", "v", "w"]
+        )
+        .build()
+    )
+    out = run_plan(plan).to_pandas().sort_values("k").reset_index(drop=True)
+    np.testing.assert_array_equal(out["k"], [2, 3])
+    np.testing.assert_array_equal(out["w"], [200, 300])
+
+
+def test_left_join_nulls_and_coalesce():
+    left = make_table(k=([1, 2, 3], vt.BIGINT))
+    right = make_table(k2=([2], vt.BIGINT), w=([99], vt.BIGINT))
+    plan = (
+        PlanBuilder()
+        .table_scan(left)
+        .hash_join(
+            PlanBuilder().table_scan(right),
+            ["k"], ["k2"], output=["k", "w"], join_type="left",
+        )
+        .project(["k", "coalesce(w, -1) as w2"])
+        .build()
+    )
+    out = run_plan(plan).to_pandas().sort_values("k").reset_index(drop=True)
+    np.testing.assert_array_equal(out["w2"], [-1, 99, -1])
+
+
+def test_semi_and_anti_join():
+    left = make_table(k=([1, 2, 3, 4], vt.BIGINT))
+    right = make_table(k2=([2, 4], vt.BIGINT))
+    semi = (
+        PlanBuilder().table_scan(left)
+        .hash_join(PlanBuilder().table_scan(right), ["k"], ["k2"],
+                   output=["k"], join_type="left_semi").build()
+    )
+    np.testing.assert_array_equal(
+        run_plan(semi).to_pandas()["k"].sort_values().to_numpy(), [2, 4]
+    )
+    anti = (
+        PlanBuilder().table_scan(left)
+        .hash_join(PlanBuilder().table_scan(right), ["k"], ["k2"],
+                   output=["k"], join_type="anti").build()
+    )
+    np.testing.assert_array_equal(
+        run_plan(anti).to_pandas()["k"].sort_values().to_numpy(), [1, 3]
+    )
+
+
+def test_duplicate_build_keys_rejected():
+    from velox_tpu.exec.joins import JoinBuildError
+
+    left = make_table(k=([1], vt.BIGINT))
+    right = make_table(k2=([2, 2], vt.BIGINT))
+    plan = (
+        PlanBuilder().table_scan(left)
+        .hash_join(PlanBuilder().table_scan(right), ["k"], ["k2"],
+                   output=["k"], join_type="left_semi").build()
+    )
+    with pytest.raises(JoinBuildError):
+        run_plan(plan)
+
+
+def test_grouped_agg_sort_mode_min_max():
+    t = make_table(
+        k=([1, 1, 2, 2, 2, 9], vt.BIGINT), v=([5, 3, 8, 1, 4, 7], vt.BIGINT)
+    )
+    plan = (
+        PlanBuilder()
+        .table_scan(t)
+        .aggregation(["k"], ["min(v) as lo", "max(v) as hi", "count(*) as n"])
+        .orderby(["k"])
+        .build()
+    )
+    out = run_plan(plan, tile_rows=4).to_pandas()
+    np.testing.assert_array_equal(out["k"], [1, 2, 9])
+    np.testing.assert_array_equal(out["lo"], [3, 1, 7])
+    np.testing.assert_array_equal(out["hi"], [5, 8, 7])
+    np.testing.assert_array_equal(out["n"], [2, 3, 1])
+
+
+def test_string_key_array_mode_grouping():
+    t = make_table(
+        s=(["a", "b", "a", "c", "b", "a"], vt.VARCHAR),
+        v=([1, 2, 3, 4, 5, 6], vt.BIGINT),
+    )
+    plan = (
+        PlanBuilder().table_scan(t)
+        .aggregation(["s"], ["sum(v) as total"]).orderby(["s"]).build()
+    )
+    out = run_plan(plan, tile_rows=4).to_pandas()
+    np.testing.assert_array_equal(out["s"], ["a", "b", "c"])
+    np.testing.assert_array_equal(out["total"], [10, 7, 4])

@@ -183,8 +183,12 @@ SCHEMAS: Dict[str, RowType] = {
 
 
 def _rng(table: str, column: str, sf: float) -> np.random.Generator:
-    seed = abs(hash((table, column, float(sf)))) % (2**63)
-    return np.random.Generator(np.random.PCG64(seed))
+    # hashlib, not hash(): python's str hash is salted per process and would make
+    # generation irreproducible across runs (and poison the parquet cache).
+    import hashlib
+
+    digest = hashlib.sha256(f"{table}/{column}/{float(sf)}".encode()).digest()
+    return np.random.Generator(np.random.PCG64(int.from_bytes(digest[:8], "little")))
 
 
 def _retail_price_cents(partkey: np.ndarray) -> np.ndarray:

@@ -1,0 +1,130 @@
+"""Group-id computation strategies: the VectorHasher / HashTable-mode analog.
+
+Reference: velox/exec/VectorHasher.h:118,206 (per-key value ids; range/dictionary
+modes for normalized keys) and velox/exec/HashTable.h:74 (adaptive kArray /
+kNormalizedKey / kHash modes, decideHashMode at HashTable.cpp:1376).
+
+TPU re-design — the mode decision moves from runtime-adaptive to *plan-compile
+time*, driven by static metadata (dictionary sizes, type ranges), because the
+traced program must be shape-stable:
+
+* ArrayGrouping (kArray): every key has a small static value-id range
+  (dictionary-encoded strings, booleans); the composite id is a mixed-radix code
+  and aggregation is a direct segment reduction into ``num_groups`` slots.
+* SortGrouping (replaces kHash): no static range — sort rows by key within the
+  tile and reduce contiguous runs.  Sorting beats hash probing on a machine with
+  no efficient random scatter; the reference itself prefers normalized-key sorts
+  in similar regimes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import DataType, RowType, TypeKind
+from ..vector.column import Batch, Column
+from ..vector.string_table import StringTable
+
+# Product-of-ranges ceiling for array mode (HBM slots per accumulator array).
+MAX_ARRAY_GROUPS = 1 << 16
+
+
+@dataclasses.dataclass
+class KeyInfo:
+    name: str
+    dtype: DataType
+    strings: Optional[StringTable]
+    radix: Optional[int]  # static value-id range, None if unbounded
+
+
+def key_info(name: str, dtype: DataType, strings: Optional[StringTable]) -> KeyInfo:
+    if dtype.kind == TypeKind.BOOLEAN:
+        return KeyInfo(name, dtype, None, 2)
+    if dtype.is_string and strings is not None:
+        return KeyInfo(name, dtype, strings, len(strings))
+    return KeyInfo(name, dtype, strings, None)
+
+
+class ArrayGrouping:
+    """Direct-indexed grouping over a static composite key range."""
+
+    def __init__(self, keys: Sequence[KeyInfo]):
+        assert all(k.radix is not None for k in keys)
+        self.keys = list(keys)
+        self.num_groups = 1
+        self.strides: List[int] = []
+        for k in reversed(self.keys):
+            self.strides.append(self.num_groups)
+            self.num_groups *= k.radix
+        self.strides.reverse()
+
+    def group_ids(self, batch: Batch) -> jax.Array:
+        gid = jnp.zeros((batch.capacity,), dtype=jnp.int32)
+        for k, stride in zip(self.keys, self.strides):
+            values, _ = batch.column(k.name).decode(batch.capacity)
+            gid = gid + values.astype(jnp.int32) * stride
+        return gid
+
+    def key_arrays(self) -> List[np.ndarray]:
+        """Host-side per-key value-id column for each of the num_groups slots."""
+        out = []
+        ids = np.arange(self.num_groups)
+        for k, stride in zip(self.keys, self.strides):
+            out.append(((ids // stride) % k.radix).astype(np.int32))
+        return out
+
+
+class SortGrouping:
+    """Per-tile sort + run-boundary grouping; group count is data-dependent but
+    bounded by the tile capacity (static)."""
+
+    def __init__(self, keys: Sequence[KeyInfo]):
+        self.keys = list(keys)
+
+    def sort_and_group(
+        self, batch: Batch, payload: Sequence[jax.Array], mask: jax.Array
+    ):
+        """Returns (sorted key arrays, sorted payload arrays, sorted mask,
+        group_ids, num_groups_scalar).
+
+        Rows are sorted with liveness as the primary key so dead rows sink to the
+        end and cannot split runs of equal keys.
+        """
+        cap = batch.capacity
+        key_vals = [batch.column(k.name).decode(cap)[0] for k in self.keys]
+        operands = [~mask] + key_vals + list(payload) + [mask]
+        sorted_ops = jax.lax.sort(operands, num_keys=1 + len(key_vals))
+        sorted_keys = sorted_ops[1 : 1 + len(key_vals)]
+        sorted_payload = sorted_ops[1 + len(key_vals) : -1]
+        sorted_mask = sorted_ops[-1]
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        diff = jnp.zeros((cap,), dtype=jnp.bool_)
+        for kv in sorted_keys:
+            prev = jnp.roll(kv, 1)
+            diff = diff | (kv != prev)
+        boundary = sorted_mask & ((idx == 0) | diff)
+        gids = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+        gids = jnp.clip(gids, 0, cap - 1)
+        num_groups = jnp.sum(boundary.astype(jnp.int32))
+        return sorted_keys, sorted_payload, sorted_mask, gids, num_groups
+
+    @staticmethod
+    def group_keys(sorted_keys, gids, mask, capacity: int):
+        """Representative key value per group slot (keys are equal within a run)."""
+        out = []
+        for kv in sorted_keys:
+            ident = (
+                jnp.iinfo(kv.dtype).min
+                if not jnp.issubdtype(kv.dtype, jnp.floating)
+                else -jnp.inf
+            )
+            masked = jnp.where(mask, kv, jnp.asarray(ident, dtype=kv.dtype))
+            out.append(
+                jax.ops.segment_max(masked, gids, num_segments=capacity)
+            )
+        return out

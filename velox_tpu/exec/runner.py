@@ -1,0 +1,626 @@
+"""Plan execution: plan tree -> jitted tile programs -> results.
+
+Reference: velox/exec/Task.h:34 + Driver.h:302 + LocalPlanner.cpp:259.  The
+reference runs a dynamic pull loop of operators on CPU threads (Driver::runInternal,
+exec/Driver.cpp:429).  The TPU design replaces that loop with a **static,
+shape-stable compiled program per pipeline**: the host iterates fixed-capacity
+tiles from the connector, and one jitted function applies the pipeline's whole
+operator chain (scan filter -> filters/projects -> aggregation update) to each
+tile, carrying accumulator state between tiles with buffer donation.  Blocking,
+batching discipline, and operator fusion all become XLA's problem — which is the
+point.
+
+Aggregation modes (see exec/grouping.py): ungrouped (G=1), array (static key
+ranges), sort (sort-within-tile + run reduction, host exact merge of per-tile
+partial groups).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import DataType, RowType, TypeKind
+from ..expr.compiler import ExprSet
+from ..expr.ir import Expr, FieldAccess
+from ..io.table import Table
+from ..ops.compact import compact
+from ..plan.nodes import (
+    AggregationNode,
+    FilterNode,
+    HashJoinNode,
+    LimitNode,
+    OrderByNode,
+    PlanNode,
+    ProjectNode,
+    SortKey,
+    TableScanNode,
+    TopNNode,
+    ValuesNode,
+)
+from ..vector.column import Batch, Column
+from ..vector.string_table import StringTable
+from .aggregates import BoundAggregate, bind_aggregate
+from .grouping import (
+    MAX_ARRAY_GROUPS,
+    ArrayGrouping,
+    KeyInfo,
+    SortGrouping,
+    key_info,
+)
+
+
+class QueryError(RuntimeError):
+    """Raised when any live row produced an evaluation error (division by zero,
+    cast failure, ...).  Reference: VeloxUserError via EvalCtx error vectors."""
+
+
+# ---------------------------------------------------------------------------
+# Plan analysis
+
+
+def resolve_column_strings(node: PlanNode, name: str) -> Optional[StringTable]:
+    """Walk provenance of a column down to its scan to find its StringTable."""
+    if isinstance(node, (TableScanNode, ValuesNode)):
+        return node.table.string_tables.get(name)
+    if isinstance(node, ProjectNode):
+        expr = node.exprs[node.names.index(name)]
+        if isinstance(expr, FieldAccess):
+            return resolve_column_strings(node.source, expr.name)
+        if expr.dtype.is_string:
+            # result reuses an input column's dictionary (see ExprSet string prop)
+            hit = _first_string_field(expr)
+            if hit is not None:
+                return resolve_column_strings(node.source, hit)
+        return None
+    if node.sources:
+        for s in node.sources:
+            if name in s.output_schema:
+                return resolve_column_strings(s, name)
+    return None
+
+
+def _first_string_field(expr: Expr) -> Optional[str]:
+    if isinstance(expr, FieldAccess) and expr.dtype.is_string:
+        return expr.name
+    for c in expr.children:
+        hit = _first_string_field(c)
+        if hit is not None:
+            return hit
+    return None
+
+
+@dataclasses.dataclass
+class _Linear:
+    """A linearized single-pipeline plan (scan .. optional agg .. finishers)."""
+
+    source: PlanNode  # TableScanNode or ValuesNode
+    steps: List[Tuple]  # ('filter', Expr) | ('project', names, exprs, schema)
+    agg: Optional[AggregationNode]
+    finishers: List[PlanNode]  # OrderBy/TopN/Limit from bottom to top
+
+
+def _linearize(root: PlanNode) -> _Linear:
+    finishers: List[PlanNode] = []
+    node = root
+    while isinstance(node, (OrderByNode, TopNNode, LimitNode)):
+        finishers.append(node)
+        node = node.sources[0]
+    agg = None
+    if isinstance(node, AggregationNode):
+        agg = node
+        node = node.sources[0]
+    steps_rev: List[Tuple] = []
+    while isinstance(node, (FilterNode, ProjectNode, HashJoinNode)):
+        if isinstance(node, FilterNode):
+            steps_rev.append(("filter", node.predicate))
+            node = node.sources[0]
+        elif isinstance(node, ProjectNode):
+            steps_rev.append(("project", node.names, node.exprs, node.output_schema))
+            node = node.sources[0]
+        else:
+            # probe continues down the left (probe) side; the right (build) side
+            # is executed eagerly when the pipeline is instantiated.
+            steps_rev.append(("join", node))
+            node = node.left
+    if not isinstance(node, (TableScanNode, ValuesNode)):
+        raise NotImplementedError(
+            f"run_plan: unsupported pipeline source {type(node).__name__}"
+        )
+    if isinstance(node, TableScanNode) and node.subfield_filter is not None:
+        steps_rev.append(("filter", node.subfield_filter))
+    steps = list(reversed(steps_rev))
+    finishers.reverse()
+    return _Linear(node, steps, agg, finishers)
+
+
+# ---------------------------------------------------------------------------
+# Streaming operator application (trace-time)
+
+
+def apply_streaming(batch: Batch, steps: Sequence[Tuple]):
+    """Apply filter/project steps; returns (batch, error_count_on_live_rows)."""
+    err = jnp.zeros((), dtype=jnp.int64)
+    for step in steps:
+        active = batch.active_mask()
+        if step[0] == "filter":
+            [r] = ExprSet([step[1]]).eval(batch)
+            if r.errors is not None:
+                err = err + jnp.sum((r.errors & active).astype(jnp.int64))
+            keep = r.values.astype(jnp.bool_)
+            if r.validity is not None:
+                keep = keep & r.validity
+            batch = batch.with_selection(keep)
+        elif step[0] == "join":
+            batch = step[1].probe(batch)
+        else:
+            _, names, exprs, schema = step
+            cols, errors = ExprSet(list(exprs)).eval_to_columns(batch)
+            if errors is not None:
+                err = err + jnp.sum((errors & active).astype(jnp.int64))
+            batch = batch.with_columns(schema, cols)
+    return batch, err
+
+
+# ---------------------------------------------------------------------------
+# Aggregation executors
+
+
+class AggExecutor:
+    """Executes one AggregationNode over a stream of tiles."""
+
+    def __init__(self, node: AggregationNode, capacity: int):
+        self.node = node
+        self.capacity = capacity
+        in_schema = node.source.output_schema
+        self.aggs: List[BoundAggregate] = []
+        self.arg_names: List[Optional[str]] = []
+        for call in node.aggregates:
+            if call.args:
+                arg = call.args[0]
+                assert isinstance(arg, FieldAccess), "agg args must be fields"
+                self.aggs.append(bind_aggregate(call.name, arg.dtype, None))
+                self.arg_names.append(arg.name)
+            else:
+                self.aggs.append(bind_aggregate(call.name, None, None))
+                self.arg_names.append(None)
+
+        self.key_infos: List[KeyInfo] = [
+            key_info(
+                k,
+                in_schema.type_of(k),
+                resolve_column_strings(node.source, k),
+            )
+            for k in node.grouping_keys
+        ]
+        if not self.key_infos:
+            self.mode = "ungrouped"
+            self.num_groups = 1
+            self.grouping = None
+        elif all(k.radix is not None for k in self.key_infos) and _radix_product(
+            self.key_infos
+        ) <= MAX_ARRAY_GROUPS:
+            self.mode = "array"
+            self.grouping = ArrayGrouping(self.key_infos)
+            self.num_groups = self.grouping.num_groups
+        else:
+            self.mode = "sort"
+            self.grouping = SortGrouping(self.key_infos)
+            self.num_groups = capacity
+
+    # ---- direct modes (ungrouped / array): carried accumulators ----------
+    def init_carry(self):
+        accs = tuple(agg.acc_init(self.num_groups) for agg in self.aggs)
+        rowcounts = jnp.zeros((self.num_groups,), dtype=jnp.int64)
+        return (accs, rowcounts)
+
+    def update_carry(self, carry, batch: Batch):
+        accs, rowcounts = carry
+        mask = batch.active_mask()
+        if self.mode == "array":
+            gids = self.grouping.group_ids(batch)
+        else:
+            gids = jnp.zeros((batch.capacity,), dtype=jnp.int32)
+        out = []
+        for agg, acc, arg_name in zip(self.aggs, accs, self.arg_names):
+            if arg_name is None:
+                values, m = None, mask
+            else:
+                values, validity = batch.column(arg_name).decode(batch.capacity)
+                m = mask if validity is None else (mask & validity)
+            out.append(agg.update(acc, values, m, gids, self.num_groups))
+        rowcounts = rowcounts + jax.ops.segment_sum(
+            mask.astype(jnp.int64), gids, num_segments=self.num_groups
+        )
+        return (tuple(out), rowcounts)
+
+    # ---- sort mode: per-tile partial groups -------------------------------
+    def tile_partial(self, batch: Batch):
+        """Returns (key_arrays, accs_nested, num_groups_scalar)."""
+        cap = batch.capacity
+        mask = batch.active_mask()
+        payload: List[jax.Array] = []
+        payload_slots: List[Tuple[int, bool]] = []  # (agg index, has_validity)
+        for i, (agg, arg_name) in enumerate(zip(self.aggs, self.arg_names)):
+            if arg_name is None:
+                payload_slots.append((i, False))
+                continue
+            values, validity = batch.column(arg_name).decode(cap)
+            payload.append(values)
+            if validity is not None:
+                payload.append(validity)
+                payload_slots.append((i, True))
+            else:
+                payload_slots.append((i, False))
+        (
+            sorted_keys,
+            sorted_payload,
+            sorted_mask,
+            gids,
+            num_groups,
+        ) = self.grouping.sort_and_group(batch, payload, mask)
+        accs_out = []
+        pos = 0
+        for (i, has_validity), agg, arg_name in zip(
+            payload_slots, self.aggs, self.arg_names
+        ):
+            if arg_name is None:
+                values, m = None, sorted_mask
+            else:
+                values = sorted_payload[pos]
+                pos += 1
+                if has_validity:
+                    m = sorted_mask & sorted_payload[pos]
+                    pos += 1
+                else:
+                    m = sorted_mask
+            accs_out.append(
+                agg.update(agg.acc_init(cap), values, m, gids, cap)
+            )
+        key_arrays = SortGrouping.group_keys(sorted_keys, gids, sorted_mask, cap)
+        return key_arrays, tuple(accs_out), num_groups
+
+    # ---- host-exact final merge for sort mode -----------------------------
+    def merge_partials_host(self, key_chunks, acc_chunks):
+        """key_chunks: list over tiles of list-per-key np arrays;
+        acc_chunks: list over tiles of nested accs as np arrays."""
+        keys = [np.concatenate([kc[i] for kc in key_chunks]) for i in range(len(self.key_infos))]
+        accs = []
+        for ai, agg in enumerate(self.aggs):
+            accs.append(
+                tuple(
+                    np.concatenate([ac[ai][j] for ac in acc_chunks])
+                    for j in range(len(agg.acc_dtypes))
+                )
+            )
+        order = np.lexsort(tuple(reversed(keys)))
+        keys = [k[order] for k in keys]
+        accs = [tuple(a[order] for a in acc) for acc in accs]
+        n = len(keys[0])
+        if n == 0:
+            starts = np.zeros(0, dtype=np.int64)
+        else:
+            diff = np.zeros(n, dtype=bool)
+            diff[0] = True
+            for k in keys:
+                diff[1:] |= k[1:] != k[:-1]
+            starts = np.flatnonzero(diff)
+        group_keys = [k[starts] for k in keys]
+        merged = []
+        for agg, acc in zip(self.aggs, accs):
+            parts = []
+            for arr, op in zip(acc, agg.acc_ops):
+                if len(starts) == 0:
+                    parts.append(arr[:0])
+                elif op == "sum":
+                    parts.append(np.add.reduceat(arr, starts))
+                elif op == "min":
+                    parts.append(np.minimum.reduceat(arr, starts))
+                else:
+                    parts.append(np.maximum.reduceat(arr, starts))
+            merged.append(tuple(parts))
+        return group_keys, merged
+
+    # ---- extraction -------------------------------------------------------
+    def extract(self, key_arrays, accs, rowcounts=None) -> Table:
+        node = self.node
+        names = list(node.output_schema.names)
+        types = list(node.output_schema.types)
+        cols: Dict[str, np.ndarray] = {}
+        tables: Dict[str, StringTable] = {}
+        validities: Dict[str, np.ndarray] = {}
+        nkeys = len(node.grouping_keys)
+        if self.mode == "array":
+            # keep only groups that actually received rows
+            live = np.asarray(rowcounts) > 0
+            host_keys = self.grouping.key_arrays()
+            for info, name, arr in zip(self.key_infos, names[:nkeys], host_keys):
+                cols[name] = arr[live]
+                if info.strings is not None:
+                    tables[name] = info.strings
+        else:
+            live = None
+            for info, name, arr in zip(self.key_infos, names[:nkeys], key_arrays or []):
+                cols[name] = np.asarray(arr)
+                if info.strings is not None:
+                    tables[name] = info.strings
+        for agg, acc, name in zip(self.aggs, accs, names[nkeys:]):
+            acc_np = tuple(np.asarray(a) for a in acc)
+            if live is not None:
+                acc_np = tuple(a[live] for a in acc_np)
+            values, validity = agg.extract(acc_np)
+            cols[name] = np.asarray(values)
+            if validity is not None:
+                validity = np.asarray(validity)
+                if not validity.all():
+                    validities[name] = validity
+        return Table(RowType(names, types), cols, tables, validities)
+
+
+def _radix_product(infos: Sequence[KeyInfo]) -> int:
+    p = 1
+    for k in infos:
+        p *= k.radix
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Finishers (OrderBy / TopN / Limit) — applied to small host-side results
+
+
+def _sort_indices(table: Table, keys: Sequence[SortKey]) -> np.ndarray:
+    arrays = []
+    for key in reversed(keys):
+        arr = table.columns[key.name]
+        if key.name in table.string_tables:
+            ranks = table.string_tables[key.name].sort_permutation()
+            arr = ranks[arr]
+        arr = np.asarray(arr)
+        if not key.ascending:
+            if arr.dtype.kind in "iu":
+                arr = -arr.astype(np.int64)
+            else:
+                arr = -arr
+        arrays.append(arr)
+    return np.lexsort(tuple(arrays))
+
+
+def apply_finishers(table: Table, finishers: Sequence[PlanNode]) -> Table:
+    for node in finishers:
+        if isinstance(node, (OrderByNode, TopNNode)):
+            order = _sort_indices(table, node.keys)
+            if isinstance(node, TopNNode):
+                order = order[: node.count]
+            table = Table(
+                table.schema,
+                {n: v[order] for n, v in table.columns.items()},
+                table.string_tables,
+                {n: v[order] for n, v in table.validities.items()},
+            )
+        elif isinstance(node, LimitNode):
+            sl = slice(node.offset, node.offset + node.count)
+            table = Table(
+                table.schema,
+                {n: v[sl] for n, v in table.columns.items()},
+                table.string_tables,
+                {n: v[sl] for n, v in table.validities.items()},
+            )
+    return table
+
+
+# ---------------------------------------------------------------------------
+# The single-chip runner
+
+
+def _pick_capacity(num_rows: int, tile_rows: int) -> int:
+    cap = 1024
+    while cap < min(num_rows, tile_rows):
+        cap *= 2
+    return cap
+
+
+@dataclasses.dataclass
+class RunStats:
+    """Per-run counters (reference: TaskStats, velox/exec/TaskStats.h:30)."""
+
+    tiles: int = 0
+    rows_in: int = 0
+    compile_seconds: float = 0.0
+    device_seconds: float = 0.0
+    total_seconds: float = 0.0
+
+
+class LocalExecutor:
+    """A compiled, reusable executor for one plan (the Task analog).
+
+    Construction does everything expensive once: linearization, eager build-side
+    execution for joins (the HashJoinBridge analog), and the jit wrappers — so
+    repeated ``run`` calls reuse XLA executables.  Error counts are carried
+    on-device and checked once at the end (no per-tile host sync).
+    """
+
+    def __init__(self, root: PlanNode, tile_rows: int = 1 << 20):
+        self.root = root
+        self.tile_rows = tile_rows
+        lin = _linearize(root)
+        from .joins import HashJoinExec
+
+        resolved: List[Tuple] = []
+        for step in lin.steps:
+            if step[0] == "join":
+                build_result = LocalExecutor(step[1].right, tile_rows).run()
+                resolved.append(("join", HashJoinExec.build(step[1], build_result)))
+            else:
+                resolved.append(step)
+        lin.steps = resolved
+        self.lin = lin
+        self.source_table = lin.source.table.select(
+            list(lin.source.output_schema.names)
+        )
+        self.capacity = _pick_capacity(
+            max(self.source_table.num_rows, 1), tile_rows
+        )
+        self.agg_exec: Optional[AggExecutor] = None
+
+        if lin.agg is not None:
+            ex = AggExecutor(lin.agg, self.capacity)
+            self.agg_exec = ex
+            if ex.mode in ("ungrouped", "array"):
+                self.kind = "direct_agg"
+
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def tile_step(carry, batch):
+                    (accs_rc, errs) = carry
+                    batch2, err = apply_streaming(batch, lin.steps)
+                    return (ex.update_carry(accs_rc, batch2), errs + err)
+
+                self._tile_step = tile_step
+            else:
+                self.kind = "sort_agg"
+
+                @jax.jit
+                def tile_partial(batch):
+                    batch2, err = apply_streaming(batch, lin.steps)
+                    return ex.tile_partial(batch2), err
+
+                self._tile_partial = tile_partial
+        else:
+            self.kind = "collect"
+
+            @jax.jit
+            def tile_out(batch):
+                batch2, err = apply_streaming(batch, lin.steps)
+                return compact(batch2), err
+
+            self._tile_out = tile_out
+            out_schema = lin.source.output_schema
+            for step in lin.steps:
+                if step[0] == "project":
+                    out_schema = step[3]
+                elif step[0] == "join":
+                    out_schema = step[1].node.output_schema
+            self.out_schema = out_schema
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        prefetched_tiles: Optional[List[Batch]] = None,
+        stats: Optional[RunStats] = None,
+    ) -> Table:
+        t_start = time.perf_counter()
+        lin = self.lin
+        if prefetched_tiles is not None:
+            assert prefetched_tiles[0].capacity == self.capacity, (
+                "prefetched tile capacity mismatch"
+            )
+            n_tiles = len(prefetched_tiles)
+            get_tile = lambda i: prefetched_tiles[i]  # noqa: E731
+        else:
+            n_tiles = self.source_table.num_tiles(self.capacity)
+            get_tile = lambda i: self.source_table.tile(i, self.capacity)  # noqa: E731
+        if stats is not None:
+            stats.tiles = n_tiles
+            stats.rows_in = self.source_table.num_rows
+
+        if self.kind == "direct_agg":
+            ex = self.agg_exec
+            carry = (ex.init_carry(), jnp.zeros((), dtype=jnp.int64))
+            t0 = time.perf_counter()
+            for i in range(n_tiles):
+                carry = self._tile_step(carry, get_tile(i))
+            (accs, rowcounts), errs = carry
+            accs_np = [tuple(np.asarray(a) for a in acc) for acc in accs]
+            rowcounts_np = np.asarray(rowcounts)
+            if stats is not None:
+                stats.device_seconds = time.perf_counter() - t0
+            _raise_on_errors(int(errs))
+            result = ex.extract(None, accs_np, rowcounts_np)
+        elif self.kind == "sort_agg":
+            ex = self.agg_exec
+            err_total = 0
+            key_chunks, acc_chunks = [], []
+            t0 = time.perf_counter()
+            for i in range(n_tiles):
+                (key_arrays, accs, ngroups), err = self._tile_partial(get_tile(i))
+                err_total += int(err)
+                g = int(ngroups)
+                key_chunks.append([np.asarray(k)[:g] for k in key_arrays])
+                acc_chunks.append(
+                    [tuple(np.asarray(a)[:g] for a in acc) for acc in accs]
+                )
+            if stats is not None:
+                stats.device_seconds = time.perf_counter() - t0
+            _raise_on_errors(err_total)
+            group_keys, merged = ex.merge_partials_host(key_chunks, acc_chunks)
+            result = ex.extract(group_keys, merged)
+        else:
+            err_total = 0
+            chunks: List[Dict[str, np.ndarray]] = []
+            valid_chunks: List[Dict[str, np.ndarray]] = []
+            tables: Dict[str, StringTable] = {}
+            t0 = time.perf_counter()
+            for i in range(n_tiles):
+                out, err = self._tile_out(get_tile(i))
+                err_total += int(err)
+                n = int(out.length)
+                row: Dict[str, np.ndarray] = {}
+                vrow: Dict[str, np.ndarray] = {}
+                for name, col in zip(out.schema.names, out.columns):
+                    row[name] = np.asarray(col.data)[:n]
+                    if col.validity is not None:
+                        vrow[name] = np.asarray(col.validity)[:n]
+                    if col.strings is not None:
+                        tables[name] = col.strings
+                chunks.append(row)
+                valid_chunks.append(vrow)
+            if stats is not None:
+                stats.device_seconds = time.perf_counter() - t0
+            _raise_on_errors(err_total)
+            cols = {
+                n: np.concatenate([c[n] for c in chunks]) if chunks else np.zeros(0)
+                for n in self.out_schema.names
+            }
+            validities = {}
+            for n in self.out_schema.names:
+                if any(n in vc for vc in valid_chunks):
+                    # tiles without a validity array are all-valid
+                    validities[n] = np.concatenate(
+                        [
+                            vc.get(n, np.ones(len(c[n]), dtype=bool))
+                            for vc, c in zip(valid_chunks, chunks)
+                        ]
+                    )
+            result = Table(self.out_schema, cols, tables, validities)
+
+        result = apply_finishers(result, lin.finishers)
+        if stats is not None:
+            stats.total_seconds = time.perf_counter() - t_start
+        return result
+
+    def device_tiles(self) -> List[Batch]:
+        """Upload the source scan HBM-resident (steady-state benchmarking)."""
+        return self.source_table.device_tiles(self.capacity)
+
+
+def run_plan(
+    root: PlanNode,
+    tile_rows: int = 1 << 20,
+    stats: Optional[RunStats] = None,
+    prefetched_tiles: Optional[List[Batch]] = None,
+) -> Table:
+    """One-shot convenience around LocalExecutor (tests, small queries)."""
+    return LocalExecutor(root, tile_rows).run(prefetched_tiles, stats)
+
+
+def _raise_on_errors(count: int):
+    if count:
+        raise QueryError(
+            f"{count} row(s) raised during evaluation (division by zero / bad cast); "
+            "wrap the expression in try(...) to null them instead"
+        )

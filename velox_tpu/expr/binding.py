@@ -1,32 +1,61 @@
 """Bind-time rewrites that specialize expressions to a concrete table's metadata.
 
 The TPU engine keeps string bytes on the host (vector/string_table.py); device
-VARCHAR columns are dictionary codes.  Before a pipeline is traced, expressions are
-rewritten against the scan's string tables:
+VARCHAR columns are dictionary codes.  Before a pipeline is traced, expressions
+are rewritten against the scan's string tables:
 
 * VARCHAR literals inside comparisons / IN-lists are interned to int codes
   (a literal absent from the table becomes code -1, which matches no row);
-* this is the moral analog of the reference pushing string predicates into
-  dictionary-encoded column readers (velox/dwio/common/SelectiveColumnReader.h:121).
+* string functions (like / length / lower / upper / substr / trim / concat with
+  a literal) are evaluated once per *distinct* dictionary entry on the host and
+  become a single device gather (``DictLookup``) — the bind-time form of the
+  reference's evaluate-on-dictionary-values peeling
+  (velox/expression/PeeledEncoding.h; string-dictionary readers in dwio).
+
+This is valid because scan dictionaries are immutable for the life of a query.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+import re
+from typing import Callable, Dict, Optional
 
-from ..dtypes import TypeKind
+import numpy as np
+
+from ..dtypes import BIGINT, BOOLEAN, TypeKind, VARCHAR
 from ..vector.string_table import StringTable
-from .ir import Call, Constant, Expr, FieldAccess, Special
+from .ir import Call, Constant, DictLookup, Expr, FieldAccess, HostArray, Special
+
+
+def like_to_regex(pattern: str, escape: Optional[str] = None) -> str:
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if escape and ch == escape and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "^" + "".join(out) + "$"
 
 
 def bind_string_literals(expr: Expr, tables: Dict[str, StringTable]) -> Expr:
-    """Rewrite VARCHAR str-valued Constants to dictionary-code Constants."""
+    """Rewrite VARCHAR literals to codes and string functions to DictLookups."""
     return _rewrite(expr, tables, None)
 
 
 def _find_table(expr: Expr, tables: Dict[str, StringTable]) -> Optional[StringTable]:
     if isinstance(expr, FieldAccess) and expr.dtype.is_string:
         return tables.get(expr.name)
+    if isinstance(expr, DictLookup) and expr.strings is not None:
+        return expr.strings
     for c in expr.children:
         t = _find_table(c, tables)
         if t is not None:
@@ -34,22 +63,117 @@ def _find_table(expr: Expr, tables: Dict[str, StringTable]) -> Optional[StringTa
     return None
 
 
+def _table_of(expr: Expr, tables) -> Optional[StringTable]:
+    """The dictionary of a string-valued expression, if statically known."""
+    if isinstance(expr, FieldAccess):
+        return tables.get(expr.name)
+    if isinstance(expr, DictLookup):
+        return expr.strings
+    return None
+
+
+def _per_entry(table: StringTable, fn: Callable[[str], object], dtype, np_dtype):
+    arr = np.asarray([fn(v) for v in table.values()], dtype=np_dtype)
+    return HostArray(arr)
+
+
 def _rewrite(expr: Expr, tables, context_table: Optional[StringTable]) -> Expr:
     if isinstance(expr, Constant):
         if expr.dtype.is_string and isinstance(expr.value, str):
             if context_table is None:
                 raise ValueError(
-                    f"string literal {expr.value!r} has no sibling string column to "
-                    "bind against"
+                    f"string literal {expr.value!r} has no sibling string column "
+                    "to bind against"
                 )
             code = context_table.lookup(expr.value)
             return Constant(expr.dtype, -1 if code is None else code)
         return expr
+    if isinstance(expr, Call) and expr.name in _STRING_FN_BINDERS:
+        bound = _STRING_FN_BINDERS[expr.name](expr, tables, context_table)
+        if bound is not None:
+            return bound
     if isinstance(expr, (Call, Special)):
-        # The comparison context: any string-typed field among the children.
         local = _find_table(expr, tables) or context_table
         new_args = tuple(_rewrite(a, tables, local) for a in expr.children)
         if isinstance(expr, Call):
             return Call(expr.dtype, expr.name, new_args)
         return Special(expr.dtype, expr.form, new_args)
     return expr
+
+
+# ---- string-function binders ---------------------------------------------
+
+
+def _bind_like(expr: Call, tables, ctx) -> Optional[Expr]:
+    child = _rewrite(expr.args[0], tables, ctx)
+    table = _table_of(child, tables)
+    pattern_e = expr.args[1]
+    if table is None or not isinstance(pattern_e, Constant) or not isinstance(
+        pattern_e.value, str
+    ):
+        raise ValueError(
+            "like() requires a dictionary-backed string input and a literal pattern"
+        )
+    escape = None
+    if len(expr.args) > 2 and isinstance(expr.args[2], Constant):
+        escape = expr.args[2].value
+    rx = re.compile(like_to_regex(pattern_e.value, escape))
+    arr = _per_entry(table, lambda v: bool(rx.match(v)), BOOLEAN, np.bool_)
+    return DictLookup(BOOLEAN, child, arr)
+
+
+def _unary_string_fn(result_kind, np_dtype, fn, makes_strings=False):
+    def binder(expr: Call, tables, ctx) -> Optional[Expr]:
+        child = _rewrite(expr.args[0], tables, ctx)
+        table = _table_of(child, tables)
+        if table is None:
+            raise ValueError(
+                f"{expr.name}() requires a dictionary-backed string input"
+            )
+        if makes_strings:
+            out_table = StringTable()
+            codes = out_table.intern_all([fn(v) for v in table.values()])
+            return DictLookup(
+                VARCHAR, child, HostArray(codes.astype(np.int32)), out_table
+            )
+        arr = _per_entry(table, fn, result_kind, np_dtype)
+        return DictLookup(result_kind, child, arr)
+
+    return binder
+
+
+def _bind_substr(expr: Call, tables, ctx) -> Optional[Expr]:
+    child = _rewrite(expr.args[0], tables, ctx)
+    table = _table_of(child, tables)
+    args = expr.args[1:]
+    if table is None or not all(isinstance(a, Constant) for a in args):
+        raise ValueError("substr() requires literal start/length arguments")
+    start = int(args[0].value)
+    length = int(args[1].value) if len(args) > 1 else None
+
+    def fn(v: str) -> str:
+        # SQL 1-based indexing; negative start counts from the end.
+        if start > 0:
+            s = v[start - 1 :]
+        elif start < 0:
+            s = v[start:]
+        else:
+            s = v
+        return s[:length] if length is not None else s
+
+    out_table = StringTable()
+    codes = out_table.intern_all([fn(v) for v in table.values()])
+    return DictLookup(VARCHAR, child, HostArray(codes.astype(np.int32)), out_table)
+
+
+_STRING_FN_BINDERS: Dict[str, Callable] = {
+    "like": _bind_like,
+    "length": _unary_string_fn(BIGINT, np.int64, lambda v: len(v)),
+    "lower": _unary_string_fn(None, None, lambda v: v.lower(), makes_strings=True),
+    "upper": _unary_string_fn(None, None, lambda v: v.upper(), makes_strings=True),
+    "trim": _unary_string_fn(None, None, lambda v: v.strip(), makes_strings=True),
+    "ltrim": _unary_string_fn(None, None, lambda v: v.lstrip(), makes_strings=True),
+    "rtrim": _unary_string_fn(None, None, lambda v: v.rstrip(), makes_strings=True),
+    "reverse": _unary_string_fn(None, None, lambda v: v[::-1], makes_strings=True),
+    "substr": _bind_substr,
+}

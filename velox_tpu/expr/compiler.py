@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..dtypes import DataType, TypeKind
 from ..vector.column import Batch, Column
-from .ir import Call, Constant, Expr, FieldAccess, Special, SpecialForm
+from .ir import Call, Constant, DictLookup, Expr, FieldAccess, Special, SpecialForm
 from .registry import DEFAULT_REGISTRY, FunctionRegistry
 
 
@@ -94,6 +94,11 @@ class EvalContext:
             return self._call(expr)
         if isinstance(expr, Special):
             return self._special(expr)
+        if isinstance(expr, DictLookup):
+            child = self.evaluate(expr.child)
+            lookup = jnp.asarray(expr.values.array)
+            out = jnp.take(lookup, child.values.astype(jnp.int32), mode="clip")
+            return EvalResult(out, child.validity, child.errors)
         raise TypeError(f"cannot evaluate {type(expr).__name__}")
 
     def _constant(self, expr: Constant) -> EvalResult:
@@ -389,6 +394,8 @@ def _strings_of(expr: Expr, batch: Batch):
     """Propagate the StringTable for expressions that return input strings as-is."""
     if not expr.dtype.is_string:
         return None
+    if isinstance(expr, DictLookup):
+        return expr.strings
     if isinstance(expr, FieldAccess):
         return batch.column(expr.name).strings
     for child in expr.children:

@@ -131,6 +131,47 @@ class Special(Expr):
         }
 
 
+class HostArray:
+    """A host numpy array riding in an expression as static metadata
+    (hashable by identity, like StringTable)."""
+
+    __slots__ = ("array",)
+
+    def __init__(self, array):
+        self.array = array
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+@dataclasses.dataclass(frozen=True)
+class DictLookup(Expr):
+    """Gather a host-precomputed per-dictionary-code result: out = values[codes].
+
+    This is the bind-time form of the reference's evaluate-on-dictionary-values
+    peeling (velox/expression/PeeledEncoding.h): a string function is evaluated
+    once per *distinct* string on the host, and the device does a single gather.
+    ``strings`` carries the result dictionary when the output is itself VARCHAR.
+    """
+
+    child: Optional[Expr] = None
+    values: Optional[HostArray] = None
+    strings: Optional[object] = None  # StringTable of the result, if VARCHAR
+
+    def key(self) -> str:
+        return f"@dictlookup[{id(self.values)}]({self.child.key()})"
+
+    @property
+    def children(self):
+        return (self.child,)
+
+    def to_json(self):
+        raise TypeError("DictLookup is a bind-time node; serialize the pre-bind expr")
+
+
 @dataclasses.dataclass(frozen=True)
 class Lambda(Expr):
     """Lambda expression for array/map higher-order functions.

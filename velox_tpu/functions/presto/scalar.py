@@ -156,6 +156,32 @@ _reg.register("eq", [STRINGY, STRINGY], BOOLEAN, _cmp(lambda a, b: a == b))
 _reg.register("neq", [STRINGY, STRINGY], BOOLEAN, _cmp(lambda a, b: a != b))
 
 
+def _unbound_string_fn(name):
+    def impl(ctx, out_t, arg_ts, *args):
+        raise RuntimeError(
+            f"{name}() must be bound to a dictionary first — run "
+            "expr.binding.bind_string_literals (PlanBuilder does this)"
+        )
+
+    return impl
+
+
+# Dictionary-rewritten string functions: these signatures exist for type
+# resolution; evaluation happens via DictLookup after bind-time rewrite
+# (velox_tpu/expr/binding.py).
+import numpy as _np  # noqa: E402
+
+from ...dtypes import VARCHAR as _VARCHAR  # noqa: E402
+
+_reg.register("like", [STRINGY, STRINGY], BOOLEAN, _unbound_string_fn("like"))
+_reg.register("like", [STRINGY, STRINGY, STRINGY], BOOLEAN, _unbound_string_fn("like"))
+_reg.register("length", [STRINGY], BIGINT, _unbound_string_fn("length"))
+for _sname in ("lower", "upper", "trim", "ltrim", "rtrim", "reverse"):
+    _reg.register(_sname, [STRINGY], _VARCHAR, _unbound_string_fn(_sname))
+_reg.register("substr", [STRINGY, INT_M], _VARCHAR, _unbound_string_fn("substr"))
+_reg.register("substr", [STRINGY, INT_M, INT_M], _VARCHAR, _unbound_string_fn("substr"))
+
+
 def _between(ctx, out_t, arg_ts, x, lo, hi):
     return (x >= lo) & (x <= hi)
 

@@ -85,6 +85,16 @@ class Table:
         for i in range(self.num_tiles(tile_rows)):
             yield self.tile(i, tile_rows)
 
+    def device_tiles(self, tile_rows: int) -> List[Batch]:
+        """Materialize all tiles HBM-resident up front (tables live in device
+        memory in this engine's steady state; see SURVEY.md §7)."""
+        import jax
+
+        return [
+            jax.tree_util.tree_map(jax.device_put, self.tile(i, tile_rows))
+            for i in range(self.num_tiles(tile_rows))
+        ]
+
     # ---- pandas ----------------------------------------------------------
     def to_pandas(self, decode: bool = True):
         import pandas as pd
@@ -96,6 +106,11 @@ class Table:
                 arr = self.string_tables[name].decode(arr)
             elif decode and dtype.kind == TypeKind.DECIMAL:
                 arr = arr.astype(np.float64) / 10.0**dtype.scale
+            validity = self.validities.get(name)
+            if validity is not None and not validity.all():
+                arr = arr.astype(object)
+                arr = arr.copy()
+                arr[~validity] = None
             out[name] = arr
         return pd.DataFrame(out)
 

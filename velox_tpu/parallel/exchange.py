@@ -1,0 +1,126 @@
+"""Distributed exchange: hash-partitioned shuffle as device collectives.
+
+Reference: the reference's entire "communication backend" is the serialize ->
+OutputBufferManager -> HTTP -> ExchangeSource pipeline
+(velox/exec/PartitionedOutput.h:139, OutputBuffer.h:131, ExchangeSource.h:22,
+ExchangeClient.h:26, wire format serializers/PrestoSerializer.cpp).
+
+TPU re-design (SURVEY.md §5.8): rows never leave the devices.  Each device
+hash-partitions its rows into fixed-capacity per-destination buckets, then one
+``jax.lax.all_to_all`` moves every bucket to its destination over ICI/DCN; counts
+ride along to mark the ragged valid region.  Backpressure becomes static bucket
+capacity (the analog of the reference's OutputBuffer byte limits); the serializer
+disappears entirely — data stays in columnar device layout end to end.
+
+All functions here are *traceable* and meant to run inside ``shard_map`` over a
+mesh axis; single-device tests can call them with ``num_partitions=1``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Knuth multiplicative constant — cheap device-side integer hash.
+_HASH_MULT = jnp.uint64(0x9E3779B97F4A7C15)
+
+
+def hash64(keys: jax.Array) -> jax.Array:
+    """Vectorized 64-bit mix (splitmix-style finalizer) of integer keys."""
+    x = keys.astype(jnp.uint64) * _HASH_MULT
+    x = x ^ (x >> 31)
+    x = x * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> 27)
+    return x
+
+
+def partition_destinations(keys: jax.Array, num_partitions: int) -> jax.Array:
+    """row -> destination device (reference: HashPartitionFunction)."""
+    return (hash64(keys) % jnp.uint64(num_partitions)).astype(jnp.int32)
+
+
+def bucketize(
+    arrays: Sequence[jax.Array],
+    dest: jax.Array,
+    mask: jax.Array,
+    num_partitions: int,
+    bucket_capacity: int,
+) -> Tuple[List[jax.Array], jax.Array]:
+    """Pack rows into per-destination buckets.
+
+    Returns (bucketed arrays, counts): each array becomes [P, bucket_capacity]
+    (rows beyond counts[p] are padding).  Implemented as one sort by destination
+    plus dense gathers — no scatters, which is the TPU-friendly formulation of
+    the reference's per-destination append loop (PartitionedOutput.cpp:216).
+    """
+    n = dest.shape[0]
+    # dead rows go to a virtual partition P so they never land in a real bucket
+    dest_eff = jnp.where(mask, dest, num_partitions)
+    order = jnp.argsort(dest_eff, stable=True)
+    dest_sorted = jnp.take(dest_eff, order)
+    counts = jax.ops.segment_sum(
+        mask.astype(jnp.int32), dest_eff, num_segments=num_partitions + 1
+    )[:num_partitions]
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    # idx[p, i] = position in the sorted order of the i-th row for partition p
+    offs = jnp.arange(bucket_capacity, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(starts[:, None] + offs, 0, n - 1)
+    valid = offs < counts[:, None]
+    out = []
+    for arr in arrays:
+        gathered = jnp.take(jnp.take(arr, order, axis=0), idx, axis=0)
+        out.append(gathered)
+    return out, counts, valid
+
+
+def all_to_all_exchange(
+    bucketed: Sequence[jax.Array],
+    counts: jax.Array,
+    axis_name: str,
+):
+    """Move bucket p to device p along ``axis_name``; must run inside shard_map.
+
+    Input per device: arrays [P, cap, ...] + counts [P].
+    Output per device: arrays [P, cap, ...] where dim0 indexes the *source*
+    device, + received counts [P].
+    """
+    received = [
+        jax.lax.all_to_all(arr, axis_name, split_axis=0, concat_axis=0, tiled=True)
+        for arr in bucketed
+    ]
+    recv_counts = jax.lax.all_to_all(
+        counts, axis_name, split_axis=0, concat_axis=0, tiled=True
+    )
+    return received, recv_counts
+
+
+def exchange_rows(
+    arrays: Sequence[jax.Array],
+    keys: jax.Array,
+    mask: jax.Array,
+    axis_name: str,
+    num_partitions: int,
+    bucket_capacity: Optional[int] = None,
+):
+    """Full shuffle: partition by key hash, all_to_all, flatten received buckets.
+
+    Returns (arrays [P*cap, ...] flattened over sources, mask of live rows).
+    After this call every row with a given key lives on device
+    hash(key) % num_partitions — the exact invariant the reference's partitioned
+    shuffle provides, with no serialization.
+    """
+    if bucket_capacity is None:
+        bucket_capacity = keys.shape[0]
+    dest = partition_destinations(keys, num_partitions)
+    bucketed, counts, _ = bucketize(
+        list(arrays) + [keys], dest, mask, num_partitions, bucket_capacity
+    )
+    received, recv_counts = all_to_all_exchange(bucketed, counts, axis_name)
+    offs = jnp.arange(bucket_capacity, dtype=jnp.int32)[None, :]
+    live = (offs < recv_counts[:, None]).reshape(-1)
+    flat = [r.reshape((num_partitions * bucket_capacity,) + r.shape[2:]) for r in received]
+    return flat[:-1], flat[-1], live
