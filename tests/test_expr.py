@@ -239,3 +239,27 @@ class TestEval:
         np.testing.assert_array_equal(values, [False, True])
         values, _, _, _ = eval_one("a is not null", schema, batch)
         np.testing.assert_array_equal(values, [True, False])
+
+
+class TestDecimalTyping:
+    def test_multiply_keeps_raw_scales(self):
+        # regression: multiply must NOT align scales first (sum_charge overflow)
+        schema = RowType(["ep", "disc", "tax"], [vt.decimal(12, 2)] * 3)
+        e = parse_expr("ep * (1 - disc) * (1 + tax)", schema)
+        assert e.dtype.scale == 6, e.dtype
+
+    def test_wide_sum_exact_beyond_int32_rows(self):
+        import pandas as pd
+        from velox_tpu.io.table import Table
+        from velox_tpu.plan import PlanBuilder
+        from velox_tpu.exec import run_plan
+
+        # values large enough that a naive f64 accumulation would lose the +1s
+        n = 1000
+        vals = np.full(n, (1 << 53) + 1, dtype=np.int64)
+        t = Table(RowType(["v"], [vt.BIGINT]), {"v": vals})
+        out = run_plan(
+            PlanBuilder().table_scan(t).aggregation([], ["sum(v) as s"]).build(),
+            tile_rows=512,
+        ).to_pandas()
+        assert int(out["s"][0]) == n * ((1 << 53) + 1)  # fits int64, bit-exact

@@ -1,0 +1,132 @@
+"""Window operator tests vs pandas (reference: velox window tests in
+functions/prestosql/window/tests)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import velox_tpu as vt
+from velox_tpu.dtypes import RowType
+from velox_tpu.io.table import Table
+from velox_tpu.plan import PlanBuilder
+from velox_tpu.exec import run_plan
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(7)
+    n = 200
+    return pd.DataFrame(
+        {
+            "g": rng.integers(0, 8, n),
+            "o": rng.integers(0, 40, n),
+            "v": rng.integers(-50, 50, n),
+        }
+    )
+
+
+def table_of(df):
+    return Table(
+        RowType(list(df.columns), [vt.BIGINT] * len(df.columns)),
+        {c: df[c].to_numpy() for c in df.columns},
+    )
+
+
+def run_window(df, calls, order=("g", "o", "v")):
+    plan = (
+        PlanBuilder()
+        .table_scan(table_of(df))
+        .window(["g"], ["o"], calls)
+        .orderby(list(order))
+        .build()
+    )
+    return run_plan(plan).to_pandas()
+
+
+def test_row_number_rank_dense_rank(data):
+    got = run_window(data, ["row_number() as rn", "rank() as rk", "dense_rank() as dr"])
+    df = data.sort_values(["g", "o", "v"]).reset_index(drop=True)
+    g = data.groupby("g")["o"]
+    expect = data.copy()
+    expect["rk"] = g.rank(method="min").astype(np.int64)
+    expect["dr"] = g.rank(method="dense").astype(np.int64)
+    expect = expect.sort_values(["g", "o", "v"]).reset_index(drop=True)
+    np.testing.assert_array_equal(got["rk"].to_numpy(), expect["rk"].to_numpy())
+    np.testing.assert_array_equal(got["dr"].to_numpy(), expect["dr"].to_numpy())
+    # row_number within (g): 1..count, increasing along o
+    for key, grp in got.groupby("g"):
+        rn = grp.sort_values(["o", "rn"])["rn"].to_numpy()
+        assert sorted(rn) == list(range(1, len(grp) + 1))
+
+
+def test_running_sum_range_frame(data):
+    got = run_window(data, ["sum(v) as s"])
+    # pandas equivalent of RANGE UNBOUNDED PRECEDING..CURRENT ROW with peers:
+    # cumulative sum over rows sorted by o, where ties share the total at the
+    # last tied row
+    rows = []
+    for key, grp in data.groupby("g"):
+        grp = grp.sort_values("o", kind="stable").copy()
+        csum = grp["v"].cumsum()
+        peer_total = grp.groupby("o")["v"].transform("sum").groupby(grp["o"]).cumsum()
+        # simpler: total of all rows with o <= current o
+        totals = [grp.loc[grp["o"] <= o, "v"].sum() for o in grp["o"]]
+        grp["s"] = totals
+        rows.append(grp)
+    expect = (
+        pd.concat(rows).sort_values(["g", "o", "v"]).reset_index(drop=True)
+    )
+    got_sorted = got.sort_values(["g", "o", "v"]).reset_index(drop=True)
+    np.testing.assert_array_equal(
+        got_sorted["s"].to_numpy(), expect["s"].to_numpy()
+    )
+
+
+def test_count_and_avg(data):
+    got = run_window(data, ["count(v) as c", "avg(v) as m"])
+    for key, grp in got.groupby("g"):
+        grp = grp.sort_values(["o", "v"])
+        # counts are nondecreasing and end at the partition size
+        assert grp["c"].iloc[-1] == len(grp)
+        assert (np.diff(grp["c"].to_numpy()) >= 0).all()
+
+
+def test_lead_lag():
+    # unique order keys per partition: lag/lead over ties is nondeterministic
+    rng = np.random.default_rng(3)
+    rows = []
+    for g in range(6):
+        o = rng.permutation(30)
+        rows.append(pd.DataFrame({"g": g, "o": o, "v": rng.integers(-50, 50, 30)}))
+    data = pd.concat(rows).reset_index(drop=True)
+    got = run_window(data, ["lag(v) as prev", "lead(v) as nxt"])
+    # first row of each partition (in sorted order) has NULL lag
+    for key, grp in got.groupby("g"):
+        assert pd.isna(grp["prev"].iloc[0])
+        assert pd.isna(grp["nxt"].iloc[-1])
+        inner_prev = grp["prev"].to_numpy()[1:]
+        np.testing.assert_array_equal(
+            inner_prev.astype(np.int64), grp["v"].to_numpy()[:-1]
+        )
+
+
+def test_first_last_value(data):
+    got = run_window(data, ["first_value(v) as fv", "last_value(v) as lv"])
+    for key, grp in got.groupby("g"):
+        assert (grp["fv"] == grp["v"].iloc[0]).all()
+        assert (grp["lv"] == grp["v"].iloc[-1]).all()
+
+
+def test_ntile():
+    df = pd.DataFrame({"g": [1] * 10, "o": range(10), "v": range(10)})
+    got = run_window(df, ["ntile(3) as t"])
+    np.testing.assert_array_equal(
+        got.sort_values("o")["t"].to_numpy(), [1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+    )
+
+
+def test_percent_rank_cume_dist():
+    df = pd.DataFrame({"g": [1] * 4, "o": [10, 10, 20, 30], "v": [1, 2, 3, 4]})
+    got = run_window(df, ["percent_rank() as pr", "cume_dist() as cd"]).sort_values("v")
+    np.testing.assert_allclose(got["pr"].to_numpy(), [0.0, 0.0, 2 / 3, 1.0])
+    np.testing.assert_allclose(got["cd"].to_numpy(), [0.5, 0.5, 0.75, 1.0])

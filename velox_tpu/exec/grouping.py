@@ -30,8 +30,10 @@ from ..dtypes import DataType, RowType, TypeKind
 from ..vector.column import Batch, Column
 from ..vector.string_table import StringTable
 
-# Product-of-ranges ceiling for array mode (HBM slots per accumulator array).
-MAX_ARRAY_GROUPS = 1 << 16
+# Array mode emits one fused masked reduction per group (ops/segmented.py), so
+# the composite range must stay small; larger key spaces go to sort mode, where
+# sorting is cheap on TPU.
+MAX_ARRAY_GROUPS = 256
 
 
 @dataclasses.dataclass
@@ -89,12 +91,14 @@ class SortGrouping:
     def sort_and_group(
         self, batch: Batch, payload: Sequence[jax.Array], mask: jax.Array
     ):
-        """Returns (sorted key arrays, sorted payload arrays, sorted mask,
-        group_ids, num_groups_scalar).
+        """Returns (sorted key arrays, sorted payload arrays, sorted mask, runs).
 
-        Rows are sorted with liveness as the primary key so dead rows sink to the
-        end and cannot split runs of equal keys.
+        Rows are sorted with liveness as the primary key so dead rows sink to
+        the end and cannot split runs of equal keys.  ``runs`` (ops/segmented
+        SortedRuns) carries the run structure for scatter-free reductions.
         """
+        from ..ops.segmented import SortedRuns
+
         cap = batch.capacity
         key_vals = [batch.column(k.name).decode(cap)[0] for k in self.keys]
         operands = [~mask] + key_vals + list(payload) + [mask]
@@ -108,23 +112,10 @@ class SortGrouping:
             prev = jnp.roll(kv, 1)
             diff = diff | (kv != prev)
         boundary = sorted_mask & ((idx == 0) | diff)
-        gids = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-        gids = jnp.clip(gids, 0, cap - 1)
-        num_groups = jnp.sum(boundary.astype(jnp.int32))
-        return sorted_keys, sorted_payload, sorted_mask, gids, num_groups
+        runs = SortedRuns(boundary, sorted_mask)
+        return sorted_keys, sorted_payload, sorted_mask, runs
 
     @staticmethod
-    def group_keys(sorted_keys, gids, mask, capacity: int):
-        """Representative key value per group slot (keys are equal within a run)."""
-        out = []
-        for kv in sorted_keys:
-            ident = (
-                jnp.iinfo(kv.dtype).min
-                if not jnp.issubdtype(kv.dtype, jnp.floating)
-                else -jnp.inf
-            )
-            masked = jnp.where(mask, kv, jnp.asarray(ident, dtype=kv.dtype))
-            out.append(
-                jax.ops.segment_max(masked, gids, num_segments=capacity)
-            )
-        return out
+    def group_keys(sorted_keys, runs):
+        """Representative key value per run slot (keys are equal within a run)."""
+        return [runs.first(kv) for kv in sorted_keys]

@@ -4,16 +4,26 @@ Reference: velox/exec/HashBuild.h:39 / HashProbe.h:28 / HashJoinBridge.h — the
 reference builds a quadratic-probing hash table from the build side and streams
 probe batches through it.
 
-TPU re-design: random-access hash probing is hostile to a vector machine, so the
-"hash table" is a **sorted key array + payload columns**; probing is a vectorized
-binary search (log2(B) rounds of gathers, all dense, no scatters).  This is the
-normalized-key regime the reference itself prefers (HashTable kNormalizedKey,
-velox/exec/HashTable.h:74).  The build side runs eagerly as its own pipeline and
-its result is held device-resident across all probe tiles — the JoinBridge analog.
+TPU re-design: random-access probing (hash probes, binary search) is hostile to
+this machine — measured on TPU v5e, vectorized binary search over a 4M tile
+costs seconds while a multi-operand sort costs ~55 ms.  The probe is therefore a
+**sort-merge lookup**:
 
-Round-1 scope: single-key equi-joins with a UNIQUE build side (primary-key joins;
-validated at build time).  INNER / LEFT (probe-preserving) / LEFT_SEMI / ANTI are
-supported; duplicate-build-key expansion joins land with the dynamic-output work.
+  1. build side: key-sorted arrays, device-resident (the JoinBridge analog);
+  2. per probe tile: sort the concatenation [build keys ++ probe keys] with a
+     tie-break flag so each build row precedes equal probe keys;
+  3. a running maximum (cummax) of "last build row index seen" gives every probe
+     row its candidate match in one scan;
+  4. a second sort by original position restores probe order ("scatter = sort").
+
+Everything is sort/scan/gather — no scatters, no binary search.  This is the
+normalized-key regime the reference itself prefers (HashTable kNormalizedKey,
+velox/exec/HashTable.h:74).
+
+Round-1 scope: single-key equi-joins with a UNIQUE build side (primary-key
+joins; validated at build time).  INNER / LEFT (probe-preserving) / LEFT_SEMI /
+ANTI are supported; duplicate-build-key expansion joins land with the
+dynamic-output work.
 """
 
 from __future__ import annotations
@@ -75,6 +85,43 @@ class HashJoinExec:
             dict(build_result.string_tables),
         )
 
+    # ---- sort-merge lookup --------------------------------------------
+    def _lookup(self, probe_keys: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Returns (build_pos [cap] int32, found [cap] bool) in probe order."""
+        cap = probe_keys.shape[0]
+        B = self.build_size
+        if B == 0:
+            return (
+                jnp.zeros((cap,), jnp.int32),
+                jnp.zeros((cap,), jnp.bool_),
+            )
+        kt = self.build_keys.dtype
+        all_keys = jnp.concatenate([self.build_keys, probe_keys.astype(kt)])
+        is_probe = jnp.concatenate(
+            [jnp.zeros((B,), jnp.int8), jnp.ones((cap,), jnp.int8)]
+        )
+        orig = jnp.concatenate(
+            [
+                jnp.arange(B, dtype=jnp.int32),
+                jnp.arange(cap, dtype=jnp.int32),
+            ]
+        )
+        # sort by (key, is_probe): build rows precede equal probe keys
+        k_s, p_s, o_s = jax.lax.sort((all_keys, is_probe, orig), num_keys=2)
+        bidx = jnp.where(p_s == 0, o_s, jnp.int32(-1))
+        last_build = jax.lax.cummax(bidx)
+        cand = jnp.clip(last_build, 0, B - 1)
+        hit = (
+            (p_s == 1)
+            & (last_build >= 0)
+            & (jnp.take(self.build_keys, cand, mode="clip") == k_s)
+        )
+        # restore probe order: sort by (is_probe, orig); probe section is the tail
+        _, o2, pos2, hit2 = jax.lax.sort(
+            (p_s, o_s, cand, hit.astype(jnp.int8)), num_keys=2
+        )
+        return pos2[B:], hit2[B:].astype(jnp.bool_)
+
     # ---- trace-time probe -------------------------------------------------
     def probe(self, batch: Batch) -> Batch:
         node = self.node
@@ -82,14 +129,7 @@ class HashJoinExec:
         left_schema = node.left.output_schema
         probe_key_col = batch.column(node.left_keys[0])
         probe_keys, probe_valid = probe_key_col.decode(cap)
-        pos = jnp.searchsorted(
-            self.build_keys, probe_keys.astype(self.build_keys.dtype)
-        ).astype(jnp.int32)
-        pos_c = jnp.clip(pos, 0, max(self.build_size - 1, 0))
-        if self.build_size == 0:
-            found = jnp.zeros((cap,), dtype=jnp.bool_)
-        else:
-            found = jnp.take(self.build_keys, pos_c) == probe_keys
+        pos, found = self._lookup(probe_keys)
         if probe_valid is not None:
             found = found & probe_valid
 
@@ -120,12 +160,16 @@ class HashJoinExec:
                 )
             else:
                 values, validity = self.build_cols[name]
-                gathered = jnp.take(values, pos_c, mode="clip")
-                gv = (
-                    None
-                    if validity is None
-                    else jnp.take(validity, pos_c, mode="clip")
-                )
+                if self.build_size == 0:
+                    gathered = jnp.zeros((cap,), dtype=values.dtype)
+                    gv = jnp.zeros((cap,), dtype=jnp.bool_)
+                else:
+                    gathered = jnp.take(values, pos, mode="clip")
+                    gv = (
+                        None
+                        if validity is None
+                        else jnp.take(validity, pos, mode="clip")
+                    )
                 if jt == JoinType.LEFT:
                     gv = found if gv is None else (gv & found)
                 out_cols.append(

@@ -129,7 +129,9 @@ def _linearize(root: PlanNode) -> _Linear:
             # is executed eagerly when the pipeline is instantiated.
             steps_rev.append(("join", node))
             node = node.left
-    if not isinstance(node, (TableScanNode, ValuesNode)):
+    from .window import WindowNode
+
+    if not isinstance(node, (TableScanNode, ValuesNode, WindowNode)):
         raise NotImplementedError(
             f"run_plan: unsupported pipeline source {type(node).__name__}"
         )
@@ -235,9 +237,15 @@ class AggExecutor:
                 values, validity = batch.column(arg_name).decode(batch.capacity)
                 m = mask if validity is None else (mask & validity)
             out.append(agg.update(acc, values, m, gids, self.num_groups))
-        rowcounts = rowcounts + jax.ops.segment_sum(
-            mask.astype(jnp.int64), gids, num_segments=self.num_groups
-        )
+        from ..ops.segmented import direct_group_reduce, masked_reduce
+
+        ones = mask.astype(jnp.int64)
+        if self.num_groups == 1:
+            rowcounts = rowcounts + masked_reduce(ones, mask, "sum").reshape(1)
+        else:
+            rowcounts = rowcounts + direct_group_reduce(
+                ones, mask, gids, self.num_groups, "sum"
+            )
         return (tuple(out), rowcounts)
 
     # ---- sort mode: per-tile partial groups -------------------------------
@@ -262,8 +270,7 @@ class AggExecutor:
             sorted_keys,
             sorted_payload,
             sorted_mask,
-            gids,
-            num_groups,
+            runs,
         ) = self.grouping.sort_and_group(batch, payload, mask)
         accs_out = []
         pos = 0
@@ -280,11 +287,9 @@ class AggExecutor:
                     pos += 1
                 else:
                     m = sorted_mask
-            accs_out.append(
-                agg.update(agg.acc_init(cap), values, m, gids, cap)
-            )
-        key_arrays = SortGrouping.group_keys(sorted_keys, gids, sorted_mask, cap)
-        return key_arrays, tuple(accs_out), num_groups
+            accs_out.append(agg.run_reduce(values, m, runs))
+        key_arrays = SortGrouping.group_keys(sorted_keys, runs)
+        return key_arrays, tuple(accs_out), runs.num_runs
 
     # ---- host-exact final merge for sort mode -----------------------------
     def merge_partials_host(self, key_chunks, acc_chunks):
@@ -319,6 +324,10 @@ class AggExecutor:
                 if len(starts) == 0:
                     parts.append(arr[:0])
                 elif op == "sum":
+                    if agg.post_combine is not None:
+                        # wide-limb sums: merge in python-int space so the lo
+                        # limb cannot wrap across many tiles
+                        arr = arr.astype(object)
                     parts.append(np.add.reduceat(arr, starts))
                 elif op == "min":
                     parts.append(np.minimum.reduceat(arr, starts))
@@ -459,6 +468,15 @@ class LocalExecutor:
             else:
                 resolved.append(step)
         lin.steps = resolved
+        from .window import WindowNode
+
+        if isinstance(lin.source, WindowNode):
+            # Window is a full-materialization barrier (reference: SortWindowBuild
+            # accumulates all input before emitting) — execute it now into a
+            # host Table and treat the result as the pipeline's source.
+            lin.source = ValuesNode(
+                _materialize_window(lin.source, tile_rows), id=lin.source.id
+            )
         self.lin = lin
         self.source_table = lin.source.table.select(
             list(lin.source.output_schema.names)
@@ -606,6 +624,33 @@ class LocalExecutor:
     def device_tiles(self) -> List[Batch]:
         """Upload the source scan HBM-resident (steady-state benchmarking)."""
         return self.source_table.device_tiles(self.capacity)
+
+
+def _materialize_window(wnode, tile_rows: int) -> Table:
+    """Execute a WindowNode into a host Table (single-tile device program)."""
+    from .window import WindowExec
+
+    child = LocalExecutor(wnode.source, tile_rows).run()
+    rows = child.num_rows
+    capacity = _pick_capacity(max(rows, 1), 1 << 62)
+    batch = child.tile(0, capacity)
+    if rows > capacity:
+        raise NotImplementedError(
+            "window input exceeds a single device tile; spill path not built yet"
+        )
+    ex = WindowExec(wnode, capacity)
+    out = jax.jit(lambda b: compact(ex.apply(b)))(batch)
+    n = int(out.length)
+    cols: Dict[str, np.ndarray] = {}
+    tables: Dict[str, StringTable] = {}
+    validities: Dict[str, np.ndarray] = {}
+    for name, col in zip(out.schema.names, out.columns):
+        cols[name] = np.asarray(col.data)[:n]
+        if col.validity is not None:
+            validities[name] = np.asarray(col.validity)[:n]
+        if col.strings is not None:
+            tables[name] = col.strings
+    return Table(wnode.output_schema, cols, tables, validities)
 
 
 def run_plan(

@@ -1,0 +1,330 @@
+"""Window operator: partitioned, ordered analytic functions.
+
+Reference: velox/exec/Window.h:38 + WindowBuild (Sort/Streaming), WindowPartition,
+velox/exec/WindowFunction.h:34; function set from velox/functions/prestosql/window/.
+
+TPU re-design: the reference accumulates all input, sorts it into partitions, and
+runs per-partition function loops.  Here the whole input is one device program:
+
+  sort rows by (partition keys, order keys)  ->  partition/peer run boundaries ->
+  every window function is a *segmented scan* (running frames), a *run reduction
+  + gather-back* (full frames), or a *guarded shift* (lead/lag).
+
+No scatters; ranks and frame sums come from the same SortedRuns machinery as
+sort-mode aggregation (ops/segmented.py).
+
+Scope: ROWS/RANGE UNBOUNDED PRECEDING .. CURRENT ROW (the SQL default, with
+correct RANGE peer semantics) and full-partition frames; k-bounded frames land
+later.  Input must fit one device tile (the reference's spill path is future
+work here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..dtypes import BIGINT, DOUBLE, DataType, RowType, TypeKind
+from ..ops.segmented import SortedRuns, segmented_scan
+from ..plan.nodes import PlanNode, SortKey, _next_id
+from ..vector.column import Batch, Column
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowCall:
+    """One window function call: name(arg?) with optional lead/lag params."""
+
+    name: str
+    arg: Optional[str] = None  # input column name
+    offset: int = 1  # lead/lag offset
+    full_frame: bool = False  # aggregate over the whole partition
+
+    def result_type(self, input_type: Optional[DataType]) -> DataType:
+        if self.name in ("row_number", "rank", "dense_rank", "ntile", "count"):
+            return BIGINT
+        if self.name in ("percent_rank", "cume_dist", "avg"):
+            return DOUBLE
+        if self.name == "sum":
+            from .aggregates import _sum_result_type
+
+            return _sum_result_type(input_type)
+        return input_type  # lead/lag/first_value/last_value/min/max
+
+
+@dataclasses.dataclass
+class WindowNode(PlanNode):
+    source: PlanNode
+    partition_keys: Tuple[str, ...]
+    order_keys: Tuple[SortKey, ...]
+    calls: Tuple[WindowCall, ...]
+    call_names: Tuple[str, ...]
+    id: str = dataclasses.field(default_factory=lambda: _next_id("window"))
+
+    def __post_init__(self):
+        self.sources = (self.source,)
+        in_schema = self.source.output_schema
+        names = list(in_schema.names)
+        types = list(in_schema.types)
+        for call, out_name in zip(self.calls, self.call_names):
+            arg_t = in_schema.type_of(call.arg) if call.arg else None
+            names.append(out_name)
+            types.append(call.result_type(arg_t))
+        self.output_schema = RowType(names, types)
+
+
+_CALL_RE = re.compile(
+    r"^\s*(?P<fn>[a-z_]+)\s*\(\s*(?P<args>[^)]*)\)\s*$", re.IGNORECASE
+)
+
+
+def parse_window_call(text: str) -> WindowCall:
+    """'rank()' | 'sum(x)' | 'lag(x, 2)' -> WindowCall."""
+    m = _CALL_RE.match(text)
+    if not m:
+        raise ValueError(f"cannot parse window call {text!r}")
+    fn = m.group("fn").lower()
+    args = [a.strip() for a in m.group("args").split(",") if a.strip()]
+    if fn in ("lead", "lag"):
+        return WindowCall(fn, args[0], int(args[1]) if len(args) > 1 else 1)
+    if fn in ("first_value", "last_value"):
+        return WindowCall(fn, args[0], full_frame=True)
+    if fn in ("sum", "avg", "count", "min", "max"):
+        return WindowCall(fn, args[0] if args else None)
+    if fn in ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist"):
+        return WindowCall(fn)
+    if fn == "ntile":
+        return WindowCall(fn, None, offset=int(args[0]))
+    raise KeyError(f"unknown window function {fn!r}")
+
+
+class WindowExec:
+    """Computes all window columns over one sorted device tile."""
+
+    def __init__(self, node: WindowNode, capacity: int):
+        self.node = node
+        self.capacity = capacity
+
+    def apply(self, batch: Batch) -> Batch:
+        node = self.node
+        cap = batch.capacity
+        in_schema = node.source.output_schema
+        mask = batch.active_mask()
+
+        pkeys = [batch.column(k).decode(cap)[0] for k in node.partition_keys]
+        okeys = []
+        for sk in node.order_keys:
+            v, _ = batch.column(sk.name).decode(cap)
+            if not sk.ascending:
+                if jnp.issubdtype(v.dtype, jnp.floating):
+                    v = -v
+                else:
+                    v = -v.astype(jnp.int64)
+            okeys.append(v)
+
+        # payload: every input column (+ validity lanes) so output is the
+        # sorted batch with window columns appended
+        payload: List[jax.Array] = []
+        col_slots: List[Tuple[int, bool]] = []
+        for col in batch.columns:
+            values, validity = col.decode(cap)
+            payload.append(values)
+            if validity is not None:
+                payload.append(validity)
+                col_slots.append((len(payload) - 2, True))
+            else:
+                col_slots.append((len(payload) - 1, False))
+
+        operands = [~mask] + pkeys + okeys + payload + [mask]
+        sorted_ops = jax.lax.sort(
+            operands, num_keys=1 + len(pkeys) + len(okeys), is_stable=True
+        )
+        s_pkeys = sorted_ops[1 : 1 + len(pkeys)]
+        s_okeys = sorted_ops[1 + len(pkeys) : 1 + len(pkeys) + len(okeys)]
+        s_payload = sorted_ops[1 + len(pkeys) + len(okeys) : -1]
+        s_mask = sorted_ops[-1]
+
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        part_diff = jnp.zeros((cap,), jnp.bool_)
+        for kv in s_pkeys:
+            part_diff = part_diff | (kv != jnp.roll(kv, 1))
+        part_boundary = s_mask & ((idx == 0) | part_diff)
+        peer_diff = part_diff
+        for kv in s_okeys:
+            peer_diff = peer_diff | (kv != jnp.roll(kv, 1))
+        peer_boundary = s_mask & ((idx == 0) | peer_diff)
+
+        part_runs = SortedRuns(part_boundary, s_mask)
+        part_id = part_runs.run_index  # per-row partition ordinal
+        part_start = segmented_scan(idx, part_boundary, "first")
+        rn = (idx - part_start + 1).astype(jnp.int64)
+        peer_start = segmented_scan(idx, peer_boundary, "first")
+        rank = (peer_start - part_start + 1).astype(jnp.int64)
+        dense = segmented_scan(
+            peer_boundary.astype(jnp.int64), part_boundary, "sum"
+        )
+        # per-row partition size: reduce ones per partition, gather back by id
+        ones = jnp.ones((cap,), jnp.int64)
+        part_sizes = part_runs.reduce(ones, s_mask, "sum")
+        size_per_row = jnp.take(part_sizes, jnp.clip(part_id, 0, cap - 1), mode="clip")
+
+        def arg_of(call: WindowCall):
+            if call.arg is None:
+                return None, None
+            i = in_schema.index_of(call.arg)
+            slot, has_validity = col_slots[i]
+            values = s_payload[slot]
+            validity = s_payload[slot + 1] if has_validity else None
+            return values, validity
+
+        out_cols: List[jax.Array] = []
+        out_validity: List[Optional[jax.Array]] = []
+        for call in node.calls:
+            values, validity = arg_of(call)
+            name = call.name
+            if name == "row_number":
+                out_cols.append(rn)
+                out_validity.append(None)
+            elif name == "rank":
+                out_cols.append(rank)
+                out_validity.append(None)
+            elif name == "dense_rank":
+                out_cols.append(dense)
+                out_validity.append(None)
+            elif name == "percent_rank":
+                denom = jnp.maximum(size_per_row - 1, 1).astype(jnp.float64)
+                out_cols.append(
+                    jnp.where(size_per_row > 1, (rank - 1) / denom, 0.0)
+                )
+                out_validity.append(None)
+            elif name == "cume_dist":
+                # rows <= current peer group = index of the peer run's last row + 1
+                peer_runs = SortedRuns(peer_boundary, s_mask)
+                peer_id = peer_runs.run_index
+                peer_last = peer_runs.reduce(idx, s_mask, "max")
+                lp = jnp.take(peer_last, jnp.clip(peer_id, 0, cap - 1), mode="clip")
+                out_cols.append(
+                    (lp - part_start + 1).astype(jnp.float64)
+                    / jnp.maximum(size_per_row, 1)
+                )
+                out_validity.append(None)
+            elif name == "ntile":
+                n = call.offset
+                size = jnp.maximum(size_per_row, 1)
+                base = size // n
+                rem = size % n
+                r0 = rn - 1
+                cut = rem * (base + 1)
+                tile_id = jnp.where(
+                    r0 < cut,
+                    r0 // jnp.maximum(base + 1, 1),
+                    rem + (r0 - cut) // jnp.maximum(base, 1),
+                )
+                out_cols.append((tile_id + 1).astype(jnp.int64))
+                out_validity.append(None)
+            elif name in ("lead", "lag"):
+                k = call.offset if name == "lag" else -call.offset
+                shifted = jnp.roll(values, k, axis=0)
+                shifted_part = jnp.roll(part_id, k, axis=0)
+                # the source row must be alive too (padding rows inherit the
+                # last partition's run index)
+                ok = (shifted_part == part_id) & s_mask & jnp.roll(s_mask, k, axis=0)
+                if k > 0:
+                    ok = ok & (idx >= k)
+                else:
+                    ok = ok & (idx < cap + k)
+                v_ok = ok
+                if validity is not None:
+                    v_ok = v_ok & jnp.roll(validity, k, axis=0)
+                out_cols.append(shifted)
+                out_validity.append(v_ok)
+            elif name == "first_value":
+                out_cols.append(segmented_scan(values, part_boundary, "first"))
+                out_validity.append(
+                    None
+                    if validity is None
+                    else segmented_scan(validity, part_boundary, "first")
+                )
+            elif name == "last_value":
+                per_part = part_runs.reduce(idx, s_mask, "max")
+                last_pos = jnp.take(
+                    per_part, jnp.clip(part_id, 0, cap - 1), mode="clip"
+                )
+                out_cols.append(jnp.take(values, last_pos, mode="clip"))
+                out_validity.append(
+                    None
+                    if validity is None
+                    else jnp.take(validity, last_pos, mode="clip")
+                )
+            elif name in ("sum", "min", "max", "avg", "count"):
+                if call.arg is None:  # count(*)
+                    base_vals = ones
+                    v_mask = s_mask
+                else:
+                    base_vals = values
+                    v_mask = s_mask if validity is None else (s_mask & validity)
+                acc_dtype = (
+                    jnp.float64
+                    if jnp.issubdtype(base_vals.dtype, jnp.floating)
+                    else jnp.int64
+                )
+                from ..ops.segmented import identity_for
+
+                op = {"sum": "sum", "avg": "sum", "count": "sum", "min": "min", "max": "max"}[name]
+                masked = jnp.where(
+                    v_mask,
+                    base_vals.astype(acc_dtype),
+                    jnp.asarray(identity_for(op, acc_dtype), acc_dtype),
+                )
+                running = segmented_scan(masked, part_boundary, op)
+                counts_run = segmented_scan(
+                    v_mask.astype(jnp.int64), part_boundary, "sum"
+                )
+                # default SQL frame is RANGE ... CURRENT ROW: peers share the
+                # value at the *last* peer row
+                peer_runs = SortedRuns(peer_boundary, s_mask)
+                peer_id = peer_runs.run_index
+                at_peer_end = peer_runs.reduce(idx, s_mask, "max")
+                lp = jnp.take(at_peer_end, jnp.clip(peer_id, 0, cap - 1), mode="clip")
+                running = jnp.take(running, lp, mode="clip")
+                counts = jnp.take(counts_run, lp, mode="clip")
+                if name == "count":
+                    out_cols.append(counts)
+                    out_validity.append(None)
+                elif name == "avg":
+                    scale = 0
+                    if call.arg is not None:
+                        t = in_schema.type_of(call.arg)
+                        if t.kind == TypeKind.DECIMAL:
+                            scale = t.scale
+                    out_cols.append(
+                        running.astype(jnp.float64)
+                        / jnp.maximum(counts, 1)
+                        / (10.0**scale)
+                    )
+                    out_validity.append(counts > 0)
+                else:
+                    out_cols.append(running)
+                    out_validity.append(counts > 0)
+            else:
+                raise KeyError(f"unknown window function {name!r}")
+
+        # assemble output batch (sorted order)
+        cols: List[Column] = []
+        for (slot, has_validity), col, dtype in zip(
+            col_slots, batch.columns, in_schema.types
+        ):
+            values = s_payload[slot]
+            validity = s_payload[slot + 1] if has_validity else None
+            cols.append(Column.flat(values, dtype, validity, col.strings))
+        out_types = node.output_schema.types[len(in_schema) :]
+        for arr, validity, dtype in zip(out_cols, out_validity, out_types):
+            cols.append(
+                Column.flat(arr.astype(dtype.device_dtype), dtype, validity)
+            )
+        return Batch(
+            tuple(cols), batch.length, s_mask, node.output_schema, cap
+        )

@@ -51,6 +51,8 @@ def _decimal_add_type(arg_types):
 
 
 def _decimal_mul_type(arg_types):
+    # Presto rule: multiply does NOT align scales — result scale is s1+s2.
+    # (Aligning first would inflate the scale and overflow int64 sums.)
     a, b = arg_types[0], arg_types[1]
     if a.kind != TypeKind.DECIMAL:
         return a
@@ -111,6 +113,9 @@ def _negate(ctx, out_t, arg_ts, a):
 
 _reg.register("plus", [NUMERIC, NUMERIC], _decimal_add_type, _plus, coerce_common_numeric=True)
 _reg.register("minus", [NUMERIC, NUMERIC], _decimal_add_type, _minus, coerce_common_numeric=True)
+# decimal*decimal keeps raw scales (registered first so it wins over the
+# coercing generic overload; int/float mixes widen to decimal and land here too)
+_reg.register("multiply", [TypeKind.DECIMAL, TypeKind.DECIMAL], _decimal_mul_type, _multiply)
 _reg.register("multiply", [NUMERIC, NUMERIC], _decimal_mul_type, _multiply, coerce_common_numeric=True)
 _reg.register("divide", [TypeKind.DOUBLE, TypeKind.DOUBLE], DOUBLE, _divide_float)
 _reg.register("divide", [TypeKind.REAL, TypeKind.REAL], _same_type, _divide_float, coerce_common_numeric=True)

@@ -1,0 +1,129 @@
+"""Segmented reductions without scatters — the TPU grouping primitives.
+
+Measured on TPU v5e (see git history): XLA scatter-adds (jax.ops.segment_sum)
+cost 300-465 ms over a 4M-row tile and vectorized binary search
+(jnp.searchsorted) costs seconds, while sorts (~55 ms incl. payloads), scans
+(~40 ms) and dense gathers (~90 ms) are cheap.  Every grouping primitive here is
+therefore built from sort + scan + gather only:
+
+* ``direct_group_reduce`` — small static group count: per-group masked
+  reductions, which XLA fuses into a single pass (measured at the dispatch
+  floor for 64 groups).
+* ``SortedRuns`` — rows sorted by key: run boundaries, a compaction permutation
+  of run-end positions (itself an argsort), and run reductions as
+  prefix-scan-diff / segmented-scan + end-gather.
+
+Reference counterpart: velox/exec/HashTable.h kArray mode and the
+normalized-key sort regime; the reference's scatter-style hash aggregation has
+no efficient TPU analog, which is why the design differs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_COMBINE = {
+    "sum": jnp.add,
+    "min": jnp.minimum,
+    "max": jnp.maximum,
+    "first": lambda a, b: a,  # keep the earlier value within the segment
+}
+
+
+def identity_for(op: str, dtype):
+    if op == "sum":
+        return 0
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.inf if op == "min" else -jnp.inf
+    info = jnp.iinfo(dtype)
+    return info.max if op == "min" else info.min
+
+
+def masked_reduce(values: jax.Array, mask: jax.Array, op: str) -> jax.Array:
+    ident = identity_for(op, values.dtype)
+    v = jnp.where(mask, values, jnp.asarray(ident, dtype=values.dtype))
+    if op == "sum":
+        return jnp.sum(v)
+    if op == "min":
+        return jnp.min(v)
+    return jnp.max(v)
+
+
+def direct_group_reduce(
+    values: jax.Array, mask: jax.Array, gids: jax.Array, num_groups: int, op: str
+) -> jax.Array:
+    """[num_groups] reduction with a static, small num_groups (kArray mode).
+
+    Emits num_groups masked reductions; XLA multi-output fusion turns them into
+    one pass over the data.  Keep num_groups <= ~256.
+    """
+    ident = jnp.asarray(identity_for(op, values.dtype), dtype=values.dtype)
+    outs = []
+    for g in range(num_groups):
+        sel = mask & (gids == g)
+        v = jnp.where(sel, values, ident)
+        outs.append(
+            jnp.sum(v) if op == "sum" else (jnp.min(v) if op == "min" else jnp.max(v))
+        )
+    return jnp.stack(outs)
+
+
+def segmented_scan(values: jax.Array, boundary: jax.Array, op: str) -> jax.Array:
+    """Inclusive scan of ``op`` that resets at rows where boundary=True."""
+    comb = _COMBINE[op]
+
+    def fn(a, b):
+        av, ab = a
+        bv, bb = b
+        return (jnp.where(bb, bv, comb(av, bv)), ab | bb)
+
+    out, _ = jax.lax.associative_scan(fn, (values, boundary))
+    return out
+
+
+class SortedRuns:
+    """Run structure of a key-sorted tile; built once, reused per column.
+
+    ``end_positions`` is a [capacity] int32 array whose first ``num_runs``
+    entries are the row indices of each run's last element, in run order —
+    produced by a stable argsort of the run-end mask (compaction-by-sort).
+    """
+
+    def __init__(self, boundary: jax.Array, mask: jax.Array):
+        cap = boundary.shape[0]
+        self.capacity = cap
+        self.boundary = boundary  # True at first row of each run (valid rows only)
+        self.mask = mask
+        nxt = jnp.concatenate([boundary[1:], jnp.ones((1,), jnp.bool_)])
+        # a run ends where the next row starts a new run or rows go dead
+        nxt_dead = jnp.concatenate([~mask[1:], jnp.ones((1,), jnp.bool_)])
+        self.is_end = mask & (nxt | nxt_dead)
+        self.end_positions = jnp.argsort(~self.is_end, stable=True).astype(jnp.int32)
+        self.num_runs = jnp.sum(self.is_end.astype(jnp.int32))
+        self.run_index = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # gid per row
+
+    def reduce(self, values: jax.Array, value_mask: jax.Array, op: str) -> jax.Array:
+        """[capacity] array: slot r = reduction of run r (slots >= num_runs are
+        garbage; mask with run_mask())."""
+        ident = jnp.asarray(identity_for(op, values.dtype), dtype=values.dtype)
+        v = jnp.where(value_mask & self.mask, values, ident)
+        if op == "sum":
+            totals = jnp.cumsum(v)
+            at_ends = jnp.take(totals, self.end_positions, mode="clip")
+            prev = jnp.concatenate([jnp.zeros((1,), totals.dtype), at_ends[:-1]])
+            return at_ends - prev
+        scanned = segmented_scan(v, self.boundary, op)
+        return jnp.take(scanned, self.end_positions, mode="clip")
+
+    def first(self, values: jax.Array) -> jax.Array:
+        """Value at each run's first row (e.g. the key itself): slot r = run r."""
+        kept = segmented_scan(values, self.boundary, "first")
+        return jnp.take(kept, self.end_positions, mode="clip")
+
+    def run_mask(self) -> jax.Array:
+        return (
+            jnp.arange(self.capacity, dtype=jnp.int32) < self.num_runs
+        )

@@ -71,10 +71,10 @@ def distributed_grouped_sum(
         (vals_recv,), keys_recv, live = exchange_rows(
             [values], local_keys, mask, axis, n
         )
+        from ..ops.segmented import direct_group_reduce
+
         gids = jnp.clip(keys_recv.astype(jnp.int32), 0, num_groups - 1)
-        partial = jax.ops.segment_sum(
-            jnp.where(live, vals_recv, 0), gids, num_segments=num_groups
-        )
+        partial = direct_group_reduce(vals_recv, live, gids, num_groups, "sum")
         return partial[None]
 
     def run(columns: Sequence[jax.Array], keys: jax.Array):

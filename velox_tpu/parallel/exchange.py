@@ -55,13 +55,15 @@ def bucketize(
     plus dense gathers — no scatters, which is the TPU-friendly formulation of
     the reference's per-destination append loop (PartitionedOutput.cpp:216).
     """
+    from ..ops.segmented import direct_group_reduce
+
     n = dest.shape[0]
     # dead rows go to a virtual partition P so they never land in a real bucket
     dest_eff = jnp.where(mask, dest, num_partitions)
     order = jnp.argsort(dest_eff, stable=True)
     dest_sorted = jnp.take(dest_eff, order)
-    counts = jax.ops.segment_sum(
-        mask.astype(jnp.int32), dest_eff, num_segments=num_partitions + 1
+    counts = direct_group_reduce(
+        mask.astype(jnp.int32), mask, dest_eff, num_partitions + 1, "sum"
     )[:num_partitions]
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]

@@ -193,6 +193,33 @@ class PlanBuilder:
             out.append(SortKey(name, ascending, nulls_first))
         return tuple(out)
 
+    def window(
+        self,
+        partition_keys: Sequence[str],
+        order_keys: Sequence[str],
+        calls: Sequence[str],
+    ) -> "PlanBuilder":
+        """calls: 'rank() as r' / 'sum(x) as s' / 'lag(x, 2) as prev'."""
+        from ..exec.window import WindowCall, WindowNode, parse_window_call
+
+        parsed, names = [], []
+        for i, item in enumerate(calls):
+            m = _AS_RE.match(item)
+            if m:
+                body, name = m.group("expr"), m.group("name")
+            else:
+                body, name = item, f"w{i}"
+            parsed.append(parse_window_call(body))
+            names.append(name)
+        self.node = WindowNode(
+            self.node,
+            tuple(partition_keys),
+            self._sort_keys(order_keys),
+            tuple(parsed),
+            tuple(names),
+        )
+        return self
+
     def orderby(self, keys: Sequence[str]) -> "PlanBuilder":
         self.node = OrderByNode(self.node, self._sort_keys(keys))
         return self
