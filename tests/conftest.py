@@ -18,6 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the persistent XLA cache is for the (slow) remote TPU compiler; on CPU it can
+# load AOT results compiled for a different host CPU profile (SIGILL risk)
+os.environ["VELOX_TPU_XLA_CACHE"] = "off"
 
 import jax  # noqa: E402
 

@@ -1,0 +1,78 @@
+"""Serde round-trip tests (page + UnsafeRow + CompactRow)."""
+
+import numpy as np
+import pytest
+
+import velox_tpu as vt
+from velox_tpu.dtypes import RowType
+from velox_tpu.io.table import Table
+from velox_tpu.serde import (
+    decode_compactrow,
+    decode_unsaferow,
+    deserialize_page,
+    encode_compactrow,
+    encode_unsaferow,
+    serialize_page,
+)
+from velox_tpu.vector.string_table import StringTable
+
+
+@pytest.fixture
+def table():
+    strings = StringTable()
+    codes = strings.intern_all(["alpha", "beta", "", "alpha", "delta"])
+    return Table(
+        RowType(
+            ["id", "price", "name", "flag", "ratio"],
+            [vt.BIGINT, vt.decimal(12, 2), vt.VARCHAR, vt.BOOLEAN, vt.DOUBLE],
+        ),
+        {
+            "id": np.arange(5, dtype=np.int64),
+            "price": np.asarray([100, -250, 0, 99999, 7], dtype=np.int64),
+            "name": codes,
+            "flag": np.asarray([True, False, True, True, False]),
+            "ratio": np.asarray([0.5, -1.25, float("inf"), 0.0, 3.25]),
+        },
+        {"name": strings},
+        {"ratio": np.asarray([True, True, True, False, True])},
+    )
+
+
+def _assert_tables_equal(a: Table, b: Table):
+    assert a.schema == b.schema
+    pa, pb = a.to_pandas(), b.to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_page_roundtrip(table):
+    for compress in (False, True):
+        buf = serialize_page(table, compress=compress)
+        back = deserialize_page(buf)
+        _assert_tables_equal(table, back)
+
+
+def test_page_crc_detects_corruption(table):
+    buf = bytearray(serialize_page(table))
+    buf[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        deserialize_page(bytes(buf))
+
+
+def test_unsaferow_roundtrip(table):
+    rows = encode_unsaferow(table)
+    assert len(rows) == table.num_rows
+    # UnsafeRow invariants: 8-byte aligned, fixed region is nulls+slots
+    for r in rows:
+        assert len(r) % 8 == 0
+    back = decode_unsaferow(rows, table.schema)
+    _assert_tables_equal(table, back)
+
+
+def test_compactrow_roundtrip_and_density(table):
+    urows = encode_unsaferow(table)
+    crows = encode_compactrow(table)
+    back = decode_compactrow(crows, table.schema)
+    _assert_tables_equal(table, back)
+    assert sum(map(len, crows)) < sum(map(len, urows))  # compact is denser

@@ -1,0 +1,45 @@
+"""Session / query configuration.
+
+Reference: velox/core/QueryConfig.h:44 — ~90 string-keyed session options over a
+generic Config map (core/Config.h:29).  The TPU engine's knob set is smaller
+(XLA owns what many reference knobs tune by hand), typed, and documented here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class QueryConfig:
+    """Per-query session options (reference: core::QueryConfig).
+
+    Defaults match the benchmark configuration; every field maps to a
+    reference-config concept noted inline.
+    """
+
+    # kPreferredOutputBatchRows analog: rows per device tile.
+    tile_rows: int = 1 << 20
+    # kMaxOutputBatchRows analog for the benchmark path.
+    bench_tile_rows: int = 1 << 22
+    # HashTable kArray-mode ceiling (reference: HashTable::decideHashMode).
+    max_array_groups: int = 256
+    # kAbandonPartialAggregation* analog: stop per-tile partial grouping when a
+    # tile produces more than this fraction of distinct groups (future use).
+    abandon_partial_min_pct: float = 0.8
+    # Spill: host-offload accumulated partial batches beyond this many bytes.
+    spill_bytes_threshold: int = 4 << 30
+    spill_enabled: bool = True
+    # Expression eval: raise on row errors (False = silently null, non-Presto).
+    strict_errors: bool = True
+    # Exchange: per-destination bucket capacity override (None = tile size).
+    exchange_bucket_rows: Optional[int] = None
+    # Timezone for timestamp functions (reference: kSessionTimezone).
+    session_timezone: str = "UTC"
+
+    def copy(self, **overrides) -> "QueryConfig":
+        return dataclasses.replace(self, **overrides)
+
+
+DEFAULT_CONFIG = QueryConfig()

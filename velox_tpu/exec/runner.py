@@ -33,6 +33,7 @@ from ..io.table import Table
 from ..ops.compact import compact
 from ..plan.nodes import (
     AggregationNode,
+    EnforceSingleRowNode,
     FilterNode,
     HashJoinNode,
     LimitNode,
@@ -109,7 +110,7 @@ class _Linear:
 def _linearize(root: PlanNode) -> _Linear:
     finishers: List[PlanNode] = []
     node = root
-    while isinstance(node, (OrderByNode, TopNNode, LimitNode)):
+    while isinstance(node, (OrderByNode, TopNNode, LimitNode, EnforceSingleRowNode)):
         finishers.append(node)
         node = node.sources[0]
     agg = None
@@ -336,6 +337,46 @@ class AggExecutor:
             merged.append(tuple(parts))
         return group_keys, merged
 
+    # ---- spill format for sort-mode partials -------------------------------
+    def _partial_schema(self) -> RowType:
+        names, types = [], []
+        for i, k in enumerate(self.key_infos):
+            names.append(f"k{i}")
+            types.append(k.dtype)
+        from ..dtypes import BIGINT, DOUBLE
+
+        for ai, agg in enumerate(self.aggs):
+            for j, dt in enumerate(agg.acc_dtypes):
+                names.append(f"a{ai}_{j}")
+                types.append(DOUBLE if jnp.issubdtype(dt, jnp.floating) else BIGINT)
+        return RowType(names, types)
+
+    def partials_to_table(self, key_chunks, acc_chunks) -> Table:
+        """Pack collected partial-group chunks into one host Table (spill unit)."""
+        schema = self._partial_schema()
+        cols: Dict[str, np.ndarray] = {}
+        for i in range(len(self.key_infos)):
+            cols[f"k{i}"] = np.concatenate([kc[i] for kc in key_chunks])
+        for ai, agg in enumerate(self.aggs):
+            for j in range(len(agg.acc_dtypes)):
+                cols[f"a{ai}_{j}"] = np.concatenate(
+                    [ac[ai][j] for ac in acc_chunks]
+                )
+        return Table(schema, cols)
+
+    def table_to_partials(self, table: Table):
+        """Inverse of partials_to_table: one (key_chunk, acc_chunk) pair."""
+        keys = [table.columns[f"k{i}"] for i in range(len(self.key_infos))]
+        accs = []
+        for ai, agg in enumerate(self.aggs):
+            accs.append(
+                tuple(
+                    table.columns[f"a{ai}_{j}"]
+                    for j in range(len(agg.acc_dtypes))
+                )
+            )
+        return keys, accs
+
     # ---- extraction -------------------------------------------------------
     def extract(self, key_arrays, accs, rowcounts=None) -> Table:
         node = self.node
@@ -420,6 +461,11 @@ def apply_finishers(table: Table, finishers: Sequence[PlanNode]) -> Table:
                 table.string_tables,
                 {n: v[sl] for n, v in table.validities.items()},
             )
+        elif isinstance(node, EnforceSingleRowNode):
+            if table.num_rows > 1:
+                raise QueryError(
+                    f"scalar subquery produced {table.num_rows} rows, expected <= 1"
+                )
     return table
 
 
@@ -454,9 +500,12 @@ class LocalExecutor:
     on-device and checked once at the end (no per-tile host sync).
     """
 
-    def __init__(self, root: PlanNode, tile_rows: int = 1 << 20):
+    def __init__(self, root: PlanNode, tile_rows: int = 1 << 20, config=None):
+        from ..config import DEFAULT_CONFIG
+
         self.root = root
         self.tile_rows = tile_rows
+        self.config = config or DEFAULT_CONFIG
         lin = _linearize(root)
         from .joins import HashJoinExec
 
@@ -563,18 +612,39 @@ class LocalExecutor:
             ex = self.agg_exec
             err_total = 0
             key_chunks, acc_chunks = [], []
+            spiller = None
+            chunk_bytes = 0
             t0 = time.perf_counter()
             for i in range(n_tiles):
                 (key_arrays, accs, ngroups), err = self._tile_partial(get_tile(i))
                 err_total += int(err)
                 g = int(ngroups)
-                key_chunks.append([np.asarray(k)[:g] for k in key_arrays])
-                acc_chunks.append(
-                    [tuple(np.asarray(a)[:g] for a in acc) for acc in accs]
+                keys_np = [np.asarray(k)[:g] for k in key_arrays]
+                accs_np = [tuple(np.asarray(a)[:g] for a in acc) for acc in accs]
+                key_chunks.append(keys_np)
+                acc_chunks.append(accs_np)
+                chunk_bytes += sum(a.nbytes for a in keys_np) + sum(
+                    b.nbytes for acc in accs_np for b in acc
                 )
+                if (
+                    self.config.spill_enabled
+                    and chunk_bytes > self.config.spill_bytes_threshold
+                ):
+                    from .memory import Spiller
+
+                    spiller = spiller or Spiller()
+                    spiller.spill(ex.partials_to_table(key_chunks, acc_chunks))
+                    key_chunks, acc_chunks = [], []
+                    chunk_bytes = 0
             if stats is not None:
                 stats.device_seconds = time.perf_counter() - t0
             _raise_on_errors(err_total)
+            if spiller is not None:
+                for t in spiller.restore():
+                    keys, accs = ex.table_to_partials(t)
+                    key_chunks.append(keys)
+                    acc_chunks.append(accs)
+                spiller.cleanup()
             group_keys, merged = ex.merge_partials_host(key_chunks, acc_chunks)
             result = ex.extract(group_keys, merged)
         else:

@@ -220,6 +220,48 @@ class PlanBuilder:
         )
         return self
 
+    def row_number(
+        self,
+        partition_keys: Sequence[str],
+        name: str = "row_number",
+        limit: Optional[int] = None,
+    ) -> "PlanBuilder":
+        """Reference: core::RowNumberNode — row numbers per partition in
+        arbitrary order, with an optional per-partition limit."""
+        self.window(partition_keys, [], [f"row_number() as {name}"])
+        if limit is not None:
+            self.filter(f"{name} <= {limit}")
+        return self
+
+    def topn_row_number(
+        self,
+        partition_keys: Sequence[str],
+        order_keys: Sequence[str],
+        count: int,
+        name: str = "row_number",
+    ) -> "PlanBuilder":
+        """Reference: core::TopNRowNumberNode — keep the top ``count`` rows of
+        each partition by the given order."""
+        self.window(partition_keys, order_keys, [f"row_number() as {name}"])
+        return self.filter(f"{name} <= {count}")
+
+    def mark_distinct(
+        self, marker: str, keys: Sequence[str]
+    ) -> "PlanBuilder":
+        """Reference: core::MarkDistinctNode — boolean column that is True for
+        the first occurrence of each distinct key combination."""
+        tmp = f"_{marker}_rn"
+        self.window(list(keys), [], [f"row_number() as {tmp}"])
+        cols = [n for n in self.schema.names if n != tmp]
+        return self.project(cols + [f"{tmp} = 1 as {marker}"])
+
+    def enforce_single_row(self) -> "PlanBuilder":
+        """Reference: core::EnforceSingleRowNode."""
+        from .nodes import EnforceSingleRowNode
+
+        self.node = EnforceSingleRowNode(self.node)
+        return self
+
     def orderby(self, keys: Sequence[str]) -> "PlanBuilder":
         self.node = OrderByNode(self.node, self._sort_keys(keys))
         return self

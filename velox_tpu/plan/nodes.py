@@ -164,6 +164,19 @@ class TopNNode(PlanNode):
 
 
 @dataclasses.dataclass
+class EnforceSingleRowNode(PlanNode):
+    """Fail unless exactly one row is produced (reference: PlanNode.h
+    EnforceSingleRowNode, used under scalar subqueries)."""
+
+    source: PlanNode
+    id: str = dataclasses.field(default_factory=lambda: _next_id("single"))
+
+    def __post_init__(self):
+        self.sources = (self.source,)
+        self.output_schema = self.source.output_schema
+
+
+@dataclasses.dataclass
 class LimitNode(PlanNode):
     source: PlanNode
     offset: int
