@@ -90,7 +90,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--query", type=int, default=6)
-    ap.add_argument("--all", action="store_true", help="run Q1/Q3/Q6/Q13")
+    ap.add_argument("--all", action="store_true", help="run all 22 TPC-H queries")
     ap.add_argument("--quick", action="store_true", help="SF0.01 smoke run")
     ap.add_argument("--tile", type=int, default=1 << 22)
     ap.add_argument("--repeats", type=int, default=3)
@@ -102,7 +102,12 @@ def main():
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
-    queries = [1, 3, 6, 13] if args.all else [args.query]
+    if args.all:
+        from velox_tpu.connectors.tpch.plans import implemented_queries
+
+        queries = implemented_queries()
+    else:
+        queries = [args.query]
     results = {}
     for num in queries:
         results[num] = bench_query(num, args.sf, args.tile, args.repeats)

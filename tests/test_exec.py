@@ -117,18 +117,44 @@ def test_semi_and_anti_join():
     )
 
 
-def test_duplicate_build_keys_rejected():
+def test_duplicate_build_keys_semi_ok_inner_rejected():
     from velox_tpu.exec.joins import JoinBuildError
 
-    left = make_table(k=([1], vt.BIGINT))
+    left = make_table(k=([1, 2], vt.BIGINT))
     right = make_table(k2=([2, 2], vt.BIGINT))
-    plan = (
+    semi = (
         PlanBuilder().table_scan(left)
         .hash_join(PlanBuilder().table_scan(right), ["k"], ["k2"],
                    output=["k"], join_type="left_semi").build()
     )
+    # semi/anti joins deduplicate the build side (existence-only semantics)
+    np.testing.assert_array_equal(run_plan(semi).to_pandas()["k"].to_numpy(), [2])
+    inner = (
+        PlanBuilder().table_scan(left)
+        .hash_join(PlanBuilder().table_scan(right), ["k"], ["k2"],
+                   output=["k"], join_type="inner").build()
+    )
     with pytest.raises(JoinBuildError):
-        run_plan(plan)
+        run_plan(inner)
+
+
+def test_multi_key_join():
+    left = make_table(
+        a=([1, 1, 2, 2, 3], vt.BIGINT), b=([10, 11, 10, 12, 10], vt.BIGINT)
+    )
+    right = make_table(
+        a2=([1, 2, 3], vt.BIGINT), b2=([10, 12, 99], vt.BIGINT),
+        v=([100, 200, 300], vt.BIGINT),
+    )
+    plan = (
+        PlanBuilder().table_scan(left)
+        .hash_join(PlanBuilder().table_scan(right), ["a", "b"], ["a2", "b2"],
+                   output=["a", "b", "v"]).build()
+    )
+    out = run_plan(plan).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    np.testing.assert_array_equal(out["a"].to_numpy(), [1, 2])
+    np.testing.assert_array_equal(out["b"].to_numpy(), [10, 12])
+    np.testing.assert_array_equal(out["v"].to_numpy(), [100, 200])
 
 
 def test_grouped_agg_sort_mode_min_max():

@@ -23,7 +23,7 @@ def _tables(num):
     return {t: generate_table(t, SF, columns=c) for t, c in cols.items()}
 
 
-@pytest.mark.parametrize("num", [1, 3, 6, 13])
+@pytest.mark.parametrize("num", sorted(tpch_plans.implemented_queries()))
 def test_query_parity(num):
     tables = _tables(num)
     plan = tpch_plans.build_query(num, tables)

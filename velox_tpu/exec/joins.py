@@ -18,18 +18,22 @@ costs seconds while a multi-operand sort costs ~55 ms.  The probe is therefore a
 
 Everything is sort/scan/gather — no scatters, no binary search.  This is the
 normalized-key regime the reference itself prefers (HashTable kNormalizedKey,
-velox/exec/HashTable.h:74).
+velox/exec/HashTable.h:74): multi-column keys are packed into one int64
+normalized key from build-side value ranges (VectorHasher range mode,
+velox/exec/VectorHasher.h:118); probe values outside any range cannot match and
+map to a negative sentinel.
 
-Round-1 scope: single-key equi-joins with a UNIQUE build side (primary-key
-joins; validated at build time).  INNER / LEFT (probe-preserving) / LEFT_SEMI /
-ANTI are supported; duplicate-build-key expansion joins land with the
-dynamic-output work.
+Scope: equi-joins with a UNIQUE build side for INNER/LEFT (primary-key joins;
+validated at build time — the planner keeps the N side probing).  LEFT_SEMI and
+ANTI deduplicate the build keys, so any build side works there.  Non-equi join
+filters are expressed as FilterNode above an INNER join (semantically identical;
+the reference fuses them in HashProbe instead).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,36 +50,118 @@ class JoinBuildError(RuntimeError):
 
 
 @dataclasses.dataclass
+class _NormalizedKey:
+    """Pack k build-key columns into one int64 (VectorHasher range mode)."""
+
+    mins: np.ndarray  # [k] int64 per-key build-side minimum
+    maxs: np.ndarray  # [k] int64 per-key build-side maximum
+    shifts: np.ndarray  # [k] left-shift per key
+
+    @staticmethod
+    def fit(key_arrays: Sequence[np.ndarray]) -> "_NormalizedKey":
+        mins, maxs, bits = [], [], []
+        for arr in key_arrays:
+            lo = int(arr.min()) if len(arr) else 0
+            hi = int(arr.max()) if len(arr) else 0
+            mins.append(lo)
+            maxs.append(hi)
+            bits.append(max(1, int(hi - lo).bit_length()))
+        if sum(bits) > 62:
+            raise JoinBuildError(
+                f"multi-key join key ranges need {sum(bits)} bits; > 62 "
+                "(add a pre-aggregation or split the join)"
+            )
+        shifts = np.zeros(len(bits), dtype=np.int64)
+        acc = 0
+        for i in range(len(bits) - 1, -1, -1):
+            shifts[i] = acc
+            acc += bits[i]
+        return _NormalizedKey(
+            np.asarray(mins, dtype=np.int64),
+            np.asarray(maxs, dtype=np.int64),
+            shifts,
+        )
+
+    def pack_host(self, key_arrays: Sequence[np.ndarray]) -> np.ndarray:
+        out = np.zeros(len(key_arrays[0]), dtype=np.int64)
+        for arr, lo, sh in zip(key_arrays, self.mins, self.shifts):
+            out += (arr.astype(np.int64) - lo) << sh
+        return out
+
+    def pack_device(
+        self, key_values: Sequence[jax.Array], valid: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (packed [cap] int64, in_range&valid [cap] bool); out-of-range
+        probe values cannot match any build row and pack to -1."""
+        packed = jnp.zeros_like(key_values[0], dtype=jnp.int64)
+        ok = valid
+        for v, lo, hi, sh in zip(key_values, self.mins, self.maxs, self.shifts):
+            v64 = v.astype(jnp.int64)
+            ok = ok & (v64 >= int(lo)) & (v64 <= int(hi))
+            packed = packed + ((v64 - int(lo)) << int(sh))
+        return jnp.where(ok, packed, jnp.int64(-1)), ok
+
+
+@dataclasses.dataclass
 class HashJoinExec:
     """Device-resident build state + trace-time probe application."""
 
     node: HashJoinNode
-    build_keys: jax.Array  # [B] sorted
+    build_keys: jax.Array  # [B] sorted normalized keys
     build_cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]]  # sorted payloads
     build_size: int
     build_tables: Dict[str, object]
+    normalizer: Optional[_NormalizedKey]  # None for single raw int64 key
 
     @staticmethod
     def build(node: HashJoinNode, build_result: Table) -> "HashJoinExec":
         """Construct the bridge from the executed build-side pipeline result."""
-        if len(node.right_keys) != 1 or len(node.left_keys) != 1:
-            raise NotImplementedError("multi-key joins not yet supported")
-        key_name = node.right_keys[0]
-        keys = np.asarray(build_result.columns[key_name])
-        order = np.argsort(keys, kind="stable")
-        keys_sorted = keys[order]
-        if len(keys_sorted) > 1 and (keys_sorted[1:] == keys_sorted[:-1]).any():
+        key_names = list(node.right_keys)
+        key_arrays = [np.asarray(build_result.columns[k]) for k in key_names]
+
+        # Drop build rows with a NULL key: they can never match (standard,
+        # non-null-aware join semantics; reference HashBuild drops them too for
+        # inner/semi joins, velox/exec/HashBuild.cpp removeInputRowsForAntiJoin).
+        keep = None
+        for k in key_names:
+            validity = build_result.validities.get(k)
+            if validity is not None and not validity.all():
+                keep = validity if keep is None else (keep & validity)
+        if keep is not None:
+            key_arrays = [a[keep] for a in key_arrays]
+
+        if len(key_names) == 1:
+            normalizer = None
+            packed = key_arrays[0].astype(np.int64)
+        else:
+            normalizer = _NormalizedKey.fit(key_arrays)
+            packed = normalizer.pack_host(key_arrays)
+
+        order = np.argsort(packed, kind="stable")
+        if keep is not None:
+            row_order = np.flatnonzero(keep)[order]
+        else:
+            row_order = order
+        keys_sorted = packed[order]
+
+        jt = node.join_type
+        if jt in (JoinType.LEFT_SEMI, JoinType.ANTI):
+            # Only existence matters; deduplicate so any build side works.
+            keys_sorted, first = np.unique(keys_sorted, return_index=True)
+            row_order = row_order[first]
+        elif len(keys_sorted) > 1 and (keys_sorted[1:] == keys_sorted[:-1]).any():
             raise JoinBuildError(
-                "build side has duplicate keys; only unique-build joins are "
-                "supported in this version"
+                "build side has duplicate keys; keep the unique (PK) side as "
+                "build — expansion joins are not supported in this version"
             )
+
         cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]] = {}
         right_schema = node.right.output_schema
         for name in node.output_columns:
-            if name in right_schema and name != key_name:
-                arr = np.asarray(build_result.columns[name])[order]
+            if name in right_schema and name not in key_names:
+                arr = np.asarray(build_result.columns[name])[row_order]
                 validity = build_result.validities.get(name)
-                v = None if validity is None else jnp.asarray(validity[order])
+                v = None if validity is None else jnp.asarray(validity[row_order])
                 cols[name] = (jnp.asarray(arr), v)
         return HashJoinExec(
             node,
@@ -83,6 +169,7 @@ class HashJoinExec:
             cols,
             len(keys_sorted),
             dict(build_result.string_tables),
+            normalizer,
         )
 
     # ---- sort-merge lookup --------------------------------------------
@@ -127,11 +214,32 @@ class HashJoinExec:
         node = self.node
         cap = batch.capacity
         left_schema = node.left.output_schema
-        probe_key_col = batch.column(node.left_keys[0])
-        probe_keys, probe_valid = probe_key_col.decode(cap)
+
+        probe_vals: List[jax.Array] = []
+        probe_valid: Optional[jax.Array] = None
+        for k in node.left_keys:
+            values, validity = batch.column(k).decode(cap)
+            probe_vals.append(values)
+            if validity is not None:
+                probe_valid = (
+                    validity if probe_valid is None else (probe_valid & validity)
+                )
+        if self.normalizer is None:
+            probe_keys = probe_vals[0].astype(jnp.int64)
+            in_range = None
+        else:
+            valid = (
+                probe_valid
+                if probe_valid is not None
+                else jnp.ones((cap,), dtype=jnp.bool_)
+            )
+            probe_keys, in_range = self.normalizer.pack_device(probe_vals, valid)
+
         pos, found = self._lookup(probe_keys)
         if probe_valid is not None:
             found = found & probe_valid
+        if in_range is not None:
+            found = found & in_range
 
         jt = node.join_type
         if jt in (JoinType.INNER, JoinType.LEFT_SEMI):
@@ -144,24 +252,26 @@ class HashJoinExec:
             raise NotImplementedError(f"join type {jt} not yet supported")
 
         out_cols: List[Column] = []
-        key_right = node.right_keys[0]
+        right_key_to_left = dict(zip(node.right_keys, node.left_keys))
         for name, dtype in zip(
             node.output_schema.names, node.output_schema.types
         ):
             if name in left_schema:
                 out_cols.append(batch.column(name))
-            elif name == key_right:
-                # right key equals left key on matched rows
+            elif name in right_key_to_left:
+                # a right key equals the corresponding left key on matched rows
+                left_name = right_key_to_left[name]
+                values = probe_vals[list(node.left_keys).index(left_name)]
                 validity = found if jt == JoinType.LEFT else None
                 out_cols.append(
                     Column.flat(
-                        probe_keys.astype(dtype.device_dtype), dtype, validity
+                        values.astype(dtype.device_dtype), dtype, validity
                     )
                 )
             else:
                 values, validity = self.build_cols[name]
                 if self.build_size == 0:
-                    gathered = jnp.zeros((cap,), dtype=values.dtype)
+                    gathered = jnp.zeros((cap,), dtype=dtype.device_dtype)
                     gv = jnp.zeros((cap,), dtype=jnp.bool_)
                 else:
                     gathered = jnp.take(values, pos, mode="clip")
@@ -176,5 +286,7 @@ class HashJoinExec:
                     Column.flat(gathered, dtype, gv, self.build_tables.get(name))
                 )
         if node.filter is not None:
-            raise NotImplementedError("join filters not yet supported")
+            raise NotImplementedError(
+                "use FilterNode above an INNER join for non-equi conditions"
+            )
         return batch.with_columns(node.output_schema, out_cols)

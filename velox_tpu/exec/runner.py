@@ -68,12 +68,17 @@ class QueryError(RuntimeError):
 
 def resolve_column_strings(node: PlanNode, name: str) -> Optional[StringTable]:
     """Walk provenance of a column down to its scan to find its StringTable."""
+    from ..expr.ir import DictLookup
+
     if isinstance(node, (TableScanNode, ValuesNode)):
         return node.table.string_tables.get(name)
     if isinstance(node, ProjectNode):
         expr = node.exprs[node.names.index(name)]
         if isinstance(expr, FieldAccess):
             return resolve_column_strings(node.source, expr.name)
+        if isinstance(expr, DictLookup) and expr.strings is not None:
+            # string function bound to a new result dictionary (e.g. substr)
+            return expr.strings
         if expr.dtype.is_string:
             # result reuses an input column's dictionary (see ExprSet string prop)
             hit = _first_string_field(expr)
@@ -130,12 +135,11 @@ def _linearize(root: PlanNode) -> _Linear:
             # is executed eagerly when the pipeline is instantiated.
             steps_rev.append(("join", node))
             node = node.left
-    from .window import WindowNode
-
-    if not isinstance(node, (TableScanNode, ValuesNode, WindowNode)):
-        raise NotImplementedError(
-            f"run_plan: unsupported pipeline source {type(node).__name__}"
-        )
+    # Any other node (Aggregation mid-plan, OrderBy under a join, Window, a
+    # second join stage, ...) becomes a pipeline *source*: LocalExecutor
+    # materializes it recursively (a pipeline barrier — the reference's
+    # equivalent is the LocalPlanner splitting the plan into pipelines at
+    # multi-source/blocking nodes, velox/exec/LocalPlanner.cpp:139).
     if isinstance(node, TableScanNode) and node.subfield_filter is not None:
         steps_rev.append(("filter", node.subfield_filter))
     steps = list(reversed(steps_rev))
@@ -526,6 +530,11 @@ class LocalExecutor:
             lin.source = ValuesNode(
                 _materialize_window(lin.source, tile_rows), id=lin.source.id
             )
+        elif not isinstance(lin.source, (TableScanNode, ValuesNode)):
+            # Generic pipeline barrier: materialize the subtree (e.g. an
+            # aggregation feeding a join probe side) and scan its result.
+            sub = LocalExecutor(lin.source, tile_rows, config).run()
+            lin.source = ValuesNode(sub, id=lin.source.id)
         self.lin = lin
         self.source_table = lin.source.table.select(
             list(lin.source.output_schema.names)

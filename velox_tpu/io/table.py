@@ -166,10 +166,47 @@ class Table:
                 remap = table.intern_all([str(v) for v in values])
                 cols[name] = remap[codes]
                 tables[name] = table
+            elif pa.types.is_string(chunked.type) or pa.types.is_large_string(
+                chunked.type
+            ):
+                # plain string column (externally-written parquet): dictionary-
+                # encode at ingest — natively when available (velox_tpu/native)
+                table, codes = _intern_arrow_strings(chunked)
+                cols[name] = codes
+                tables[name] = table
             else:
                 cols[name] = chunked.to_numpy(zero_copy_only=False)
         t = Table(RowType(names, types), cols, tables)
         return t
+
+
+def _intern_arrow_strings(arr):
+    """Dictionary-encode an Arrow string array -> (StringTable, int32 codes).
+
+    Fast path: native interning over the Arrow buffers (zero string copies on
+    the dedup scan); fallback: python-level interning.
+    """
+    import pyarrow as pa
+
+    from .. import native
+
+    arr = arr.cast(pa.large_string())
+    if arr.null_count:
+        arr = arr.fill_null("")
+    bufs = arr.buffers()
+    n = len(arr)
+    offsets = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8)
+    blob = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    result = native.intern_strings(blob, offsets)
+    if result is None:
+        table = StringTable()
+        return table, table.intern_all([str(v) for v in arr.to_pylist()])
+    codes, uniq = result
+    raw = blob.tobytes()
+    values = [""]
+    for row in uniq[1:]:
+        values.append(raw[offsets[row] : offsets[row + 1]].decode("utf-8"))
+    return StringTable.from_values(values), codes
 
 
 def _dtype_tag(dtype: DataType) -> str:

@@ -53,17 +53,32 @@ class PlanBuilder:
         return expr
 
     def _string_tables(self) -> dict:
-        """Collect string tables reachable from scan/values leaves by column name."""
+        """String tables visible to expressions at this point of the plan.
+
+        Current-schema VARCHAR columns resolve through their provenance (so
+        renamed / substr-derived columns bind correctly); scan-leaf tables are
+        added by original name for columns referenced through pending joins.
+        """
         out = {}
+        if self.node is None:
+            return out
+        from ..exec.runner import resolve_column_strings
+
+        schema = self.node.output_schema
+        for name, t in zip(schema.names, schema.types):
+            if t.is_string:
+                tab = resolve_column_strings(self.node, name)
+                if tab is not None:
+                    out[name] = tab
 
         def walk(node: PlanNode):
             for s in node.sources:
                 walk(s)
             if isinstance(node, (TableScanNode, ValuesNode)):
-                out.update(node.table.string_tables)
+                for k, v in node.table.string_tables.items():
+                    out.setdefault(k, v)
 
-        if self.node is not None:
-            walk(self.node)
+        walk(self.node)
         return out
 
     # ---- sources -------------------------------------------------------

@@ -2,7 +2,9 @@
 
 Reference: velox/serializers/PrestoSerializer.cpp (the default shuffle format:
 columnar, optionally compressed, CRC-protected) and the VectorSerde registry
-(velox/vector/VectorStream.h:63).
+(velox/vector/VectorStream.h:63); integer columns use lightweight RLE/varint
+encodings like the reference's dwio integer encoders
+(velox/dwio/common/IntDecoder.h), implemented natively (velox_tpu/native).
 
 In the TPU engine rows cross device boundaries as collectives (parallel/
 exchange.py), so this format exists for the *host* boundaries the reference
@@ -13,8 +15,11 @@ interchange, and parity testing.  Layout (little-endian):
   payload per column:
     [name_len u16][name utf8][dtype_tag u16][precision u8][scale u8]
     [has_validity u8][validity bitmap ceil(n/8) bytes]
-    [data_len u64][data bytes]                      (numpy little-endian)
-    [dict_len u64][dictionary utf8 blob]            (VARCHAR only: \x00-joined)
+    [encoding u8][data_len u64][data bytes]
+        encoding 0: raw numpy little-endian
+        encoding 1: zigzag-varint RLE over int64
+        encoding 2: zigzag-varint RLE over int64 deltas (sorted-ish columns)
+    [dict_len u64][dictionary utf8 blob]            (VARCHAR only: \\x00-joined)
 
 flags bit0: zlib-compressed payload.
 """
@@ -31,11 +36,14 @@ import numpy as np
 from ..dtypes import DataType, RowType, TypeKind
 from ..io.table import Table
 from ..vector.string_table import StringTable
+from .. import native
 
 _MAGIC = 0x56585047  # "VXPG"
 
 _TAGS = {k: i for i, k in enumerate(TypeKind)}
 _KINDS = {i: k for k, i in _TAGS.items()}
+
+_RAW, _RLE, _RLE_DELTA = 0, 1, 2
 
 
 def _pack_bitmap(validity: np.ndarray) -> bytes:
@@ -46,6 +54,23 @@ def _unpack_bitmap(data: bytes, n: int) -> np.ndarray:
     return np.unpackbits(
         np.frombuffer(data, dtype=np.uint8), bitorder="little", count=n
     ).astype(bool)
+
+
+def _encode_column(arr: np.ndarray) -> tuple:
+    """Pick the smallest of raw / RLE / delta-RLE for integer columns."""
+    raw = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+    if arr.dtype.kind not in "iu" or arr.size == 0:
+        return _RAW, raw
+    i64 = arr.astype(np.int64)
+    rle = native.encode_i64(i64)
+    best_enc, best = _RAW, raw
+    if len(rle) < len(best):
+        best_enc, best = _RLE, rle
+    # delta pays off on sorted/sequential columns; cheap to try
+    delta = native.encode_i64(i64, delta=True)
+    if len(delta) < len(best):
+        best_enc, best = _RLE_DELTA, delta
+    return best_enc, best
 
 
 def serialize_page(table: Table, compress: bool = True) -> bytes:
@@ -71,8 +96,8 @@ def serialize_page(table: Table, compress: bool = True) -> bytes:
             body.write(struct.pack("<B", 1))
             body.write(_pack_bitmap(validity))
         arr = np.ascontiguousarray(table.columns[name])
-        data = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
-        body.write(struct.pack("<Q", len(data)))
+        encoding, data = _encode_column(arr)
+        body.write(struct.pack("<BQ", encoding, len(data)))
         body.write(data)
         if dtype.is_string and name in table.string_tables:
             blob = "\x00".join(table.string_tables[name].values()).encode("utf-8")
@@ -140,12 +165,17 @@ def deserialize_page(buf: bytes) -> Table:
             nbytes = (nrows + 7) // 8
             validities[name] = _unpack_bitmap(payload[off : off + nbytes], nrows)
             off += nbytes
-        (data_len,) = struct.unpack_from("<Q", payload, off)
-        off += 8
-        arr = np.frombuffer(
-            payload[off : off + data_len], dtype=_NP_DTYPES[kind]
-        ).copy()
+        encoding, data_len = struct.unpack_from("<BQ", payload, off)
+        off += 9
+        raw = payload[off : off + data_len]
         off += data_len
+        np_dtype = _NP_DTYPES[kind]
+        if encoding == _RAW:
+            arr = np.frombuffer(raw, dtype=np_dtype).copy()
+        else:
+            arr = native.decode_i64(
+                raw, nrows, delta=(encoding == _RLE_DELTA)
+            ).astype(np_dtype)
         (dict_len,) = struct.unpack_from("<Q", payload, off)
         off += 8
         if dict_len:

@@ -47,6 +47,16 @@ class StringTable:
     def __eq__(self, other) -> bool:
         return self is other
 
+    @classmethod
+    def from_values(cls, values: Sequence[str]) -> "StringTable":
+        """Adopt a pre-deduplicated value list; values[0] must be ''."""
+        st = cls()
+        vals = list(values)
+        assert vals and vals[0] == ""
+        st._values = vals
+        st._index = {v: i for i, v in enumerate(vals)}
+        return st
+
     def intern(self, value: str) -> int:
         code = self._index.get(value)
         if code is None:
