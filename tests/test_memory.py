@@ -75,8 +75,14 @@ def test_query_with_forced_spill_matches_no_spill():
         .orderby(["k"])
         .build()
     )
-    normal = LocalExecutor(plan, tile_rows=256).run().to_pandas()
+    normal = LocalExecutor(plan, tile_rows=4096).run().to_pandas()
     forced = LocalExecutor(
-        plan, tile_rows=256, config=QueryConfig(spill_bytes_threshold=1)
+        plan,
+        tile_rows=4096,
+        config=QueryConfig(spill_bytes_threshold=1, device_agg_merge=False),
     ).run().to_pandas()
     pd.testing.assert_frame_equal(normal, forced)
+    # 400 distinct keys with 256-row tiles overflows the device group carry;
+    # the executor must transparently fall back to the host-merge path
+    fallback = LocalExecutor(plan, tile_rows=256).run().to_pandas()
+    pd.testing.assert_frame_equal(normal, fallback)

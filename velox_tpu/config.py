@@ -31,6 +31,10 @@ class QueryConfig:
     # Spill: host-offload accumulated partial batches beyond this many bytes.
     spill_bytes_threshold: int = 4 << 30
     spill_enabled: bool = True
+    # Grouped aggregation: merge per-tile partial groups on device (sorted-
+    # carry state, no per-tile host fetches).  False = legacy host merge,
+    # which supports spilling when partials exceed spill_bytes_threshold.
+    device_agg_merge: bool = True
     # Expression eval: raise on row errors (False = silently null, non-Presto).
     strict_errors: bool = True
     # Exchange: per-destination bucket capacity override (None = tile size).

@@ -1,8 +1,9 @@
 """Aggregate function API: accumulator layouts + update/merge/extract phases.
 
 Reference: velox/exec/Aggregate.h:43,125-165 (accumulator state + addRawInput /
-addIntermediateResults / extractValues contract) and the registry at
-Aggregate.h:421.
+addIntermediateResults / extractValues contract), the registry at
+Aggregate.h:421, and the function package under
+velox/functions/prestosql/aggregates/ (RegisterAggregateFunctions.cpp:51-80).
 
 TPU re-design: accumulators are *columnar* — a tuple of [num_groups] jnp arrays
 (struct-of-arrays), not row-wise RowContainer state.  Grouped updates are segment
@@ -12,6 +13,11 @@ which raw-input updates, partial merges, and merge-from-intermediate-columns all
 derive — the three Velox paths (addRawInput / addIntermediateResults / merge)
 collapse into one mechanism.
 
+min_by/max_by keep (ordering, payload) accumulator *pairs* combined
+lexicographically (``pairs`` field) — the columnar analog of the reference's
+MinMaxByAggregates.cpp comparator state.  Ties break toward the smaller payload,
+making results deterministic (the reference returns an arbitrary tied row).
+
 Exactness: decimal/integer sums accumulate in int64 (fixed-point), so tiling and
 merge order cannot change results; floating inputs accumulate in float64.
 """
@@ -19,18 +25,21 @@ merge order cannot change results; floating inputs accumulate in float64.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..dtypes import BIGINT, DOUBLE, DataType, TypeKind, decimal
+from ..dtypes import BIGINT, BOOLEAN, DOUBLE, DataType, TypeKind, decimal
 
 from ..ops.segmented import (
     SortedRuns,
     direct_group_reduce,
+    direct_group_reduce_pair,
     identity_for as _identity,
     masked_reduce,
+    masked_reduce_pair,
 )
 
 _COMBINE = {"sum": jnp.add, "min": jnp.minimum, "max": jnp.maximum}
@@ -43,31 +52,54 @@ def _grouped_reduce(arr, mask, group_ids, num_groups, op):
     return direct_group_reduce(arr, mask, group_ids, num_groups, op)
 
 
+def _pair_take(op: str, ay, ax, by, bx):
+    """Lexicographic (ordering, payload) select: does (by, bx) win over (ay, ax)?"""
+    if op == "min":
+        return (by < ay) | ((by == ay) & (bx < ax))
+    return (by > ay) | ((by == ay) & (bx < ax))
+
+
 @dataclasses.dataclass
 class BoundAggregate:
-    """One aggregate call bound to its input column and result type.
+    """One aggregate call bound to its input columns and result type.
 
-    ``raw_inputs(values)`` maps the (single) argument column to one array per
-    accumulator; combined with per-accumulator segment ops this yields all three
-    update paths uniformly.
+    ``raw_inputs(values, mask)`` maps the argument columns (a tuple, empty for
+    count(*)) to one array per accumulator; combined with per-accumulator
+    segment ops this yields all three update paths uniformly.  ``pairs`` marks
+    (ordering_idx, payload_idx, op) accumulator pairs that combine
+    lexicographically instead of element-wise.
     """
 
     name: str
     result_type: DataType
     acc_dtypes: Tuple
     acc_ops: Tuple[str, ...]
-    raw_inputs: Callable  # (values|None, mask) -> tuple of arrays, one per acc
+    raw_inputs: Callable  # (values_tuple, mask) -> tuple of arrays, one per acc
     extract_fn: Callable  # accs (host numpy) -> (values, validity|None)
-    input_index: Optional[int]  # index into the agg's argument columns; None=count(*)
+    input_index: Optional[int]  # legacy single-arg index; None=count(*)
     # Optional renormalization applied after every combine (e.g. carry the
     # low-limb overflow of wide sums into the high limb).
     post_combine: Optional[Callable] = None
+    # Lexicographic accumulator pairs: (ordering acc idx, payload acc idx, op).
+    pairs: Tuple[Tuple[int, int, str], ...] = ()
+    # Per-argument roles for string handling: 'value' (output as-is, keep the
+    # dictionary), 'order' (needs rank order), 'order+value' (both), 'plain'.
+    arg_roles: Tuple[str, ...] = ()
+
+    def _paired_payloads(self):
+        return {j for _, j, _ in self.pairs}
+
+    def _pair_of(self, i):
+        for y, x, op in self.pairs:
+            if y == i:
+                return (y, x, op)
+        return None
 
     def acc_init(self, num_groups: int) -> Tuple[jax.Array, ...]:
-        return tuple(
-            jnp.full((num_groups,), _identity(op, dt), dtype=dt)
-            for dt, op in zip(self.acc_dtypes, self.acc_ops)
-        )
+        out = []
+        for i, (dt, op) in enumerate(zip(self.acc_dtypes, self.acc_ops)):
+            out.append(jnp.full((num_groups,), _identity(op, dt), dtype=dt))
+        return tuple(out)
 
     def _masked(self, arrays, mask):
         out = []
@@ -76,38 +108,128 @@ class BoundAggregate:
             out.append(jnp.where(mask, arr.astype(dt), jnp.asarray(ident, dtype=dt)))
         return out
 
+    def _combine_states(self, accs, news):
+        """Combine two aligned accumulator tuples respecting pairs."""
+        out = list(accs)
+        paired = self._paired_payloads()
+        for i, op in enumerate(self.acc_ops):
+            pair = self._pair_of(i)
+            if pair is not None:
+                y, x, pop = pair
+                take = _pair_take(pop, accs[y], accs[x], news[y], news[x])
+                out[y] = jnp.where(take, news[y], accs[y])
+                out[x] = jnp.where(take, news[x], accs[x])
+            elif i in paired:
+                continue  # handled with its ordering partner
+            else:
+                out[i] = _COMBINE[op](accs[i], news[i])
+        result = tuple(out)
+        return self.post_combine(result) if self.post_combine else result
+
+    def _grouped_tile_state(self, arrays, mask, group_ids, num_groups):
+        """Reduce one tile's rows into a [num_groups] accumulator tuple."""
+        out = [None] * len(arrays)
+        paired = self._paired_payloads()
+        for i, op in enumerate(self.acc_ops):
+            pair = self._pair_of(i)
+            if pair is not None:
+                y, x, pop = pair
+                if num_groups == 1:
+                    ry, rx = masked_reduce_pair(arrays[y], arrays[x], mask, pop)
+                    out[y], out[x] = ry.reshape(1), rx.reshape(1)
+                else:
+                    out[y], out[x] = direct_group_reduce_pair(
+                        arrays[y], arrays[x], mask, group_ids, num_groups, pop
+                    )
+            elif i in paired:
+                continue
+            else:
+                out[i] = _grouped_reduce(arrays[i], mask, group_ids, num_groups, op)
+        return tuple(out)
+
     def update(self, accs, values, mask, group_ids, num_groups):
         """Add raw input rows (reference: Aggregate::addRawInput)."""
         arrays = self._masked(self.raw_inputs(values, mask), mask)
-        out = tuple(
-            _COMBINE[op](acc, _grouped_reduce(arr, mask, group_ids, num_groups, op))
-            for acc, arr, op in zip(accs, arrays, self.acc_ops)
-        )
-        return self.post_combine(out) if self.post_combine else out
-
-    def merge_update(self, accs, interm_arrays, mask, group_ids, num_groups):
-        """Merge intermediate (accumulator-typed) columns into groups
-        (reference: Aggregate::addIntermediateResults)."""
-        arrays = self._masked(interm_arrays, mask)
-        out = tuple(
-            _COMBINE[op](acc, _grouped_reduce(arr, mask, group_ids, num_groups, op))
-            for acc, arr, op in zip(accs, arrays, self.acc_ops)
-        )
-        return self.post_combine(out) if self.post_combine else out
+        news = self._grouped_tile_state(arrays, mask, group_ids, num_groups)
+        return self._combine_states(accs, news)
 
     def run_reduce(self, values, mask, runs: SortedRuns):
         """Per-run reductions for sort-mode grouping: tuple of [capacity] arrays
         where slot r is run r's partial accumulator."""
         arrays = self._masked(self.raw_inputs(values, mask), mask)
-        return tuple(
-            runs.reduce(arr.astype(dt), mask, op)
-            for arr, dt, op in zip(arrays, self.acc_dtypes, self.acc_ops)
-        )
+        out = [None] * len(arrays)
+        paired = self._paired_payloads()
+        for i, op in enumerate(self.acc_ops):
+            pair = self._pair_of(i)
+            if pair is not None:
+                y, x, pop = pair
+                out[y], out[x] = runs.reduce_pair(
+                    arrays[y].astype(self.acc_dtypes[y]),
+                    arrays[x].astype(self.acc_dtypes[x]),
+                    mask, pop,
+                )
+            elif i in paired:
+                continue
+            else:
+                out[i] = runs.reduce(arrays[i].astype(self.acc_dtypes[i]), mask, op)
+        return tuple(out)
+
+    def merge_runs(self, acc_arrays, valid, runs: SortedRuns):
+        """Merge already-partial accumulator rows grouped into runs (device
+        sorted-carry merge path)."""
+        out = [None] * len(acc_arrays)
+        paired = self._paired_payloads()
+        for i, op in enumerate(self.acc_ops):
+            pair = self._pair_of(i)
+            if pair is not None:
+                y, x, pop = pair
+                out[y], out[x] = runs.reduce_pair(
+                    acc_arrays[y], acc_arrays[x], valid, pop
+                )
+            elif i in paired:
+                continue
+            else:
+                out[i] = runs.reduce(acc_arrays[i], valid, op)
+        result = tuple(out)
+        return self.post_combine(result) if self.post_combine else result
 
     def merge(self, a, b):
         """Combine two aligned partial states (reference: spill/bridge merges)."""
-        out = tuple(_COMBINE[op](x, y) for x, y, op in zip(a, b, self.acc_ops))
-        return self.post_combine(out) if self.post_combine else out
+        return self._combine_states(a, b)
+
+    def host_merge_sorted(self, acc_arrays, starts):
+        """Merge group-sorted host partial rows (np arrays) into per-group
+        accumulators; ``starts`` marks each group's first row."""
+        n = len(acc_arrays[0])
+        out = [None] * len(acc_arrays)
+        paired = self._paired_payloads()
+        lengths = np.diff(np.append(starts, n))
+        gids = np.repeat(np.arange(len(starts)), lengths)
+        for i, op in enumerate(self.acc_ops):
+            pair = self._pair_of(i)
+            if pair is not None:
+                y, x, pop = pair
+                ya, xa = acc_arrays[y], acc_arrays[x]
+                yk = -ya if pop == "max" else ya
+                perm = np.lexsort((xa, yk, gids))
+                out[y] = ya[perm][starts]
+                out[x] = xa[perm][starts]
+            elif i in paired:
+                continue
+            elif len(starts) == 0:
+                out[i] = acc_arrays[i][:0]
+            elif op == "sum":
+                arr = acc_arrays[i]
+                if self.post_combine is not None:
+                    # wide-limb sums: merge in python-int space so the lo
+                    # limb cannot wrap across many tiles
+                    arr = arr.astype(object)
+                out[i] = np.add.reduceat(arr, starts)
+            elif op == "min":
+                out[i] = np.minimum.reduceat(acc_arrays[i], starts)
+            else:
+                out[i] = np.maximum.reduceat(acc_arrays[i], starts)
+        return tuple(out)
 
     def extract(self, accs):
         return self.extract_fn(accs)
@@ -119,6 +241,10 @@ class BoundAggregate:
         for dt in self.acc_dtypes:
             out.append(DOUBLE if jnp.issubdtype(dt, jnp.floating) else BIGINT)
         return tuple(out)
+
+    @property
+    def num_args(self) -> int:
+        return len(self.arg_roles)
 
 
 def _sum_result_type(t: DataType) -> DataType:
@@ -133,6 +259,13 @@ def _acc_dtype(t: DataType):
     return jnp.float64 if t.is_floating else jnp.int64
 
 
+def _to_float(values: jax.Array, t: DataType) -> jax.Array:
+    v = values.astype(jnp.float64)
+    if t.kind == TypeKind.DECIMAL and t.scale:
+        v = v / (10.0 ** t.scale)
+    return v
+
+
 # ---- exact wide (96-bit) integer sums --------------------------------------
 #
 # A scale-6 decimal sum over 1.5e9 rows exceeds int64; the reference uses
@@ -145,7 +278,7 @@ def _acc_dtype(t: DataType):
 
 
 def _wide_raw_inputs(values, mask):
-    v = values.astype(jnp.int64)
+    v = values[0].astype(jnp.int64)
     return (
         v >> 32,
         v & jnp.int64(0xFFFFFFFF),
@@ -159,14 +292,10 @@ def _wide_normalize(accs):
 
 
 def _wide_exact(hi, lo):
-    import numpy as np
-
     return np.asarray(hi).astype(object) * (1 << 32) + np.asarray(lo).astype(object)
 
 
 def _wide_sum_extract(accs):
-    import numpy as np
-
     exact = _wide_exact(accs[0], accs[1])
     count = np.asarray(accs[2])
     int64_max = (1 << 63) - 1
@@ -177,65 +306,148 @@ def _wide_sum_extract(accs):
     return values, count > 0
 
 
+# ---- hash mixing for checksum ------------------------------------------------
+
+
+def _splitmix64(v: jax.Array) -> jax.Array:
+    """splitmix64 finalizer over int64 lanes (wrapping arithmetic)."""
+    x = v.astype(jnp.uint64)
+    x = (x + jnp.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> 27)) * jnp.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> 31)
+    return x.astype(jnp.int64)
+
+
 def bind_aggregate(
-    name: str, input_type: Optional[DataType], input_index
+    name: str,
+    input_types: Union[None, DataType, Sequence[DataType]],
+    input_index=None,
 ) -> BoundAggregate:
     """Bind an aggregate by name (reference: exec::Aggregate::create)."""
     name = name.lower()
+    if input_types is None:
+        types: Tuple[DataType, ...] = ()
+    elif isinstance(input_types, DataType):
+        types = (input_types,)
+    else:
+        types = tuple(input_types)
+
     if name == "count":
         return BoundAggregate(
             "count", BIGINT, (jnp.int64,), ("sum",),
             lambda values, mask: (jnp.ones_like(mask, dtype=jnp.int64),),
             lambda accs: (accs[0], None),
             input_index,
+            arg_roles=("plain",) * len(types),
         )
 
-    assert input_type is not None, f"{name} requires an argument"
-    at = _acc_dtype(input_type)
+    assert types, f"{name} requires an argument"
+    t0 = types[0]
+    at = _acc_dtype(t0)
+
+    if name == "count_if":
+        return BoundAggregate(
+            "count_if", BIGINT, (jnp.int64,), ("sum",),
+            lambda values, mask: (values[0].astype(jnp.int64),),
+            lambda accs: (accs[0], None),
+            input_index, arg_roles=("plain",),
+        )
+
+    if name in ("bool_and", "every", "bool_or"):
+        op = "min" if name in ("bool_and", "every") else "max"
+        return BoundAggregate(
+            name, BOOLEAN, (jnp.int64, jnp.int64), (op, "sum"),
+            lambda values, mask: (
+                values[0].astype(jnp.int64),
+                jnp.ones_like(mask, dtype=jnp.int64),
+            ),
+            lambda accs: (accs[0].astype(np.bool_), accs[1] > 0),
+            input_index, arg_roles=("plain",),
+        )
 
     if name == "sum":
         if at == jnp.float64:
             return BoundAggregate(
-                "sum", _sum_result_type(input_type), (at, jnp.int64), ("sum", "sum"),
-                lambda values, mask: (values, jnp.ones_like(values, dtype=jnp.int64)),
+                "sum", _sum_result_type(t0), (at, jnp.int64), ("sum", "sum"),
+                lambda values, mask: (
+                    values[0], jnp.ones_like(values[0], dtype=jnp.int64),
+                ),
                 lambda accs: (accs[0], accs[1] > 0),  # sum of zero rows is NULL
-                input_index,
+                input_index, arg_roles=("plain",),
             )
         return BoundAggregate(
-            "sum", _sum_result_type(input_type),
+            "sum", _sum_result_type(t0),
             (jnp.int64, jnp.int64, jnp.int64), ("sum", "sum", "sum"),
             _wide_raw_inputs,
             _wide_sum_extract,
             input_index,
             post_combine=_wide_normalize,
+            arg_roles=("plain",),
         )
 
     if name in ("min", "max"):
         return BoundAggregate(
-            name, input_type, (at, jnp.int64), (name, "sum"),
-            lambda values, mask: (values, jnp.ones_like(values, dtype=jnp.int64)),
+            name, t0, (at, jnp.int64), (name, "sum"),
+            lambda values, mask: (
+                values[0], jnp.ones_like(values[0], dtype=jnp.int64),
+            ),
             lambda accs: (accs[0], accs[1] > 0),
+            input_index, arg_roles=("order+value",),
+        )
+
+    if name == "arbitrary":
+        # deterministic "any value": the smallest (reference returns the first
+        # seen, which is thread-schedule-dependent; smallest is reproducible)
+        return BoundAggregate(
+            "arbitrary", t0, (at, jnp.int64), ("min", "sum"),
+            lambda values, mask: (
+                values[0], jnp.ones_like(values[0], dtype=jnp.int64),
+            ),
+            lambda accs: (accs[0], accs[1] > 0),
+            input_index, arg_roles=("value",),
+        )
+
+    if name in ("min_by", "max_by"):
+        assert len(types) == 2, f"{name} takes (value, ordering)"
+        op = "min" if name == "min_by" else "max"
+        vt = _acc_dtype(t0)
+        ot = _acc_dtype(types[1])
+
+        def raw(values, mask):
+            return (
+                values[1],  # ordering first (the pair's primary)
+                values[0],
+                jnp.ones_like(mask, dtype=jnp.int64),
+            )
+
+        return BoundAggregate(
+            name, t0, (ot, vt, jnp.int64), (op, op, "sum"),
+            raw,
+            lambda accs: (accs[1], accs[2] > 0),
             input_index,
+            pairs=((0, 1, op),),
+            arg_roles=("value", "order"),
         )
 
     if name == "avg":
-        scale = input_type.scale if input_type.kind == TypeKind.DECIMAL else 0
+        scale = t0.scale if t0.kind == TypeKind.DECIMAL else 0
 
         if at == jnp.float64:
             def extract(accs):
                 total, count = accs
-                value = total.astype(jnp.float64) / jnp.maximum(count, 1)
+                value = total.astype(np.float64) / np.maximum(count, 1)
                 return value, count > 0
 
             return BoundAggregate(
                 "avg", DOUBLE, (at, jnp.int64), ("sum", "sum"),
-                lambda values, mask: (values, jnp.ones_like(values, dtype=jnp.int64)),
-                extract, input_index,
+                lambda values, mask: (
+                    values[0], jnp.ones_like(values[0], dtype=jnp.int64),
+                ),
+                extract, input_index, arg_roles=("plain",),
             )
 
         def extract_int(accs):
-            import numpy as np
-
             exact = _wide_exact(accs[0], accs[1])
             count = np.asarray(accs[2])
             safe = np.maximum(count, 1)
@@ -247,9 +459,104 @@ def bind_aggregate(
             _wide_raw_inputs,
             extract_int, input_index,
             post_combine=_wide_normalize,
+            arg_roles=("plain",),
+        )
+
+    if name in (
+        "variance", "var_samp", "var_pop",
+        "stddev", "stddev_samp", "stddev_pop",
+    ):
+        pop = name.endswith("_pop")
+        sqrt = name.startswith("stddev")
+
+        def raw(values, mask, _t=t0):
+            v = _to_float(values[0], _t)
+            return (jnp.ones_like(v, dtype=jnp.int64), v, v * v)
+
+        def extract(accs, _pop=pop, _sqrt=sqrt):
+            n, s, ss = (np.asarray(a) for a in accs)
+            nf = np.maximum(n, 1).astype(np.float64)
+            m2 = np.maximum(ss - (s * s) / nf, 0.0)
+            denom = nf if _pop else np.maximum(nf - 1.0, 1.0)
+            out = m2 / denom
+            if _sqrt:
+                out = np.sqrt(out)
+            valid = (n >= 1) if _pop else (n >= 2)
+            return out, valid
+
+        return BoundAggregate(
+            name, DOUBLE, (jnp.int64, jnp.float64, jnp.float64),
+            ("sum", "sum", "sum"),
+            raw, extract, input_index, arg_roles=("plain",),
+        )
+
+    if name == "geometric_mean":
+        def raw(values, mask, _t=t0):
+            v = _to_float(values[0], _t)
+            return (jnp.log(v), jnp.ones_like(v, dtype=jnp.int64))
+
+        def extract(accs):
+            s, n = (np.asarray(a) for a in accs)
+            return np.exp(s / np.maximum(n, 1)), n > 0
+
+        return BoundAggregate(
+            "geometric_mean", DOUBLE, (jnp.float64, jnp.int64), ("sum", "sum"),
+            raw, extract, input_index, arg_roles=("plain",),
+        )
+
+    if name == "checksum":
+        # order-independent content hash: wrapping int64 sum of per-row
+        # splitmix64 hashes (reference: ChecksumAggregate.h uses xxhash64 the
+        # same way; null rows are excluded here rather than hashed)
+        def raw(values, mask):
+            return (_splitmix64(values[0].astype(jnp.int64)),)
+
+        return BoundAggregate(
+            "checksum", BIGINT, (jnp.int64,), ("sum",),
+            raw,
+            lambda accs: (accs[0], None),
+            input_index, arg_roles=("plain",),
+        )
+
+    if name in ("covar_pop", "covar_samp", "corr"):
+        assert len(types) == 2, f"{name} takes two arguments"
+        tx, ty = types[0], types[1]
+
+        def raw(values, mask, _tx=tx, _ty=ty):
+            x = _to_float(values[0], _tx)
+            y = _to_float(values[1], _ty)
+            return (
+                jnp.ones_like(x, dtype=jnp.int64),
+                x, y, x * y, x * x, y * y,
+            )
+
+        def extract(accs, _name=name):
+            n, sx, sy, sxy, sxx, syy = (np.asarray(a) for a in accs)
+            nf = np.maximum(n, 1).astype(np.float64)
+            cxy = sxy - sx * sy / nf
+            if _name == "corr":
+                vx = np.maximum(sxx - sx * sx / nf, 0.0)
+                vy = np.maximum(syy - sy * sy / nf, 0.0)
+                denom = np.sqrt(vx * vy)
+                out = np.where(denom > 0, cxy / np.where(denom > 0, denom, 1.0), np.nan)
+                return out, (n >= 2) & (denom > 0)
+            if _name == "covar_pop":
+                return cxy / nf, n >= 1
+            return cxy / np.maximum(nf - 1.0, 1.0), n >= 2
+
+        return BoundAggregate(
+            name, DOUBLE,
+            (jnp.int64,) + (jnp.float64,) * 5,
+            ("sum",) * 6,
+            raw, extract, input_index, arg_roles=("plain", "plain"),
         )
 
     raise KeyError(f"no aggregate function named {name!r}")
 
 
-AGGREGATE_NAMES = ("count", "sum", "min", "max", "avg")
+AGGREGATE_NAMES = (
+    "count", "count_if", "sum", "min", "max", "avg", "arbitrary",
+    "bool_and", "bool_or", "every", "min_by", "max_by",
+    "variance", "var_samp", "var_pop", "stddev", "stddev_samp", "stddev_pop",
+    "geometric_mean", "checksum", "covar_pop", "covar_samp", "corr",
+)

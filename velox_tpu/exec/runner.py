@@ -11,8 +11,14 @@ batching discipline, and operator fusion all become XLA's problem — which is t
 point.
 
 Aggregation modes (see exec/grouping.py): ungrouped (G=1), array (static key
-ranges), sort (sort-within-tile + run reduction, host exact merge of per-tile
-partial groups).
+ranges), sort (sort-within-tile + run reduction).  Sort-mode partials merge on
+device by default (sorted-carry state; see AggExecutor.merge_sorted_carry) and
+fall back to an exact host merge — which also supports spilling — when groups
+exceed the carry capacity.
+
+Transfer discipline: the device can sit behind a high-latency, low-bandwidth
+tunnel, so every host read is batched and result-sized (utils/transfer.py);
+nothing is fetched per tile on the aggregation paths.
 """
 
 from __future__ import annotations
@@ -187,16 +193,49 @@ class AggExecutor:
         self.capacity = capacity
         in_schema = node.source.output_schema
         self.aggs: List[BoundAggregate] = []
-        self.arg_names: List[Optional[str]] = []
+        self.arg_names: List[List[str]] = []
+        # per agg, per arg: optional code->rank gather (string ordering); plus
+        # per agg: the output StringTable and the rank->code inverse, if any
+        self.arg_transforms: List[List[Optional[np.ndarray]]] = []
+        self.out_strings: List[Optional[StringTable]] = []
+        self.out_inverse: List[Optional[np.ndarray]] = []
         for call in node.aggregates:
-            if call.args:
-                arg = call.args[0]
+            names: List[str] = []
+            dtypes = []
+            for arg in call.args:
                 assert isinstance(arg, FieldAccess), "agg args must be fields"
-                self.aggs.append(bind_aggregate(call.name, arg.dtype, None))
-                self.arg_names.append(arg.name)
-            else:
-                self.aggs.append(bind_aggregate(call.name, None, None))
-                self.arg_names.append(None)
+                names.append(arg.name)
+                dtypes.append(arg.dtype)
+            bound = bind_aggregate(call.name, tuple(dtypes) or None, None)
+            transforms: List[Optional[np.ndarray]] = [None] * len(names)
+            out_tab = out_inv = None
+            for j, (dt, role) in enumerate(zip(dtypes, bound.arg_roles)):
+                if not dt.is_string:
+                    continue
+                tab = resolve_column_strings(node.source, names[j])
+                if tab is None:
+                    raise TypeError(
+                        f"{call.name}({names[j]}): VARCHAR argument has no "
+                        "resolvable dictionary"
+                    )
+                if role == "plain":
+                    raise TypeError(f"{call.name} does not accept VARCHAR")
+                if "order" in role:
+                    # accumulate lexicographic ranks, not insertion codes
+                    ranks = np.asarray(tab.sort_permutation(), np.int32)
+                    transforms[j] = ranks
+                    if "value" in role:
+                        inv = np.empty(len(ranks), dtype=np.int64)
+                        inv[ranks] = np.arange(len(ranks), dtype=np.int64)
+                        out_tab, out_inv = tab, inv
+                else:  # pure 'value': codes pass through untouched
+                    if j == 0:
+                        out_tab = tab
+            self.aggs.append(bound)
+            self.arg_names.append(names)
+            self.arg_transforms.append(transforms)
+            self.out_strings.append(out_tab)
+            self.out_inverse.append(out_inv)
 
         self.key_infos: List[KeyInfo] = [
             key_info(
@@ -227,6 +266,22 @@ class AggExecutor:
         rowcounts = jnp.zeros((self.num_groups,), dtype=jnp.int64)
         return (accs, rowcounts)
 
+    def _decode_args(self, batch: Batch, i: int):
+        """Decode + transform aggregate i's argument columns.
+
+        Returns (values tuple, per-row validity mask or None)."""
+        values: List[jax.Array] = []
+        validity = None
+        for j, name in enumerate(self.arg_names[i]):
+            v, val = batch.column(name).decode(batch.capacity)
+            tr = self.arg_transforms[i][j]
+            if tr is not None:
+                v = jnp.take(jnp.asarray(tr), v.astype(jnp.int32), mode="clip")
+            values.append(v)
+            if val is not None:
+                validity = val if validity is None else (validity & val)
+        return tuple(values), validity
+
     def update_carry(self, carry, batch: Batch):
         accs, rowcounts = carry
         mask = batch.active_mask()
@@ -235,12 +290,9 @@ class AggExecutor:
         else:
             gids = jnp.zeros((batch.capacity,), dtype=jnp.int32)
         out = []
-        for agg, acc, arg_name in zip(self.aggs, accs, self.arg_names):
-            if arg_name is None:
-                values, m = None, mask
-            else:
-                values, validity = batch.column(arg_name).decode(batch.capacity)
-                m = mask if validity is None else (mask & validity)
+        for i, (agg, acc) in enumerate(zip(self.aggs, accs)):
+            values, validity = self._decode_args(batch, i)
+            m = mask if validity is None else (mask & validity)
             out.append(agg.update(acc, values, m, gids, self.num_groups))
         from ..ops.segmented import direct_group_reduce, masked_reduce
 
@@ -256,21 +308,15 @@ class AggExecutor:
     # ---- sort mode: per-tile partial groups -------------------------------
     def tile_partial(self, batch: Batch):
         """Returns (key_arrays, accs_nested, num_groups_scalar)."""
-        cap = batch.capacity
         mask = batch.active_mask()
         payload: List[jax.Array] = []
-        payload_slots: List[Tuple[int, bool]] = []  # (agg index, has_validity)
-        for i, (agg, arg_name) in enumerate(zip(self.aggs, self.arg_names)):
-            if arg_name is None:
-                payload_slots.append((i, False))
-                continue
-            values, validity = batch.column(arg_name).decode(cap)
-            payload.append(values)
+        plan: List[Tuple[int, bool]] = []  # per agg: (n_args, has_validity)
+        for i in range(len(self.aggs)):
+            values, validity = self._decode_args(batch, i)
+            payload.extend(values)
             if validity is not None:
                 payload.append(validity)
-                payload_slots.append((i, True))
-            else:
-                payload_slots.append((i, False))
+            plan.append((len(values), validity is not None))
         (
             sorted_keys,
             sorted_payload,
@@ -279,22 +325,79 @@ class AggExecutor:
         ) = self.grouping.sort_and_group(batch, payload, mask)
         accs_out = []
         pos = 0
-        for (i, has_validity), agg, arg_name in zip(
-            payload_slots, self.aggs, self.arg_names
-        ):
-            if arg_name is None:
-                values, m = None, sorted_mask
-            else:
-                values = sorted_payload[pos]
+        for (n_args, has_validity), agg in zip(plan, self.aggs):
+            values = tuple(sorted_payload[pos : pos + n_args])
+            pos += n_args
+            m = sorted_mask
+            if has_validity:
+                m = m & sorted_payload[pos]
                 pos += 1
-                if has_validity:
-                    m = sorted_mask & sorted_payload[pos]
-                    pos += 1
-                else:
-                    m = sorted_mask
             accs_out.append(agg.run_reduce(values, m, runs))
         key_arrays = SortGrouping.group_keys(sorted_keys, runs)
         return key_arrays, tuple(accs_out), runs.num_runs
+
+    # ---- device-resident sorted-carry merge for sort mode ------------------
+    #
+    # Carry = (key arrays [G], acc arrays [G] per aggregate, live-group count).
+    # Each tile's partial groups (sorted runs) are merged into the carry with
+    # one multi-operand sort over [G + capacity] rows + segment reductions —
+    # all on device, so the host fetches nothing until extraction.  This is
+    # the streaming analog of the reference's partial->final aggregation
+    # (velox/exec/GroupingSet.cpp), re-shaped for a device with fast sorts and
+    # a high-latency host link.
+
+    def init_sorted_carry(self):
+        G = self.capacity
+        keys = tuple(
+            jnp.zeros((G,), dtype=info.dtype.device_dtype)
+            for info in self.key_infos
+        )
+        accs = tuple(agg.acc_init(G) for agg in self.aggs)
+        count = jnp.zeros((), dtype=jnp.int32)
+        overflow = jnp.zeros((), dtype=jnp.int32)
+        return (keys, accs, count, overflow)
+
+    def merge_sorted_carry(self, carry, batch: Batch):
+        from ..ops.segmented import SortedRuns
+
+        keys_c, accs_c, count, overflow = carry
+        tile_keys, tile_accs, nruns = self.tile_partial(batch)
+        G = self.capacity
+        cap = batch.capacity
+        idx_g = jnp.arange(G, dtype=jnp.int32)
+        idx_t = jnp.arange(cap, dtype=jnp.int32)
+        valid = jnp.concatenate([idx_g < count, idx_t < nruns])
+        keys_all = [
+            jnp.concatenate([kc, tk.astype(kc.dtype)])
+            for kc, tk in zip(keys_c, tile_keys)
+        ]
+        flat_accs: List[jax.Array] = []
+        for acc_c, acc_t in zip(accs_c, tile_accs):
+            for a_c, a_t in zip(acc_c, acc_t):
+                flat_accs.append(jnp.concatenate([a_c, a_t.astype(a_c.dtype)]))
+        operands = [~valid] + keys_all + flat_accs + [valid]
+        sorted_ops = jax.lax.sort(operands, num_keys=1 + len(keys_all))
+        keys_s = sorted_ops[1 : 1 + len(keys_all)]
+        accs_s = sorted_ops[1 + len(keys_all) : -1]
+        valid_s = sorted_ops[-1]
+        n = G + cap
+        pos = jnp.arange(n, dtype=jnp.int32)
+        diff = jnp.zeros((n,), dtype=jnp.bool_)
+        for kv in keys_s:
+            diff = diff | (kv != jnp.roll(kv, 1))
+        boundary = valid_s & ((pos == 0) | diff)
+        runs = SortedRuns(boundary, valid_s)
+        new_keys = tuple(runs.first(kv)[:G] for kv in keys_s)
+        new_accs = []
+        i = 0
+        for agg in self.aggs:
+            k = len(agg.acc_ops)
+            merged = agg.merge_runs(accs_s[i : i + k], valid_s, runs)
+            i += k
+            new_accs.append(tuple(m[:G] for m in merged))
+        new_count = jnp.minimum(runs.num_runs, G).astype(jnp.int32)
+        overflow = overflow + (runs.num_runs > G).astype(jnp.int32)
+        return (new_keys, tuple(new_accs), new_count, overflow)
 
     # ---- host-exact final merge for sort mode -----------------------------
     def merge_partials_host(self, key_chunks, acc_chunks):
@@ -322,23 +425,10 @@ class AggExecutor:
                 diff[1:] |= k[1:] != k[:-1]
             starts = np.flatnonzero(diff)
         group_keys = [k[starts] for k in keys]
-        merged = []
-        for agg, acc in zip(self.aggs, accs):
-            parts = []
-            for arr, op in zip(acc, agg.acc_ops):
-                if len(starts) == 0:
-                    parts.append(arr[:0])
-                elif op == "sum":
-                    if agg.post_combine is not None:
-                        # wide-limb sums: merge in python-int space so the lo
-                        # limb cannot wrap across many tiles
-                        arr = arr.astype(object)
-                    parts.append(np.add.reduceat(arr, starts))
-                elif op == "min":
-                    parts.append(np.minimum.reduceat(arr, starts))
-                else:
-                    parts.append(np.maximum.reduceat(arr, starts))
-            merged.append(tuple(parts))
+        merged = [
+            agg.host_merge_sorted(list(acc), starts)
+            for agg, acc in zip(self.aggs, accs)
+        ]
         return group_keys, merged
 
     # ---- spill format for sort-mode partials -------------------------------
@@ -404,12 +494,19 @@ class AggExecutor:
                 cols[name] = np.asarray(arr)
                 if info.strings is not None:
                     tables[name] = info.strings
-        for agg, acc, name in zip(self.aggs, accs, names[nkeys:]):
+        for i, (agg, acc, name) in enumerate(zip(self.aggs, accs, names[nkeys:])):
             acc_np = tuple(np.asarray(a) for a in acc)
             if live is not None:
                 acc_np = tuple(a[live] for a in acc_np)
             values, validity = agg.extract(acc_np)
-            cols[name] = np.asarray(values)
+            values = np.asarray(values)
+            inv = self.out_inverse[i]
+            if inv is not None:
+                # min/max over VARCHAR accumulated lexicographic ranks
+                values = inv[np.clip(values.astype(np.int64), 0, len(inv) - 1)]
+            if self.out_strings[i] is not None:
+                tables[name] = self.out_strings[i]
+            cols[name] = values
             if validity is not None:
                 validity = np.asarray(validity)
                 if not validity.all():
@@ -557,6 +654,16 @@ class LocalExecutor:
                     return (ex.update_carry(accs_rc, batch2), errs + err)
 
                 self._tile_step = tile_step
+            elif self.config.device_agg_merge:
+                self.kind = "sort_agg_device"
+
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def sort_tile_step(carry, batch):
+                    state, errs = carry
+                    batch2, err = apply_streaming(batch, lin.steps)
+                    return (ex.merge_sorted_carry(state, batch2), errs + err)
+
+                self._sort_tile_step = sort_tile_step
             else:
                 self.kind = "sort_agg"
 
@@ -604,76 +711,91 @@ class LocalExecutor:
             stats.tiles = n_tiles
             stats.rows_in = self.source_table.num_rows
 
+        from ..utils.transfer import fetch_prefix, fetch_tree
+
         if self.kind == "direct_agg":
             ex = self.agg_exec
             carry = (ex.init_carry(), jnp.zeros((), dtype=jnp.int64))
             t0 = time.perf_counter()
             for i in range(n_tiles):
                 carry = self._tile_step(carry, get_tile(i))
-            (accs, rowcounts), errs = carry
-            accs_np = [tuple(np.asarray(a) for a in acc) for acc in accs]
-            rowcounts_np = np.asarray(rowcounts)
+            # one batched fetch for the whole final state
+            (accs_np, rowcounts_np), errs = fetch_tree(carry)
             if stats is not None:
                 stats.device_seconds = time.perf_counter() - t0
             _raise_on_errors(int(errs))
             result = ex.extract(None, accs_np, rowcounts_np)
-        elif self.kind == "sort_agg":
+        elif self.kind == "sort_agg_device":
             ex = self.agg_exec
-            err_total = 0
-            key_chunks, acc_chunks = [], []
-            spiller = None
-            chunk_bytes = 0
+            carry = (ex.init_sorted_carry(), jnp.zeros((), dtype=jnp.int64))
             t0 = time.perf_counter()
             for i in range(n_tiles):
-                (key_arrays, accs, ngroups), err = self._tile_partial(get_tile(i))
-                err_total += int(err)
-                g = int(ngroups)
-                keys_np = [np.asarray(k)[:g] for k in key_arrays]
-                accs_np = [tuple(np.asarray(a)[:g] for a in acc) for acc in accs]
-                key_chunks.append(keys_np)
-                acc_chunks.append(accs_np)
-                chunk_bytes += sum(a.nbytes for a in keys_np) + sum(
-                    b.nbytes for acc in accs_np for b in acc
+                carry = self._sort_tile_step(carry, get_tile(i))
+            (keys_d, accs_d, count_d, overflow_d), errs_d = carry
+            # fetch the scalars first, then only the live-group prefix
+            count, overflow, errs = fetch_tree((count_d, overflow_d, errs_d))
+            if int(overflow):
+                # more distinct groups than carry slots: fall back to the
+                # host-merge path, which handles unbounded group counts
+                # (and can spill) at the cost of per-tile fetches.
+                return apply_finishers(
+                    self._run_sort_agg_host(get_tile, n_tiles, stats),
+                    lin.finishers,
                 )
-                if (
-                    self.config.spill_enabled
-                    and chunk_bytes > self.config.spill_bytes_threshold
-                ):
-                    from .memory import Spiller
-
-                    spiller = spiller or Spiller()
-                    spiller.spill(ex.partials_to_table(key_chunks, acc_chunks))
-                    key_chunks, acc_chunks = [], []
-                    chunk_bytes = 0
+            flat = list(keys_d) + [a for acc in accs_d for a in acc]
+            fetched = fetch_prefix(flat, int(count))
             if stats is not None:
                 stats.device_seconds = time.perf_counter() - t0
-            _raise_on_errors(err_total)
-            if spiller is not None:
-                for t in spiller.restore():
-                    keys, accs = ex.table_to_partials(t)
-                    key_chunks.append(keys)
-                    acc_chunks.append(accs)
-                spiller.cleanup()
-            group_keys, merged = ex.merge_partials_host(key_chunks, acc_chunks)
-            result = ex.extract(group_keys, merged)
+            _raise_on_errors(int(errs))
+            nkeys = len(ex.key_infos)
+            group_keys = fetched[:nkeys]
+            accs_np = []
+            i = nkeys
+            for agg in ex.aggs:
+                accs_np.append(tuple(fetched[i : i + len(agg.acc_dtypes)]))
+                i += len(agg.acc_dtypes)
+            result = ex.extract(group_keys, accs_np)
+        elif self.kind == "sort_agg":
+            result = self._run_sort_agg_host(get_tile, n_tiles, stats)
         else:
-            err_total = 0
+            from ..utils.transfer import _prefix_slicer, bucket_of
+
             chunks: List[Dict[str, np.ndarray]] = []
             valid_chunks: List[Dict[str, np.ndarray]] = []
             tables: Dict[str, StringTable] = {}
             t0 = time.perf_counter()
+            outs = []
             for i in range(n_tiles):
-                out, err = self._tile_out(get_tile(i))
-                err_total += int(err)
-                n = int(out.length)
-                row: Dict[str, np.ndarray] = {}
-                vrow: Dict[str, np.ndarray] = {}
+                outs.append(self._tile_out(get_tile(i)))
+            # round trip 1: every tile's (length, error) together
+            lens_errs = fetch_tree([(o.length, e) for o, e in outs])
+            err_total = sum(int(e) for _, e in lens_errs)
+            # round trip 2: every tile's live-prefix column data together
+            cut_tiles, specs = [], []
+            for (out, _), (n_d, _) in zip(outs, lens_errs):
+                n = int(n_d)
+                arrays, spec = [], []
                 for name, col in zip(out.schema.names, out.columns):
-                    row[name] = np.asarray(col.data)[:n]
+                    arrays.append(col.data)
+                    spec.append((name, col.validity is not None))
                     if col.validity is not None:
-                        vrow[name] = np.asarray(col.validity)[:n]
+                        arrays.append(col.validity)
                     if col.strings is not None:
                         tables[name] = col.strings
+                bucket = min(bucket_of(max(n, 1)), out.capacity)
+                cut_tiles.append(_prefix_slicer(bucket)(tuple(arrays)))
+                specs.append((n, spec))
+            fetched_tiles = fetch_tree(cut_tiles)
+            for arrays, (n, spec) in zip(fetched_tiles, specs):
+                row: Dict[str, np.ndarray] = {}
+                vrow: Dict[str, np.ndarray] = {}
+                k = 0
+                for name, has_validity in spec:
+                    row[name] = arrays[k][:n]
+                    k += 1
+                    if has_validity:
+                        vrow[name] = arrays[k][:n]
+                        k += 1
                 chunks.append(row)
                 valid_chunks.append(vrow)
             if stats is not None:
@@ -700,6 +822,74 @@ class LocalExecutor:
             stats.total_seconds = time.perf_counter() - t_start
         return result
 
+    def _get_tile_partial(self):
+        """Jitted per-tile partial-group program (built lazily: the device-merge
+        path only needs it when it falls back on group-count overflow)."""
+        fn = getattr(self, "_tile_partial", None)
+        if fn is None:
+            ex, lin = self.agg_exec, self.lin
+
+            @jax.jit
+            def tile_partial(batch):
+                batch2, err = apply_streaming(batch, lin.steps)
+                return ex.tile_partial(batch2), err
+
+            self._tile_partial = fn = tile_partial
+        return fn
+
+    def _run_sort_agg_host(self, get_tile, n_tiles: int, stats) -> Table:
+        """Host-merge grouped aggregation: unbounded group counts + spilling
+        (reference: GroupingSet::getOutputWithSpill, velox/exec/GroupingSet.cpp:956)."""
+        from ..utils.transfer import fetch_prefix, fetch_tree
+
+        ex = self.agg_exec
+        tile_partial = self._get_tile_partial()
+        err_total = 0
+        key_chunks, acc_chunks = [], []
+        spiller = None
+        chunk_bytes = 0
+        t0 = time.perf_counter()
+        for i in range(n_tiles):
+            (key_arrays, accs, ngroups), err = tile_partial(get_tile(i))
+            g, err_i = fetch_tree((ngroups, err))
+            err_total += int(err_i)
+            g = int(g)
+            flat = list(key_arrays) + [a for acc in accs for a in acc]
+            fetched = fetch_prefix(flat, g)
+            nkeys = len(ex.key_infos)
+            keys_np = fetched[:nkeys]
+            accs_np = []
+            k = nkeys
+            for agg in ex.aggs:
+                accs_np.append(tuple(fetched[k : k + len(agg.acc_dtypes)]))
+                k += len(agg.acc_dtypes)
+            key_chunks.append(keys_np)
+            acc_chunks.append(accs_np)
+            chunk_bytes += sum(a.nbytes for a in keys_np) + sum(
+                b.nbytes for acc in accs_np for b in acc
+            )
+            if (
+                self.config.spill_enabled
+                and chunk_bytes > self.config.spill_bytes_threshold
+            ):
+                from .memory import Spiller
+
+                spiller = spiller or Spiller()
+                spiller.spill(ex.partials_to_table(key_chunks, acc_chunks))
+                key_chunks, acc_chunks = [], []
+                chunk_bytes = 0
+        if stats is not None:
+            stats.device_seconds = time.perf_counter() - t0
+        _raise_on_errors(err_total)
+        if spiller is not None:
+            for t in spiller.restore():
+                keys, accs = ex.table_to_partials(t)
+                key_chunks.append(keys)
+                acc_chunks.append(accs)
+            spiller.cleanup()
+        group_keys, merged = ex.merge_partials_host(key_chunks, acc_chunks)
+        return ex.extract(group_keys, merged)
+
     def device_tiles(self) -> List[Batch]:
         """Upload the source scan HBM-resident (steady-state benchmarking)."""
         return self.source_table.device_tiles(self.capacity)
@@ -719,16 +909,28 @@ def _materialize_window(wnode, tile_rows: int) -> Table:
         )
     ex = WindowExec(wnode, capacity)
     out = jax.jit(lambda b: compact(ex.apply(b)))(batch)
-    n = int(out.length)
-    cols: Dict[str, np.ndarray] = {}
+    from ..utils.transfer import fetch_prefix, fetch_tree
+
+    n = int(fetch_tree(out.length))
+    arrays, spec = [], []
     tables: Dict[str, StringTable] = {}
-    validities: Dict[str, np.ndarray] = {}
     for name, col in zip(out.schema.names, out.columns):
-        cols[name] = np.asarray(col.data)[:n]
+        arrays.append(col.data)
+        spec.append((name, col.validity is not None))
         if col.validity is not None:
-            validities[name] = np.asarray(col.validity)[:n]
+            arrays.append(col.validity)
         if col.strings is not None:
             tables[name] = col.strings
+    fetched = fetch_prefix(arrays, n)
+    cols: Dict[str, np.ndarray] = {}
+    validities: Dict[str, np.ndarray] = {}
+    k = 0
+    for name, has_validity in spec:
+        cols[name] = fetched[k]
+        k += 1
+        if has_validity:
+            validities[name] = fetched[k]
+            k += 1
     return Table(wnode.output_schema, cols, tables, validities)
 
 

@@ -71,6 +71,63 @@ def direct_group_reduce(
     return jnp.stack(outs)
 
 
+def _pair_wins(op: str, ay, ax, by, bx):
+    """Lexicographic (ordering, payload): does (b) replace (a)?  Ties go to the
+    smaller payload so results are deterministic."""
+    if op == "min":
+        return (by < ay) | ((by == ay) & (bx < ax))
+    return (by > ay) | ((by == ay) & (bx < ax))
+
+
+def masked_reduce_pair(y: jax.Array, x: jax.Array, mask: jax.Array, op: str):
+    """Ungrouped argmin/argmax: (ordering, payload) of the lexicographic extreme."""
+    iy = jnp.asarray(identity_for(op, y.dtype), dtype=y.dtype)
+    ix = jnp.asarray(identity_for("min", x.dtype), dtype=x.dtype)
+    ym = jnp.where(mask, y, iy)
+    best_y = jnp.min(ym) if op == "min" else jnp.max(ym)
+    at_best = mask & (y == best_y)
+    best_x = jnp.min(jnp.where(at_best, x, ix))
+    return best_y, best_x
+
+
+def direct_group_reduce_pair(
+    y: jax.Array, x: jax.Array, mask: jax.Array, gids: jax.Array,
+    num_groups: int, op: str,
+):
+    """[num_groups] argmin/argmax over (ordering y, payload x) pairs."""
+    iy = jnp.asarray(identity_for(op, y.dtype), dtype=y.dtype)
+    ix = jnp.asarray(identity_for("min", x.dtype), dtype=x.dtype)
+    ys, xs = [], []
+    for g in range(num_groups):
+        sel = mask & (gids == g)
+        ym = jnp.where(sel, y, iy)
+        by = jnp.min(ym) if op == "min" else jnp.max(ym)
+        bx = jnp.min(jnp.where(sel & (y == by), x, ix))
+        ys.append(by)
+        xs.append(bx)
+    return jnp.stack(ys), jnp.stack(xs)
+
+
+def segmented_scan_pair(
+    y: jax.Array, x: jax.Array, boundary: jax.Array, op: str
+):
+    """Inclusive lexicographic-extreme scan of (y, x) pairs, reset at segments."""
+
+    def fn(a, b):
+        ay, ax, ab = a
+        by, bx, bb = b
+        win = _pair_wins(op, ay, ax, by, bx)
+        take = bb | win
+        return (
+            jnp.where(take, by, ay),
+            jnp.where(take, bx, ax),
+            ab | bb,
+        )
+
+    oy, ox, _ = jax.lax.associative_scan(fn, (y, x, boundary))
+    return oy, ox
+
+
 def segmented_scan(values: jax.Array, boundary: jax.Array, op: str) -> jax.Array:
     """Inclusive scan of ``op`` that resets at rows where boundary=True."""
     comb = _COMBINE[op]
@@ -117,6 +174,21 @@ class SortedRuns:
             return at_ends - prev
         scanned = segmented_scan(v, self.boundary, op)
         return jnp.take(scanned, self.end_positions, mode="clip")
+
+    def reduce_pair(
+        self, y: jax.Array, x: jax.Array, value_mask: jax.Array, op: str
+    ):
+        """Per-run lexicographic extreme of (ordering y, payload x) pairs."""
+        iy = jnp.asarray(identity_for(op, y.dtype), dtype=y.dtype)
+        ix = jnp.asarray(identity_for("min", x.dtype), dtype=x.dtype)
+        alive = value_mask & self.mask
+        ys = jnp.where(alive, y, iy)
+        xs = jnp.where(alive, x, ix)
+        sy, sx = segmented_scan_pair(ys, xs, self.boundary, op)
+        return (
+            jnp.take(sy, self.end_positions, mode="clip"),
+            jnp.take(sx, self.end_positions, mode="clip"),
+        )
 
     def first(self, values: jax.Array) -> jax.Array:
         """Value at each run's first row (e.g. the key itself): slot r = run r."""

@@ -35,6 +35,28 @@ _AS_RE = re.compile(r"^(?P<expr>.*?)\s+as\s+(?P<name>[A-Za-z_][A-Za-z_0-9]*)\s*$
 _AGG_RE = re.compile(r"^\s*(?P<fn>[A-Za-z_][A-Za-z_0-9]*)\s*\((?P<arg>.*)\)\s*$", re.DOTALL)
 
 
+def _split_call_args(text):
+    """Split a call's argument text on top-level commas ('' -> [])."""
+    if not text.strip():
+        return []
+    out, depth, start, quote = [], 0, 0, None
+    for i, ch in enumerate(text):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(text[start:i].strip())
+            start = i + 1
+    out.append(text[start:].strip())
+    return out
+
+
 class PlanBuilder:
     def __init__(self, node: Optional[PlanNode] = None):
         self.node = node
@@ -127,12 +149,13 @@ class PlanBuilder:
         aggregates: Sequence[str],
         step: Union[str, AggregationStep] = AggregationStep.SINGLE,
     ) -> "PlanBuilder":
-        """aggregates: 'sum(expr) as name' strings.  Non-field arguments are
-        auto-projected first (the reference PlanBuilder does the same)."""
+        """aggregates: 'sum(expr) as name' strings (multi-argument calls and
+        'count(distinct x)' / 'approx_distinct(x)' supported).  Non-field
+        arguments are auto-projected first (the reference PlanBuilder does the
+        same); distinct aggregates rewrite into a dedupe aggregation feeding a
+        count (the physical plan the reference's planner also emits)."""
         step = AggregationStep(step)
-        agg_names: List[str] = []
-        fns: List[str] = []
-        arg_exprs: List[Optional[Expr]] = []
+        parsed = []  # (fn, [arg texts], name, is_distinct)
         for i, item in enumerate(aggregates):
             m = _AS_RE.match(item)
             if m:
@@ -143,52 +166,119 @@ class PlanBuilder:
             if not call_m:
                 raise ValueError(f"cannot parse aggregate {item!r}")
             fn = call_m.group("fn").lower()
-            arg = call_m.group("arg").strip()
-            if fn == "count" and arg in ("*", ""):
-                arg_exprs.append(None)
+            argtext = call_m.group("arg").strip()
+            distinct = False
+            if fn == "approx_distinct":
+                distinct, fn = True, "count"
+                argtext = _split_call_args(argtext)[0]  # ignore max-error arg
+            elif argtext.lower().startswith("distinct "):
+                distinct = True
+                argtext = argtext[len("distinct "):].strip()
+            if fn == "count" and argtext in ("*", "") and not distinct:
+                args: List[str] = []
             else:
-                arg_exprs.append(self._parse(arg))
-            fns.append(fn)
-            agg_names.append(name)
+                args = _split_call_args(argtext)
+            parsed.append((fn, args, name, distinct))
 
-        # Auto-project: keys + each non-trivial argument.
+        if any(d for _, _, _, d in parsed):
+            return self._aggregation_with_distinct(grouping_keys, parsed, step)
+        return self._plain_aggregation(
+            grouping_keys, [(f, a, n) for f, a, n, _ in parsed], step
+        )
+
+    def _plain_aggregation(self, grouping_keys, items, step) -> "PlanBuilder":
+        """items: (fn, [arg texts], output name)."""
+        arg_lists: List[List[Expr]] = [
+            [self._parse(a) for a in args] for _, args, _ in items
+        ]
         need_project = any(
-            e is not None and not isinstance(e, FieldAccess) for e in arg_exprs
+            not isinstance(e, FieldAccess) for exprs in arg_lists for e in exprs
         )
         key_fields = [FieldAccess(self.schema.type_of(k), k) for k in grouping_keys]
         if need_project:
             names = list(grouping_keys)
             exprs: List[Expr] = list(key_fields)
-            arg_names: List[Optional[str]] = []
-            for i, e in enumerate(arg_exprs):
-                if e is None:
-                    arg_names.append(None)
-                elif isinstance(e, FieldAccess):
-                    if e.name not in names:
-                        names.append(e.name)
+            new_lists: List[List[str]] = []
+            for i, arg_exprs in enumerate(arg_lists):
+                out_names = []
+                for j, e in enumerate(arg_exprs):
+                    if isinstance(e, FieldAccess):
+                        if e.name not in names:
+                            names.append(e.name)
+                            exprs.append(e)
+                        out_names.append(e.name)
+                    else:
+                        nm = f"_a{i}_{j}"
+                        names.append(nm)
                         exprs.append(e)
-                    arg_names.append(e.name)
-                else:
-                    name = f"_a{i}"
-                    names.append(name)
-                    exprs.append(e)
-                    arg_names.append(name)
+                        out_names.append(nm)
+                new_lists.append(out_names)
             self.node = ProjectNode(self.node, tuple(names), tuple(exprs))
-            arg_exprs = [
-                None if n is None else FieldAccess(self.schema.type_of(n), n)
-                for n in arg_names
+            arg_lists = [
+                [FieldAccess(self.schema.type_of(n), n) for n in out_names]
+                for out_names in new_lists
             ]
 
-        calls = []
-        for fn, arg in zip(fns, arg_exprs):
-            from ..exec.aggregates import bind_aggregate
+        from ..exec.aggregates import bind_aggregate
 
-            arg_t = arg.dtype if arg is not None else None
-            bound = bind_aggregate(fn, arg_t, None)
-            calls.append(Call(bound.result_type, fn, (arg,) if arg is not None else ()))
+        calls = []
+        for (fn, _, _), arg_exprs in zip(items, arg_lists):
+            arg_ts = tuple(e.dtype for e in arg_exprs) or None
+            bound = bind_aggregate(fn, arg_ts, None)
+            calls.append(Call(bound.result_type, fn, tuple(arg_exprs)))
         self.node = AggregationNode(
-            self.node, step, tuple(grouping_keys), tuple(agg_names), tuple(calls)
+            self.node,
+            step,
+            tuple(grouping_keys),
+            tuple(n for _, _, n in items),
+            tuple(calls),
         )
+        return self
+
+    def _aggregation_with_distinct(self, grouping_keys, parsed, step) -> "PlanBuilder":
+        """Split distinct and plain aggregates into separate aggregations over
+        the same subtree and join the parts back on the grouping keys (an
+        all-constant key when there are none)."""
+        keys = list(grouping_keys)
+        base = self.node
+        regular = [(f, a, n) for f, a, n, d in parsed if not d]
+        distincts = [(f, a, n) for f, a, n, d in parsed if d]
+        parts: List[PlanBuilder] = []
+        if regular:
+            parts.append(PlanBuilder(base)._plain_aggregation(keys, regular, step))
+        for fn, args, name in distincts:
+            if fn != "count":
+                raise NotImplementedError(
+                    f"distinct is only supported for count, not {fn}"
+                )
+            assert len(args) == 1, "count(distinct ...) takes one argument"
+            pb = PlanBuilder(base)
+            tmp = f"_d_{name}"
+            pb.project(list(keys) + [f"{args[0]} as {tmp}"])
+            pb._plain_aggregation(keys + [tmp], [("count", [], "_c")], step)
+            pb._plain_aggregation(keys, [("count", [], name)], step)
+            parts.append(pb)
+
+        join_keys = keys
+        if not keys:
+            # single-row parts: join on a constant key
+            join_keys = ["_one"]
+            for pb in parts:
+                cols = list(pb.schema.names)
+                pb.project(cols + ["1 as _one"])
+        result = parts[0]
+        for pb in parts[1:]:
+            build_cols = [
+                n for n in pb.schema.names
+                if n not in join_keys and n not in result.schema.names
+            ]
+            result.hash_join(
+                pb, join_keys, join_keys,
+                output=list(result.schema.names) + build_cols,
+            )
+        out_names = list(grouping_keys) + [n for _, _, n, _ in parsed]
+        result.project(out_names)
+        self.node = result.node
         return self
 
     def _sort_keys(self, keys: Sequence[str]):

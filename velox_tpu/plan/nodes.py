@@ -126,8 +126,8 @@ class AggregationNode(PlanNode):
         names = list(self.grouping_keys)
         types: List[DataType] = [in_schema.type_of(k) for k in self.grouping_keys]
         for name, call in zip(self.agg_names, self.aggregates):
-            arg_t = call.args[0].dtype if call.args else None
-            bound = bind_aggregate(call.name, arg_t, None)
+            arg_ts = tuple(a.dtype for a in call.args) or None
+            bound = bind_aggregate(call.name, arg_ts, None)
             names.append(name)
             types.append(bound.result_type)
         self.output_schema = RowType(names, types)
