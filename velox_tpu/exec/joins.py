@@ -59,10 +59,16 @@ class _NormalizedKey:
 
     @staticmethod
     def fit(key_arrays: Sequence[np.ndarray]) -> "_NormalizedKey":
+        return _NormalizedKey.fit_from_bounds(
+            [int(a.min()) if len(a) else 0 for a in key_arrays],
+            [int(a.max()) if len(a) else 0 for a in key_arrays],
+        )
+
+    @staticmethod
+    def fit_from_bounds(los, his) -> "_NormalizedKey":
         mins, maxs, bits = [], [], []
-        for arr in key_arrays:
-            lo = int(arr.min()) if len(arr) else 0
-            hi = int(arr.max()) if len(arr) else 0
+        for lo, hi in zip(los, his):
+            lo, hi = int(lo), max(int(lo), int(hi))
             mins.append(lo)
             maxs.append(hi)
             bits.append(max(1, int(hi - lo).bit_length()))
@@ -102,16 +108,20 @@ class _NormalizedKey:
         return jnp.where(ok, packed, jnp.int64(-1)), ok
 
 
+_KEY_SENTINEL = np.iinfo(np.int64).max
+
+
 @dataclasses.dataclass
 class HashJoinExec:
     """Device-resident build state + trace-time probe application."""
 
     node: HashJoinNode
-    build_keys: jax.Array  # [B] sorted normalized keys
+    build_keys: jax.Array  # [B] sorted normalized keys (invalid tail: sentinel)
     build_cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]]  # sorted payloads
     build_size: int
     build_tables: Dict[str, object]
     normalizer: Optional[_NormalizedKey]  # None for single raw int64 key
+    build_valid: Optional[jax.Array] = None  # [B] live-slot mask (device builds)
 
     @staticmethod
     def build(node: HashJoinNode, build_result: Table) -> "HashJoinExec":
@@ -172,6 +182,151 @@ class HashJoinExec:
             normalizer,
         )
 
+    @staticmethod
+    def build_from_device(node: HashJoinNode, batches, err_scalar) -> "HashJoinExec":
+        """Construct the bridge from device-resident compacted tile batches —
+        the build data never round-trips to the host; only a handful of scalars
+        (row count, duplicate count, key ranges) are fetched.
+
+        This matters because the device can sit behind a slow host link: the
+        reference's HashBuild keeps build rows in host RAM (RowContainer),
+        while here they stay in HBM end to end.
+        """
+        from ..utils.transfer import _prefix_slicer, bucket_of, fetch_tree
+
+        right_schema = node.right.output_schema
+        key_names = list(node.right_keys)
+        jt = node.join_type
+        semi = jt in (JoinType.LEFT_SEMI, JoinType.ANTI)
+        col_names = [
+            n for n in node.output_columns
+            if n in right_schema and n not in key_names
+        ] if not semi else []
+        strings: Dict[str, object] = {}
+        for b in batches:
+            for name, col in zip(b.schema.names, b.columns):
+                if col.strings is not None:
+                    strings[name] = col.strings
+
+        def _concat_col(bs, name):
+            datas, valids = [], []
+            any_valid = False
+            for b in bs:
+                v, val = b.column(name).decode(b.capacity)
+                datas.append(v)
+                valids.append(val)
+                any_valid = any_valid or val is not None
+            data = jnp.concatenate(datas) if len(datas) > 1 else datas[0]
+            validity = None
+            if any_valid:
+                validity = jnp.concatenate(
+                    [
+                        v if v is not None else jnp.ones((b.capacity,), jnp.bool_)
+                        for v, b in zip(valids, bs)
+                    ]
+                ) if len(valids) > 1 else valids[0]
+            return data, validity
+
+        @jax.jit
+        def key_stats(bs):
+            mask = jnp.concatenate([b.active_mask() for b in bs])
+            kvalid = mask
+            keys = []
+            for k in key_names:
+                d, val = _concat_col(bs, k)
+                keys.append(d.astype(jnp.int64))
+                if val is not None:
+                    kvalid = kvalid & val
+            big = jnp.int64(1) << 62
+            mins = jnp.stack([jnp.min(jnp.where(kvalid, k, big)) for k in keys])
+            maxs = jnp.stack([jnp.max(jnp.where(kvalid, k, -big)) for k in keys])
+            return mins, maxs
+
+        if len(key_names) > 1:
+            mins, maxs = fetch_tree(key_stats(batches))  # tiny round trip
+            normalizer = _NormalizedKey.fit_from_bounds(mins, maxs)
+        else:
+            normalizer = None
+
+        @jax.jit
+        def prepare(bs, err):
+            mask = jnp.concatenate([b.active_mask() for b in bs])
+            kvalid = mask
+            keys = []
+            for k in key_names:
+                d, val = _concat_col(bs, k)
+                keys.append(d.astype(jnp.int64))
+                if val is not None:
+                    kvalid = kvalid & val
+            if normalizer is None:
+                packed = keys[0]
+            else:
+                packed, _ = normalizer.pack_device(keys, kvalid)
+            packed = jnp.where(kvalid, packed, jnp.int64(_KEY_SENTINEL))
+            n = packed.shape[0]
+            orig = jnp.arange(n, dtype=jnp.int32)
+            s_inv, s_key, s_orig = jax.lax.sort(
+                (~kvalid, packed, orig), num_keys=2
+            )
+            s_valid = ~s_inv
+            pos = jnp.arange(n, dtype=jnp.int32)
+            prev_eq = (
+                (pos > 0)
+                & s_valid
+                & jnp.roll(s_valid, 1)
+                & (s_key == jnp.roll(s_key, 1))
+            )
+            if semi:
+                keep = s_valid & ~prev_eq
+                u_key = jnp.where(keep, s_key, jnp.int64(_KEY_SENTINEL))
+                u_sorted = jnp.sort(u_key)
+                n_valid = jnp.sum(keep.astype(jnp.int32))
+                return (u_sorted, {}, n_valid, jnp.zeros((), jnp.int32), err)
+            n_valid = jnp.sum(s_valid.astype(jnp.int32))
+            dup = jnp.sum(prev_eq.astype(jnp.int32))
+            cols = {}
+            for name in col_names:
+                data, validity = _concat_col(bs, name)
+                g = jnp.take(data, s_orig, mode="clip")
+                gv = (
+                    None
+                    if validity is None
+                    else jnp.take(validity, s_orig, mode="clip")
+                )
+                cols[name] = (g, gv)
+            return (s_key, cols, n_valid, dup, err)
+
+        s_key, cols, n_valid_d, dup_d, err_d = prepare(batches, err_scalar)
+        n_valid, dup, err = fetch_tree((n_valid_d, dup_d, err_d))  # round trip
+        if int(err):
+            from .runner import _raise_on_errors
+
+            _raise_on_errors(int(err))
+        if int(dup):
+            raise JoinBuildError(
+                "build side has duplicate keys; keep the unique (PK) side as "
+                "build — expansion joins are not supported in this version"
+            )
+        n = int(n_valid)
+        bucket = min(bucket_of(max(n, 1)), s_key.shape[0])
+        flat = [s_key] + [a for g, gv in cols.values() for a in (g,) + ((gv,) if gv is not None else ())]
+        cut = _prefix_slicer(bucket)(tuple(flat))
+        keys_cut = cut[0]
+        out_cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]] = {}
+        i = 1
+        for name, (g, gv) in cols.items():
+            if gv is not None:
+                out_cols[name] = (cut[i], cut[i + 1])
+                i += 2
+            else:
+                out_cols[name] = (cut[i], None)
+                i += 1
+        valid = jnp.arange(bucket, dtype=jnp.int32) < n
+        keys_cut = jnp.where(valid, keys_cut, jnp.int64(_KEY_SENTINEL))
+        return HashJoinExec(
+            node, keys_cut, out_cols, bucket, strings, normalizer, valid
+        )
+
     # ---- sort-merge lookup --------------------------------------------
     def _lookup(self, probe_keys: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """Returns (build_pos [cap] int32, found [cap] bool) in probe order."""
@@ -203,6 +358,9 @@ class HashJoinExec:
             & (last_build >= 0)
             & (jnp.take(self.build_keys, cand, mode="clip") == k_s)
         )
+        if self.build_valid is not None:
+            # device builds pad to a bucket; sentinel tail slots never match
+            hit = hit & jnp.take(self.build_valid, cand, mode="clip")
         # restore probe order: sort by (is_probe, orig); probe section is the tail
         _, o2, pos2, hit2 = jax.lax.sort(
             (p_s, o_s, cand, hit.astype(jnp.int8)), num_keys=2

@@ -358,12 +358,15 @@ class AggExecutor:
         return (keys, accs, count, overflow)
 
     def merge_sorted_carry(self, carry, batch: Batch):
+        return self.merge_partial_into_carry(carry, self.tile_partial(batch))
+
+    def merge_partial_into_carry(self, carry, partial):
         from ..ops.segmented import SortedRuns
 
         keys_c, accs_c, count, overflow = carry
-        tile_keys, tile_accs, nruns = self.tile_partial(batch)
+        tile_keys, tile_accs, nruns = partial
         G = self.capacity
-        cap = batch.capacity
+        cap = tile_keys[0].shape[0]
         idx_g = jnp.arange(G, dtype=jnp.int32)
         idx_t = jnp.arange(cap, dtype=jnp.int32)
         valid = jnp.concatenate([idx_g < count, idx_t < nruns])
@@ -375,12 +378,17 @@ class AggExecutor:
         for acc_c, acc_t in zip(accs_c, tile_accs):
             for a_c, a_t in zip(acc_c, acc_t):
                 flat_accs.append(jnp.concatenate([a_c, a_t.astype(a_c.dtype)]))
-        operands = [~valid] + keys_all + flat_accs + [valid]
-        sorted_ops = jax.lax.sort(operands, num_keys=1 + len(keys_all))
-        keys_s = sorted_ops[1 : 1 + len(keys_all)]
-        accs_s = sorted_ops[1 + len(keys_all) : -1]
-        valid_s = sorted_ops[-1]
+        # sort (liveness, keys, row-id) only; gather accumulators through the
+        # permutation (sort compile cost grows with operand count)
         n = G + cap
+        perm_src = jnp.arange(n, dtype=jnp.int32)
+        sorted_ops = jax.lax.sort(
+            [~valid] + keys_all + [perm_src], num_keys=1 + len(keys_all)
+        )
+        keys_s = sorted_ops[1 : 1 + len(keys_all)]
+        perm = sorted_ops[-1]
+        accs_s = [jnp.take(a, perm, mode="clip") for a in flat_accs]
+        valid_s = jnp.take(valid, perm, mode="clip")
         pos = jnp.arange(n, dtype=jnp.int32)
         diff = jnp.zeros((n,), dtype=jnp.bool_)
         for kv in keys_s:
@@ -613,8 +621,15 @@ class LocalExecutor:
         resolved: List[Tuple] = []
         for step in lin.steps:
             if step[0] == "join":
-                build_result = LocalExecutor(step[1].right, tile_rows).run()
-                resolved.append(("join", HashJoinExec.build(step[1], build_result)))
+                sub = LocalExecutor(step[1].right, tile_rows, config)
+                device = sub.run_device()
+                if device is not None:
+                    # build data stays in HBM end to end (no host round trip)
+                    batches, err = device
+                    exec_ = HashJoinExec.build_from_device(step[1], batches, err)
+                else:
+                    exec_ = HashJoinExec.build(step[1], sub.run())
+                resolved.append(("join", exec_))
             else:
                 resolved.append(step)
         lin.steps = resolved
@@ -657,13 +672,37 @@ class LocalExecutor:
             elif self.config.device_agg_merge:
                 self.kind = "sort_agg_device"
 
-                @functools.partial(jax.jit, donate_argnums=(0,))
-                def sort_tile_step(carry, batch):
-                    state, errs = carry
-                    batch2, err = apply_streaming(batch, lin.steps)
-                    return (ex.merge_sorted_carry(state, batch2), errs + err)
+                # Split into small programs instead of one: the remote AOT
+                # compiler's time grows superlinearly with program size (and
+                # it segfaulted on the fused mega-program), while dispatch is
+                # ~0.1 ms.  Pipelines containing joins (several large sorts
+                # each) additionally split at the pipeline/grouping boundary.
+                has_joins = any(s[0] == "join" for s in lin.steps)
+                if has_joins:
+                    steps_jit = jax.jit(
+                        lambda batch: apply_streaming(batch, lin.steps)
+                    )
 
-                self._sort_tile_step = sort_tile_step
+                    partial_only = jax.jit(lambda b2: ex.tile_partial(b2))
+
+                    def sort_tile_partial(batch):
+                        b2, err = steps_jit(batch)
+                        return partial_only(b2), err
+
+                else:
+
+                    @jax.jit
+                    def sort_tile_partial(batch):
+                        batch2, err = apply_streaming(batch, lin.steps)
+                        return ex.tile_partial(batch2), err
+
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def sort_merge_step(carry, partial, err):
+                    state, errs = carry
+                    return (ex.merge_partial_into_carry(state, partial), errs + err)
+
+                self._sort_tile_partial_jit = sort_tile_partial
+                self._sort_merge_step = sort_merge_step
             else:
                 self.kind = "sort_agg"
 
@@ -730,7 +769,8 @@ class LocalExecutor:
             carry = (ex.init_sorted_carry(), jnp.zeros((), dtype=jnp.int64))
             t0 = time.perf_counter()
             for i in range(n_tiles):
-                carry = self._sort_tile_step(carry, get_tile(i))
+                partial, err = self._sort_tile_partial_jit(get_tile(i))
+                carry = self._sort_merge_step(carry, partial, err)
             (keys_d, accs_d, count_d, overflow_d), errs_d = carry
             # fetch the scalars first, then only the live-group prefix
             count, overflow, errs = fetch_tree((count_d, overflow_d, errs_d))
@@ -889,6 +929,23 @@ class LocalExecutor:
             spiller.cleanup()
         group_keys, merged = ex.merge_partials_host(key_chunks, acc_chunks)
         return ex.extract(group_keys, merged)
+
+    def run_device(self):
+        """Execute a collect-kind pipeline keeping results device-resident.
+
+        Returns (list of compacted device Batches, error-count scalar), or
+        None when the pipeline kind needs host finalization (aggregations,
+        finishers) — callers fall back to ``run()`` there.
+        """
+        if self.kind != "collect" or self.lin.finishers:
+            return None
+        n_tiles = self.source_table.num_tiles(self.capacity)
+        batches, err = [], jnp.zeros((), dtype=jnp.int64)
+        for i in range(n_tiles):
+            out, e = self._tile_out(self.source_table.tile(i, self.capacity))
+            batches.append(out)
+            err = err + e
+        return batches, err
 
     def device_tiles(self) -> List[Batch]:
         """Upload the source scan HBM-resident (steady-state benchmarking)."""

@@ -166,6 +166,82 @@ def _bind_substr(expr: Call, tables, ctx) -> Optional[Expr]:
     return DictLookup(VARCHAR, child, HostArray(codes.astype(np.int32)), out_table)
 
 
+def _literal_args_fn(result_kind, np_dtype, pyfn, makes_strings=False):
+    """Bind fn(str_col, literal...) by evaluating once per dictionary entry.
+
+    Exactly one argument may be a dictionary-backed string expression; the
+    rest must be literals (passed through to ``pyfn`` after the value)."""
+
+    def binder(expr: Call, tables, ctx) -> Optional[Expr]:
+        col_idx = None
+        for i, a in enumerate(expr.args):
+            if not isinstance(a, Constant):
+                if col_idx is not None:
+                    raise ValueError(
+                        f"{expr.name}(): at most one non-literal string argument"
+                    )
+                col_idx = i
+        if col_idx is None:
+            raise ValueError(f"{expr.name}(): needs a string column argument")
+        child = _rewrite(expr.args[col_idx], tables, ctx)
+        table = _table_of(child, tables)
+        if table is None:
+            raise ValueError(
+                f"{expr.name}() requires a dictionary-backed string input"
+            )
+        lits = [
+            a.value for i, a in enumerate(expr.args) if i != col_idx
+        ]
+
+        def fn(v):
+            return pyfn(v, col_idx, *lits)
+
+        if makes_strings:
+            out_table = StringTable()
+            codes = out_table.intern_all([fn(v) for v in table.values()])
+            return DictLookup(
+                VARCHAR, child, HostArray(codes.astype(np.int32)), out_table
+            )
+        arr = _per_entry(table, fn, result_kind, np_dtype)
+        return DictLookup(result_kind, child, arr)
+
+    return binder
+
+
+def _concat_impl(v, col_idx, *lits):
+    parts = list(lits)
+    parts.insert(col_idx, v)
+    return "".join(str(p) for p in parts)
+
+
+def _regexp_extract_impl(v, _ci, pattern, group=0):
+    m = re.search(pattern, v)
+    if m is None:
+        return ""
+    return m.group(int(group))
+
+
+def _bind_date_unit(prefix: str):
+    """date_trunc('month', d) -> Call('date_trunc_month', (d,)): dispatch the
+    literal unit at bind time (reference: DateTimeFunctions.h unit switches)."""
+
+    def binder(expr: Call, tables, ctx) -> Optional[Expr]:
+        unit_e = expr.args[0]
+        if not isinstance(unit_e, Constant) or not isinstance(unit_e.value, str):
+            raise ValueError(f"{expr.name}() requires a literal unit")
+        unit = unit_e.value.lower().rstrip("s") or "day"
+        rest = tuple(_rewrite(a, tables, ctx) for a in expr.args[1:])
+        from ..expr.registry import DEFAULT_REGISTRY
+
+        name = f"{prefix}_{unit}"
+        sig, _, _ = DEFAULT_REGISTRY.resolve(name, [a.dtype for a in rest])
+        return Call(expr.dtype, name, rest)
+
+    return binder
+
+
+_BOOLEAN = BOOLEAN
+
 _STRING_FN_BINDERS: Dict[str, Callable] = {
     "like": _bind_like,
     "length": _unary_string_fn(BIGINT, np.int64, lambda v: len(v)),
@@ -176,4 +252,59 @@ _STRING_FN_BINDERS: Dict[str, Callable] = {
     "rtrim": _unary_string_fn(None, None, lambda v: v.rstrip(), makes_strings=True),
     "reverse": _unary_string_fn(None, None, lambda v: v[::-1], makes_strings=True),
     "substr": _bind_substr,
+    "substring": _bind_substr,
+    "codepoint": _unary_string_fn(
+        BIGINT, np.int64, lambda v: ord(v[0]) if v else 0
+    ),
+    "concat": _literal_args_fn(None, None, _concat_impl, makes_strings=True),
+    "strpos": _literal_args_fn(
+        BIGINT, np.int64, lambda v, _ci, sub: v.find(sub) + 1
+    ),
+    "starts_with": _literal_args_fn(
+        BOOLEAN, np.bool_, lambda v, _ci, p: v.startswith(p)
+    ),
+    "ends_with": _literal_args_fn(
+        BOOLEAN, np.bool_, lambda v, _ci, p: v.endswith(p)
+    ),
+    "replace": _literal_args_fn(
+        None, None, lambda v, _ci, find, repl="": v.replace(find, repl),
+        makes_strings=True,
+    ),
+    "lpad": _literal_args_fn(
+        None, None,
+        lambda v, _ci, n, fill=" ": v if len(v) >= n else (
+            (fill * int(n))[: int(n) - len(v)] + v
+        ),
+        makes_strings=True,
+    ),
+    "rpad": _literal_args_fn(
+        None, None,
+        lambda v, _ci, n, fill=" ": v if len(v) >= n else (
+            v + (fill * int(n))[: int(n) - len(v)]
+        ),
+        makes_strings=True,
+    ),
+    "split_part": _literal_args_fn(
+        None, None,
+        lambda v, _ci, delim, index: (
+            v.split(delim)[int(index) - 1]
+            if 0 < int(index) <= len(v.split(delim))
+            else ""
+        ),
+        makes_strings=True,
+    ),
+    "regexp_like": _literal_args_fn(
+        BOOLEAN, np.bool_, lambda v, _ci, p: re.search(p, v) is not None
+    ),
+    "regexp_extract": _literal_args_fn(
+        None, None, _regexp_extract_impl, makes_strings=True
+    ),
+    "regexp_replace": _literal_args_fn(
+        None, None,
+        lambda v, _ci, p, repl="": re.sub(p, repl, v),
+        makes_strings=True,
+    ),
+    "date_trunc": _bind_date_unit("date_trunc"),
+    "date_diff": _bind_date_unit("date_diff"),
+    "date_add": _bind_date_unit("date_add"),
 }

@@ -185,6 +185,24 @@ for _sname in ("lower", "upper", "trim", "ltrim", "rtrim", "reverse"):
     _reg.register(_sname, [STRINGY], _VARCHAR, _unbound_string_fn(_sname))
 _reg.register("substr", [STRINGY, INT_M], _VARCHAR, _unbound_string_fn("substr"))
 _reg.register("substr", [STRINGY, INT_M, INT_M], _VARCHAR, _unbound_string_fn("substr"))
+_reg.register("substring", [STRINGY, INT_M], _VARCHAR, _unbound_string_fn("substring"))
+_reg.register("substring", [STRINGY, INT_M, INT_M], _VARCHAR, _unbound_string_fn("substring"))
+_reg.register("codepoint", [STRINGY], BIGINT, _unbound_string_fn("codepoint"))
+_reg.register("strpos", [STRINGY, STRINGY], BIGINT, _unbound_string_fn("strpos"))
+for _bname in ("starts_with", "ends_with", "regexp_like"):
+    _reg.register(_bname, [STRINGY, STRINGY], BOOLEAN, _unbound_string_fn(_bname))
+_reg.register("concat", [STRINGY, STRINGY], _VARCHAR, _unbound_string_fn("concat"))
+_reg.register("concat", [STRINGY, STRINGY, STRINGY], _VARCHAR, _unbound_string_fn("concat"))
+_reg.register("replace", [STRINGY, STRINGY], _VARCHAR, _unbound_string_fn("replace"))
+_reg.register("replace", [STRINGY, STRINGY, STRINGY], _VARCHAR, _unbound_string_fn("replace"))
+for _pname in ("lpad", "rpad"):
+    _reg.register(_pname, [STRINGY, INT_M], _VARCHAR, _unbound_string_fn(_pname))
+    _reg.register(_pname, [STRINGY, INT_M, STRINGY], _VARCHAR, _unbound_string_fn(_pname))
+_reg.register("split_part", [STRINGY, STRINGY, INT_M], _VARCHAR, _unbound_string_fn("split_part"))
+_reg.register("regexp_extract", [STRINGY, STRINGY], _VARCHAR, _unbound_string_fn("regexp_extract"))
+_reg.register("regexp_extract", [STRINGY, STRINGY, INT_M], _VARCHAR, _unbound_string_fn("regexp_extract"))
+_reg.register("regexp_replace", [STRINGY, STRINGY], _VARCHAR, _unbound_string_fn("regexp_replace"))
+_reg.register("regexp_replace", [STRINGY, STRINGY, STRINGY], _VARCHAR, _unbound_string_fn("regexp_replace"))
 
 
 def _between(ctx, out_t, arg_ts, x, lo, hi):
@@ -457,6 +475,197 @@ for _name, _impl in [
 ]:
     _reg.register(_name, [TypeKind.DATE], BIGINT, _impl)
     _reg.register(_name, [TypeKind.TIMESTAMP], BIGINT, _impl)
+
+
+# ---- bitwise (reference: functions/prestosql/Bitwise.h) -------------------
+
+
+def _bit(name, fn):
+    _reg.register(
+        name, [INT_M, INT_M], lambda ts: BIGINT,
+        lambda ctx, out_t, arg_ts, a, b, _fn=fn: _fn(
+            a.astype(jnp.int64), b.astype(jnp.int64)
+        ),
+    )
+
+
+_bit("bitwise_and", lambda a, b: a & b)
+_bit("bitwise_or", lambda a, b: a | b)
+_bit("bitwise_xor", lambda a, b: a ^ b)
+_bit("bitwise_left_shift", lambda a, b: a << b)
+_bit("bitwise_right_shift", lambda a, b: (a.astype(jnp.uint64) >> b.astype(jnp.uint64)).astype(jnp.int64))
+_bit("bitwise_arithmetic_shift_right", lambda a, b: a >> b)
+_reg.register(
+    "bitwise_not", [INT_M], BIGINT,
+    lambda ctx, out_t, arg_ts, a: ~a.astype(jnp.int64),
+)
+
+
+def _popcount(ctx, out_t, arg_ts, a):
+    x = a.astype(jnp.uint64)
+    x = x - ((x >> 1) & jnp.uint64(0x5555555555555555))
+    x = (x & jnp.uint64(0x3333333333333333)) + ((x >> 2) & jnp.uint64(0x3333333333333333))
+    x = (x + (x >> 4)) & jnp.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * jnp.uint64(0x0101010101010101)) >> 56).astype(jnp.int64)
+
+
+_reg.register("bit_count", [INT_M], BIGINT, _popcount)
+
+# ---- more math -------------------------------------------------------------
+
+_reg.register("log2", [TypeKind.DOUBLE], DOUBLE, lambda c, o, t, a: jnp.log2(a))
+_reg.register("log10", [TypeKind.DOUBLE], DOUBLE, lambda c, o, t, a: jnp.log10(a))
+_reg.register("degrees", [TypeKind.DOUBLE], DOUBLE, lambda c, o, t, a: jnp.degrees(a))
+_reg.register("radians", [TypeKind.DOUBLE], DOUBLE, lambda c, o, t, a: jnp.radians(a))
+_reg.register("atan2", [TypeKind.DOUBLE, TypeKind.DOUBLE], DOUBLE, lambda c, o, t, a, b: jnp.arctan2(a, b))
+_reg.register("is_nan", [TypeKind.DOUBLE], BOOLEAN, lambda c, o, t, a: jnp.isnan(a))
+_reg.register("is_finite", [TypeKind.DOUBLE], BOOLEAN, lambda c, o, t, a: jnp.isfinite(a))
+_reg.register("is_infinite", [TypeKind.DOUBLE], BOOLEAN, lambda c, o, t, a: jnp.isinf(a))
+
+
+def _truncate(ctx, out_t, arg_ts, a, *rest):
+    if arg_ts[0].kind == TypeKind.DECIMAL or arg_ts[0].is_integer:
+        return a  # decimal truncate handled by cast layer; ints are exact
+    n = rest[0] if rest else 0
+    factor = 10.0 ** n
+    return jnp.trunc(a * factor) / factor
+
+
+_reg.register("truncate", [TypeKind.DOUBLE], DOUBLE, _truncate)
+_reg.register("truncate", [TypeKind.DOUBLE, INT_M], DOUBLE, _truncate)
+
+# ---- more date functions (reference: prestosql/DateTimeFunctions.h) --------
+
+
+def _week_of_year(ctx, out_t, arg_ts, a):
+    """ISO 8601 week number."""
+    days = _date_days(a, arg_ts[0]).astype(jnp.int64)
+    dow = (days + 3) % 7  # 0=Monday
+    thursday = days - dow + 3
+    y, _, _, _ = _civil_from_days(thursday)
+    jan1 = _days_from_civil_jnp(
+        y, jnp.ones_like(y, dtype=jnp.int64), jnp.ones_like(y, dtype=jnp.int64)
+    )
+    return (thursday - jan1) // 7 + 1
+
+
+def _year_of_week(ctx, out_t, arg_ts, a):
+    days = _date_days(a, arg_ts[0]).astype(jnp.int64)
+    dow = (days + 3) % 7
+    thursday = days - dow + 3
+    y, _, _, _ = _civil_from_days(thursday)
+    return y.astype(jnp.int64)
+
+
+def _last_day_of_month(ctx, out_t, arg_ts, a):
+    days = _date_days(a, arg_ts[0]).astype(jnp.int64)
+    y, m, _, _ = _civil_from_days(days)
+    ny = jnp.where(m == 12, y + 1, y)
+    nm = jnp.where(m == 12, jnp.ones_like(m), m + 1)
+    first_next = _days_from_civil_jnp(ny, nm, jnp.ones_like(m))
+    return (first_next - 1).astype(jnp.int32)
+
+
+for _name, _impl in [("week", _week_of_year), ("week_of_year", _week_of_year),
+                     ("year_of_week", _year_of_week), ("yow", _year_of_week)]:
+    _reg.register(_name, [TypeKind.DATE], BIGINT, _impl)
+    _reg.register(_name, [TypeKind.TIMESTAMP], BIGINT, _impl)
+from ...dtypes import DATE as _DATE  # noqa: E402
+
+_reg.register("last_day_of_month", [TypeKind.DATE], _DATE, _last_day_of_month)
+
+
+def _trunc_to(unit):
+    def impl(ctx, out_t, arg_ts, a):
+        days = _date_days(a, arg_ts[0]).astype(jnp.int64)
+        y, m, d, _ = _civil_from_days(days)
+        one = jnp.ones_like(m)
+        if unit == "year":
+            out = _days_from_civil_jnp(y, one, one)
+        elif unit == "quarter":
+            qm = ((m - 1) // 3) * 3 + 1
+            out = _days_from_civil_jnp(y, qm, one)
+        elif unit == "month":
+            out = _days_from_civil_jnp(y, m, one)
+        elif unit == "week":
+            out = days - (days + 3) % 7  # Monday
+        else:  # day
+            out = days
+        return out.astype(jnp.int32)
+
+    return impl
+
+
+for _unit in ("year", "quarter", "month", "week", "day"):
+    _reg.register(f"date_trunc_{_unit}", [TypeKind.DATE], _DATE, _trunc_to(_unit))
+
+
+def _months_between_floor(a_days, b_days):
+    """Whole months from a to b (Presto date_diff('month', a, b))."""
+    ya, ma, da, _ = _civil_from_days(a_days)
+    yb, mb, db, _ = _civil_from_days(b_days)
+    months = (yb - ya) * 12 + (mb - ma)
+    # subtract one when b's day-of-month is earlier than a's
+    return months - (db < da).astype(months.dtype)
+
+
+def _date_diff(unit):
+    def impl(ctx, out_t, arg_ts, a, b):
+        a64 = _date_days(a, arg_ts[0]).astype(jnp.int64)
+        b64 = _date_days(b, arg_ts[1]).astype(jnp.int64)
+        if unit == "day":
+            return b64 - a64
+        if unit == "week":
+            return (b64 - a64) // 7
+        if unit == "month":
+            return _months_between_floor(a64, b64)
+        if unit == "quarter":
+            return _months_between_floor(a64, b64) // 3
+        return _months_between_floor(a64, b64) // 12  # year
+
+    return impl
+
+
+for _unit in ("day", "week", "month", "quarter", "year"):
+    _reg.register(
+        f"date_diff_{_unit}", [TypeKind.DATE, TypeKind.DATE], BIGINT, _date_diff(_unit)
+    )
+
+
+def _date_add_unit(unit):
+    def impl(ctx, out_t, arg_ts, n, d):
+        days = _date_days(d, arg_ts[1]).astype(jnp.int64)
+        n64 = n.astype(jnp.int64)
+        if unit == "day":
+            return (days + n64).astype(jnp.int32)
+        if unit == "week":
+            return (days + 7 * n64).astype(jnp.int32)
+        y, m, dd, _ = _civil_from_days(days)
+        months = n64 * (12 if unit == "year" else (3 if unit == "quarter" else 1))
+        total = y * 12 + (m - 1) + months
+        ny, nm = total // 12, total % 12 + 1
+        # clamp day to the target month's length (Presto semantics)
+        none = jnp.ones_like(nm)
+        nny = jnp.where(nm == 12, ny + 1, ny)
+        nnm = jnp.where(nm == 12, none, nm + 1)
+        month_len = _days_from_civil_jnp(nny, nnm, none) - _days_from_civil_jnp(ny, nm, none)
+        dd = jnp.minimum(dd, month_len)
+        return _days_from_civil_jnp(ny, nm, dd).astype(jnp.int32)
+
+    return impl
+
+
+for _unit in ("day", "week", "month", "quarter", "year"):
+    _reg.register(
+        f"date_add_{_unit}", [INT_M, TypeKind.DATE], _DATE, _date_add_unit(_unit)
+    )
+
+
+# Unit-literal date functions: parse-time signatures; the bind-time rewrite
+# (expr/binding.py) dispatches to the date_{trunc,diff,add}_<unit> kernels.
+_reg.register("date_trunc", [STRINGY, TypeKind.DATE], _DATE, _unbound_string_fn("date_trunc"))
+_reg.register("date_diff", [STRINGY, TypeKind.DATE, TypeKind.DATE], BIGINT, _unbound_string_fn("date_diff"))
+_reg.register("date_add", [STRINGY, INT_M, TypeKind.DATE], _DATE, _unbound_string_fn("date_add"))
 
 
 def register_all() -> None:

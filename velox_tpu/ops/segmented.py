@@ -190,10 +190,21 @@ class SortedRuns:
             jnp.take(sx, self.end_positions, mode="clip"),
         )
 
+    def start_positions(self) -> jax.Array:
+        """[capacity] int32: slot r = row index of run r's first element.
+
+        Valid rows form a contiguous prefix (liveness-first sort) and runs tile
+        it, so run r starts right after run r-1 ends — no scan needed."""
+        starts = jnp.roll(self.end_positions, 1) + 1
+        return jnp.where(
+            jnp.arange(self.capacity, dtype=jnp.int32) == 0,
+            jnp.int32(0),
+            starts,
+        )
+
     def first(self, values: jax.Array) -> jax.Array:
         """Value at each run's first row (e.g. the key itself): slot r = run r."""
-        kept = segmented_scan(values, self.boundary, "first")
-        return jnp.take(kept, self.end_positions, mode="clip")
+        return jnp.take(values, self.start_positions(), mode="clip")
 
     def run_mask(self) -> jax.Array:
         return (
