@@ -17,6 +17,8 @@ min_by/max_by keep (ordering, payload) accumulator *pairs* combined
 lexicographically (``pairs`` field) — the columnar analog of the reference's
 MinMaxByAggregates.cpp comparator state.  Ties break toward the smaller payload,
 making results deterministic (the reference returns an arbitrary tied row).
+Documented deviation: rows where ANY argument is null are skipped (the
+reference keeps null payloads and can return NULL for min_by).
 
 Exactness: decimal/integer sums accumulate in int64 (fixed-point), so tiling and
 merge order cannot change results; floating inputs accumulate in float64.

@@ -83,10 +83,19 @@ class ArrayGrouping:
 
 class SortGrouping:
     """Per-tile sort + run-boundary grouping; group count is data-dependent but
-    bounded by the tile capacity (static)."""
+    bounded by the tile capacity (static).
 
-    def __init__(self, keys: Sequence[KeyInfo]):
+    ``presorted=True`` skips the sort: the input is already ordered by (at
+    least) the first key — e.g. downstream of a sort-merge join — so equal key
+    tuples are grouped by adjacent comparison alone.  Runs may then split a
+    logical group (secondary keys interleave within a primary-key run); the
+    carry merge collapses such duplicates, so the executor must always run the
+    merge step in this mode (reference: exec/StreamingAggregation.h, which
+    likewise relies on sorted inputs)."""
+
+    def __init__(self, keys: Sequence[KeyInfo], presorted: bool = False):
         self.keys = list(keys)
+        self.presorted = presorted
 
     def sort_and_group(
         self, batch: Batch, payload: Sequence[jax.Array], mask: jax.Array
@@ -101,6 +110,17 @@ class SortGrouping:
 
         cap = batch.capacity
         key_vals = [batch.column(k.name).decode(cap)[0] for k in self.keys]
+        if self.presorted:
+            # already key-ordered (dead rows keep their key values, so runs
+            # spanning dead rows stay intact); no sort at all
+            sorted_keys, sorted_payload, sorted_mask = key_vals, list(payload), mask
+            idx = jnp.arange(cap, dtype=jnp.int32)
+            diff = jnp.zeros((cap,), dtype=jnp.bool_)
+            for kv in sorted_keys:
+                diff = diff | (kv != jnp.roll(kv, 1))
+            boundary = sorted_mask & ((idx == 0) | diff)
+            runs = SortedRuns(boundary, sorted_mask)
+            return sorted_keys, sorted_payload, sorted_mask, runs
         # Sort only (liveness, keys, row-id) and gather payloads through the
         # permutation: TPU sort compile time grows ~linearly with operand
         # count (measured ~10 s/operand at 4M rows), gathers are cheap.

@@ -328,14 +328,28 @@ class HashJoinExec:
         )
 
     # ---- sort-merge lookup --------------------------------------------
-    def _lookup(self, probe_keys: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        """Returns (build_pos [cap] int32, found [cap] bool) in probe order."""
+    def _lookup_sorted(
+        self, probe_keys: jax.Array, probe_live: jax.Array, key_ok: jax.Array
+    ):
+        """Match probe keys against the sorted build side.
+
+        Returns (perm, pos, hit, live) of length cap, in **join-key order with
+        live rows first**: perm[i] is the probe-row index occupying output slot
+        i.  Emitting key-sorted output (instead of restoring probe order) costs
+        the same second sort but leaves the batch pre-grouped for downstream
+        aggregations — the engine's analog of the reference's streaming
+        aggregation over sorted keys (velox/exec/StreamingAggregation.h).
+        """
         cap = probe_keys.shape[0]
         B = self.build_size
         if B == 0:
+            nothing = jnp.zeros((cap,), jnp.bool_)
+            keeps_all = self.node.join_type in (JoinType.ANTI, JoinType.LEFT)
             return (
+                jnp.arange(cap, dtype=jnp.int32),
                 jnp.zeros((cap,), jnp.int32),
-                jnp.zeros((cap,), jnp.bool_),
+                nothing,
+                probe_live if keeps_all else nothing,
             )
         kt = self.build_keys.dtype
         all_keys = jnp.concatenate([self.build_keys, probe_keys.astype(kt)])
@@ -361,53 +375,60 @@ class HashJoinExec:
         if self.build_valid is not None:
             # device builds pad to a bucket; sentinel tail slots never match
             hit = hit & jnp.take(self.build_valid, cand, mode="clip")
-        # restore probe order: sort by (is_probe, orig); probe section is the tail
-        _, o2, pos2, hit2 = jax.lax.sort(
-            (p_s, o_s, cand, hit.astype(jnp.int8)), num_keys=2
+        # null/out-of-range probe keys never match
+        hit = hit & jnp.take(key_ok, jnp.clip(o_s, 0, cap - 1), mode="clip")
+        # classify: live probe rows first (key-ordered), dead probe rows next,
+        # build rows last; one stable flag sort compacts all three classes
+        live_s = (p_s == 1) & jnp.take(
+            probe_live, jnp.clip(o_s, 0, cap - 1), mode="clip"
         )
-        return pos2[B:], hit2[B:].astype(jnp.bool_)
+        jt = self.node.join_type
+        if jt in (JoinType.INNER, JoinType.LEFT_SEMI):
+            live_s = live_s & hit
+        elif jt == JoinType.ANTI:
+            live_s = live_s & ~hit
+        # LEFT: probe-preserving — every live probe row stays live
+        flag = jnp.where(
+            p_s == 0, jnp.int8(2), jnp.where(live_s, jnp.int8(0), jnp.int8(1))
+        )
+        _, o2, pos2, hit2, live2 = jax.lax.sort(
+            (flag, o_s, cand, hit.astype(jnp.int8), live_s.astype(jnp.int8)),
+            num_keys=1,
+            is_stable=True,
+        )
+        return (
+            o2[:cap],
+            pos2[:cap],
+            hit2[:cap].astype(jnp.bool_),
+            live2[:cap].astype(jnp.bool_),
+        )
 
     # ---- trace-time probe -------------------------------------------------
     def probe(self, batch: Batch) -> Batch:
         node = self.node
         cap = batch.capacity
         left_schema = node.left.output_schema
+        jt = node.join_type
+        if jt not in (
+            JoinType.INNER, JoinType.LEFT_SEMI, JoinType.ANTI, JoinType.LEFT
+        ):
+            raise NotImplementedError(f"join type {jt} not yet supported")
 
         probe_vals: List[jax.Array] = []
-        probe_valid: Optional[jax.Array] = None
+        key_ok = jnp.ones((cap,), dtype=jnp.bool_)
         for k in node.left_keys:
             values, validity = batch.column(k).decode(cap)
             probe_vals.append(values)
             if validity is not None:
-                probe_valid = (
-                    validity if probe_valid is None else (probe_valid & validity)
-                )
+                key_ok = key_ok & validity
         if self.normalizer is None:
             probe_keys = probe_vals[0].astype(jnp.int64)
-            in_range = None
         else:
-            valid = (
-                probe_valid
-                if probe_valid is not None
-                else jnp.ones((cap,), dtype=jnp.bool_)
-            )
-            probe_keys, in_range = self.normalizer.pack_device(probe_vals, valid)
+            probe_keys, key_ok = self.normalizer.pack_device(probe_vals, key_ok)
 
-        pos, found = self._lookup(probe_keys)
-        if probe_valid is not None:
-            found = found & probe_valid
-        if in_range is not None:
-            found = found & in_range
-
-        jt = node.join_type
-        if jt in (JoinType.INNER, JoinType.LEFT_SEMI):
-            batch = batch.with_selection(found)
-        elif jt == JoinType.ANTI:
-            batch = batch.with_selection(~found)
-        elif jt == JoinType.LEFT:
-            pass  # probe-preserving
-        else:
-            raise NotImplementedError(f"join type {jt} not yet supported")
+        perm, pos, hit, live = self._lookup_sorted(
+            probe_keys, batch.active_mask(), key_ok
+        )
 
         out_cols: List[Column] = []
         right_key_to_left = dict(zip(node.right_keys, node.left_keys))
@@ -415,12 +436,24 @@ class HashJoinExec:
             node.output_schema.names, node.output_schema.types
         ):
             if name in left_schema:
-                out_cols.append(batch.column(name))
+                col = batch.column(name)
+                values, validity = col.decode(cap)
+                g = jnp.take(values, perm, mode="clip")
+                gv = (
+                    None
+                    if validity is None
+                    else jnp.take(validity, perm, mode="clip")
+                )
+                out_cols.append(Column.flat(g, dtype, gv, col.strings))
             elif name in right_key_to_left:
                 # a right key equals the corresponding left key on matched rows
                 left_name = right_key_to_left[name]
-                values = probe_vals[list(node.left_keys).index(left_name)]
-                validity = found if jt == JoinType.LEFT else None
+                values = jnp.take(
+                    probe_vals[list(node.left_keys).index(left_name)],
+                    perm,
+                    mode="clip",
+                )
+                validity = hit if jt == JoinType.LEFT else None
                 out_cols.append(
                     Column.flat(
                         values.astype(dtype.device_dtype), dtype, validity
@@ -439,7 +472,7 @@ class HashJoinExec:
                         else jnp.take(validity, pos, mode="clip")
                     )
                 if jt == JoinType.LEFT:
-                    gv = found if gv is None else (gv & found)
+                    gv = hit if gv is None else (gv & hit)
                 out_cols.append(
                     Column.flat(gathered, dtype, gv, self.build_tables.get(name))
                 )
@@ -447,4 +480,12 @@ class HashJoinExec:
             raise NotImplementedError(
                 "use FilterNode above an INNER join for non-equi conditions"
             )
-        return batch.with_columns(node.output_schema, out_cols)
+        # rows were re-ordered: live rows form a key-sorted prefix; the batch's
+        # length/selection are rebuilt from the lookup's liveness
+        return Batch(
+            tuple(out_cols),
+            jnp.asarray(cap, dtype=jnp.int32),
+            live,
+            node.output_schema,
+            cap,
+        )

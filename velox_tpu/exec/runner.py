@@ -153,6 +153,41 @@ def _linearize(root: PlanNode) -> _Linear:
     return _Linear(node, steps, agg, finishers)
 
 
+def _pipeline_sort_keys(steps) -> Tuple[str, ...]:
+    """Static walk of resolved pipeline steps: column names the final batch is
+    key-ordered by (joins emit key-sorted output; projects track renames)."""
+    sorted_by: Tuple[str, ...] = ()
+    for step in steps:
+        if step[0] == "join":
+            exec_ = step[1]
+            node = exec_.node
+            out = set(node.output_columns)
+            names = []
+            for lk, rk in zip(node.left_keys, node.right_keys):
+                if lk in out:
+                    names.append(lk)
+                elif rk in out:  # right key column carries the same values
+                    names.append(rk)
+                else:
+                    break
+            sorted_by = tuple(names)
+        elif step[0] == "project":
+            _, names, exprs, _schema = step
+            mapping = {}
+            for n, e in zip(names, exprs):
+                if isinstance(e, FieldAccess):
+                    mapping.setdefault(e.name, n)
+            kept = []
+            for k in sorted_by:
+                if k in mapping:
+                    kept.append(mapping[k])
+                else:
+                    break
+            sorted_by = tuple(kept)
+        # filters preserve order
+    return sorted_by
+
+
 # ---------------------------------------------------------------------------
 # Streaming operator application (trace-time)
 
@@ -188,9 +223,10 @@ def apply_streaming(batch: Batch, steps: Sequence[Tuple]):
 class AggExecutor:
     """Executes one AggregationNode over a stream of tiles."""
 
-    def __init__(self, node: AggregationNode, capacity: int):
+    def __init__(self, node: AggregationNode, capacity: int, presorted: bool = False):
         self.node = node
         self.capacity = capacity
+        self.presorted = presorted
         in_schema = node.source.output_schema
         self.aggs: List[BoundAggregate] = []
         self.arg_names: List[List[str]] = []
@@ -257,7 +293,7 @@ class AggExecutor:
             self.num_groups = self.grouping.num_groups
         else:
             self.mode = "sort"
-            self.grouping = SortGrouping(self.key_infos)
+            self.grouping = SortGrouping(self.key_infos, presorted)
             self.num_groups = capacity
 
     # ---- direct modes (ungrouped / array): carried accumulators ----------
@@ -346,8 +382,8 @@ class AggExecutor:
     # (velox/exec/GroupingSet.cpp), re-shaped for a device with fast sorts and
     # a high-latency host link.
 
-    def init_sorted_carry(self):
-        G = self.capacity
+    def init_sorted_carry(self, G: Optional[int] = None):
+        G = G or self.capacity
         keys = tuple(
             jnp.zeros((G,), dtype=info.dtype.device_dtype)
             for info in self.key_infos
@@ -365,8 +401,10 @@ class AggExecutor:
 
         keys_c, accs_c, count, overflow = carry
         tile_keys, tile_accs, nruns = partial
-        G = self.capacity
+        G = keys_c[0].shape[0]
         cap = tile_keys[0].shape[0]
+        # a partial shrunk to fewer slots than it has runs lost groups
+        overflow = overflow + (nruns > cap).astype(jnp.int32)
         idx_g = jnp.arange(G, dtype=jnp.int32)
         idx_t = jnp.arange(cap, dtype=jnp.int32)
         valid = jnp.concatenate([idx_g < count, idx_t < nruns])
@@ -657,7 +695,13 @@ class LocalExecutor:
         self.agg_exec: Optional[AggExecutor] = None
 
         if lin.agg is not None:
-            ex = AggExecutor(lin.agg, self.capacity)
+            sort_keys = _pipeline_sort_keys(lin.steps)
+            presorted = bool(
+                sort_keys
+                and lin.agg.grouping_keys
+                and sort_keys[0] == lin.agg.grouping_keys[0]
+            )
+            ex = AggExecutor(lin.agg, self.capacity, presorted)
             self.agg_exec = ex
             if ex.mode in ("ungrouped", "array"):
                 self.kind = "direct_agg"
@@ -765,13 +809,41 @@ class LocalExecutor:
             _raise_on_errors(int(errs))
             result = ex.extract(None, accs_np, rowcounts_np)
         elif self.kind == "sort_agg_device":
+            from ..utils.transfer import _prefix_slicer, bucket_of
+
             ex = self.agg_exec
-            carry = (ex.init_sorted_carry(), jnp.zeros((), dtype=jnp.int64))
             t0 = time.perf_counter()
-            for i in range(n_tiles):
-                partial, err = self._sort_tile_partial_jit(get_tile(i))
-                carry = self._sort_merge_step(carry, partial, err)
-            (keys_d, accs_d, count_d, overflow_d), errs_d = carry
+            partial0, err0 = self._sort_tile_partial_jit(get_tile(0))
+            if n_tiles == 1 and not ex.presorted:
+                # single tile: the partial IS the final state — no merge
+                keys_d, accs_d = partial0[0], partial0[1]
+                count_d, errs_d = partial0[2], err0
+                overflow_d = jnp.zeros((), dtype=jnp.int32)
+            else:
+                # adaptive carry size: ~4x tile 0's group count (the reference
+                # sizes its hash table adaptively too, HashTable::decideHashMode);
+                # undersized carries are detected on device and fall back
+                (nruns0,) = fetch_tree((partial0[2],))
+                G = min(self.capacity, bucket_of(max(int(nruns0), 1) * 4))
+
+                def shrink(partial):
+                    keys, accs, nruns = partial
+                    if G == self.capacity:
+                        return partial
+                    cut = _prefix_slicer(G)
+                    keys2 = cut(tuple(keys))
+                    accs2 = tuple(cut(tuple(acc)) for acc in accs)
+                    return (keys2, accs2, nruns)
+
+                carry = (
+                    ex.init_sorted_carry(G),
+                    jnp.zeros((), dtype=jnp.int64),
+                )
+                carry = self._sort_merge_step(carry, shrink(partial0), err0)
+                for i in range(1, n_tiles):
+                    partial, err = self._sort_tile_partial_jit(get_tile(i))
+                    carry = self._sort_merge_step(carry, shrink(partial), err)
+                (keys_d, accs_d, count_d, overflow_d), errs_d = carry
             # fetch the scalars first, then only the live-group prefix
             count, overflow, errs = fetch_tree((count_d, overflow_d, errs_d))
             if int(overflow):
