@@ -104,3 +104,46 @@ def test_hash64_determinism():
     # different keys overwhelmingly map to different hashes
     h = np.asarray(hash64(jnp.arange(1000, dtype=jnp.int64)))
     assert len(np.unique(h)) == 1000
+
+
+def test_join_groupby_distributed(mesh):
+    """Sharded probe + replicated broadcast build + exchanged group merge."""
+    import numpy as np
+
+    from velox_tpu.connectors.tpch import generate_table
+    from velox_tpu.connectors.tpch.plans import build_q3
+    from velox_tpu.exec.runner import LocalExecutor
+
+    tables = {
+        t: generate_table(t, 0.01)
+        for t in ("customer", "orders", "lineitem")
+    }
+    plan = build_q3(tables["customer"], tables["orders"], tables["lineitem"])
+    local = LocalExecutor(plan, tile_rows=1 << 14).run().to_pandas()
+    dist = DistributedExecutor(plan, mesh, per_device_rows=1 << 13).run().to_pandas()
+    pd.testing.assert_frame_equal(local, dist)
+
+
+def test_distributed_multi_tile(mesh):
+    import velox_tpu.dtypes as vt
+    from velox_tpu.dtypes import RowType
+    from velox_tpu.io.table import Table
+    from velox_tpu.plan import PlanBuilder
+
+    rng = np.random.default_rng(3)
+    n = 6000
+    t = Table(
+        RowType(["k", "v"], [vt.BIGINT, vt.BIGINT]),
+        {"k": rng.integers(0, 500, n), "v": rng.integers(-9, 9, n)},
+    )
+    plan = (
+        PlanBuilder().table_scan(t)
+        .aggregation(["k"], ["sum(v) as s", "min(v) as lo"])
+        .orderby(["k"]).build()
+    )
+    from velox_tpu.exec.runner import LocalExecutor
+
+    local = LocalExecutor(plan).run().to_pandas()
+    # several sharded tiles -> several exchange rounds into the carried state
+    dist = DistributedExecutor(plan, mesh, per_device_rows=128).run().to_pandas()
+    pd.testing.assert_frame_equal(local, dist)

@@ -397,17 +397,25 @@ class AggExecutor:
         return self.merge_partial_into_carry(carry, self.tile_partial(batch))
 
     def merge_partial_into_carry(self, carry, partial):
+        """Merge one partial-groups tuple into the carry.  The partial's third
+        element is either a run-count scalar (slots [0, n) valid) or an
+        explicit boolean validity mask (exchange-received groups are scattered
+        across per-source bucket prefixes)."""
         from ..ops.segmented import SortedRuns
 
         keys_c, accs_c, count, overflow = carry
-        tile_keys, tile_accs, nruns = partial
+        tile_keys, tile_accs, liveness = partial
         G = keys_c[0].shape[0]
         cap = tile_keys[0].shape[0]
-        # a partial shrunk to fewer slots than it has runs lost groups
-        overflow = overflow + (nruns > cap).astype(jnp.int32)
         idx_g = jnp.arange(G, dtype=jnp.int32)
         idx_t = jnp.arange(cap, dtype=jnp.int32)
-        valid = jnp.concatenate([idx_g < count, idx_t < nruns])
+        if getattr(liveness, "ndim", 0) == 0:
+            # a partial shrunk to fewer slots than it has runs lost groups
+            overflow = overflow + (liveness > cap).astype(jnp.int32)
+            tile_valid = idx_t < liveness
+        else:
+            tile_valid = liveness
+        valid = jnp.concatenate([idx_g < count, tile_valid])
         keys_all = [
             jnp.concatenate([kc, tk.astype(kc.dtype)])
             for kc, tk in zip(keys_c, tile_keys)
