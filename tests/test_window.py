@@ -130,3 +130,41 @@ def test_percent_rank_cume_dist():
     got = run_window(df, ["percent_rank() as pr", "cume_dist() as cd"]).sort_values("v")
     np.testing.assert_allclose(got["pr"].to_numpy(), [0.0, 0.0, 2 / 3, 1.0])
     np.testing.assert_allclose(got["cd"].to_numpy(), [0.5, 0.5, 0.75, 1.0])
+
+
+def test_nth_value_and_rows_frames():
+    import pandas as pd
+
+    t = table_of(
+        pd.DataFrame(
+            {
+                "g": [1, 1, 1, 1, 2, 2, 2],
+                "o": [1, 2, 3, 4, 1, 2, 3],
+                "v": [10, 20, 30, 40, 5, 6, 7],
+            }
+        )
+    )
+    plan = (
+        PlanBuilder()
+        .table_scan(t)
+        .window(
+            ["g"], ["o"],
+            [
+                "nth_value(v, 2) as nv",
+                "sum(v) rows between 1 preceding and 1 following as ws",
+                "count(v) rows between unbounded preceding and current row as wc",
+                "avg(v) rows between 1 preceding and current row as wa",
+            ],
+        )
+        .build()
+    )
+    out = run_plan(plan).to_pandas().sort_values(["g", "o"]).reset_index(drop=True)
+    # nth_value becomes visible once the frame reaches row 2
+    assert out["nv"].tolist() == [None, 20, 20, 20, None, 6, 6]
+    assert out["ws"].tolist() == [30, 60, 90, 70, 11, 18, 13]
+    assert out["wc"].tolist() == [1, 2, 3, 4, 1, 2, 3]
+    df = pd.DataFrame({"g": out["g"], "v": [10, 20, 30, 40, 5, 6, 7]})
+    expect_wa = (
+        df.groupby("g")["v"].rolling(2, min_periods=1).mean().reset_index(drop=True)
+    )
+    assert out["wa"].tolist() == expect_wa.tolist()

@@ -1,0 +1,186 @@
+"""Hive-style connector: directory datasets of parquet files.
+
+Reference: velox/connectors/hive/ — HiveConnector (:29), HiveConnectorSplit
+(file + byte range + partition keys), HiveDataSource (builds a ScanSpec from
+pushed filters, HiveDataSource.h:76), HiveDataSink (partitioned/bucketed
+writes, HiveDataSink.h:398), partition-name codecs (dwio/catalog/fbhive).
+
+Supported here: datasets laid out as ``root/col=value/.../part-*.parquet``
+(Hive partition directories, any depth), column pruning, partition-key
+pruning from a pushed predicate (the reference's partition filter), parallel
+file reads on a thread pool (the reference's split preloading,
+velox/exec/TableScan.cpp:245), and partitioned writes.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+import os
+import re
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ...dtypes import RowType, VARCHAR
+from ...io.table import Table
+from ...vector.string_table import StringTable
+from ..base import Connector, ConnectorSplit, DataSink, DataSource, register_connector
+
+_PART_RE = re.compile(r"^([A-Za-z_][A-Za-z_0-9]*)=(.*)$")
+
+
+def _discover(root: str) -> List[ConnectorSplit]:
+    """Walk a dataset directory into splits with partition keys."""
+    splits: List[ConnectorSplit] = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+        rel = os.path.relpath(dirpath, root)
+        keys: Dict[str, str] = {}
+        if rel != ".":
+            for comp in rel.split(os.sep):
+                m = _PART_RE.match(comp)
+                if m:
+                    keys[m.group(1)] = m.group(2)
+        for fn in sorted(filenames):
+            if fn.endswith(".parquet"):
+                splits.append(
+                    ConnectorSplit(os.path.join(dirpath, fn), partition_keys=keys)
+                )
+    return splits
+
+
+class HiveDataSource(DataSource):
+    def __init__(
+        self,
+        columns: Optional[Sequence[str]] = None,
+        partition_filter: Optional[Callable[[Dict[str, str]], bool]] = None,
+        max_workers: int = 8,
+    ):
+        self.columns = list(columns) if columns else None
+        self.partition_filter = partition_filter
+        self.max_workers = max_workers
+        self.splits: List[ConnectorSplit] = []
+
+    def add_split(self, split: ConnectorSplit) -> None:
+        if self.partition_filter and not self.partition_filter(
+            split.partition_keys
+        ):
+            return  # partition pruned (reference: partition filter pushdown)
+        self.splits.append(split)
+
+    def _read_one(self, split: ConnectorSplit) -> Table:
+        part_names = list(split.partition_keys)
+        file_cols = None
+        if self.columns is not None:
+            file_cols = [c for c in self.columns if c not in part_names]
+        t = Table.load_parquet(split.path, columns=file_cols)
+        # attach partition-key columns as constants (reference: HiveDataSource
+        # synthesizes partition columns)
+        want = self.columns or (list(t.schema.names) + part_names)
+        names, types, cols, tables = [], [], {}, dict(t.string_tables)
+        for name in want:
+            if name in split.partition_keys:
+                st = StringTable()
+                code = st.intern(split.partition_keys[name])
+                names.append(name)
+                types.append(VARCHAR)
+                cols[name] = np.full(t.num_rows, code, dtype=np.int32)
+                tables[name] = st
+            else:
+                names.append(name)
+                types.append(t.schema.type_of(name))
+                cols[name] = t.columns[name]
+        return Table(RowType(names, types), cols, tables, dict(t.validities))
+
+    def chunks(self) -> Iterator[Table]:
+        if not self.splits:
+            return
+        # parallel reads: the reference preloads splits on an I/O executor
+        with concurrent.futures.ThreadPoolExecutor(self.max_workers) as pool:
+            yield from pool.map(self._read_one, self.splits)
+
+
+class HiveDataSink(DataSink):
+    def __init__(
+        self,
+        root: str,
+        partition_by: Sequence[str] = (),
+        rows_per_file: int = 1 << 22,
+    ):
+        self.root = root
+        self.partition_by = list(partition_by)
+        self.rows_per_file = rows_per_file
+        self._written: List[str] = []
+        self._seq = 0
+
+    def append(self, table: Table) -> None:
+        if not self.partition_by:
+            self._write_file(self.root, table)
+            return
+        # split rows by partition values; one directory per combination
+        keys = []
+        for col in self.partition_by:
+            arr = table.columns[col]
+            if col in table.string_tables:
+                keys.append(table.string_tables[col].decode(arr).astype(str))
+            else:
+                keys.append(np.asarray(arr).astype(str))
+        combo = [tuple(k[i] for k in keys) for i in range(table.num_rows)]
+        for values in sorted(set(combo)):
+            mask = np.asarray([c == values for c in combo], dtype=bool)
+            sub_names = [n for n in table.schema.names if n not in self.partition_by]
+            sub = Table(
+                RowType(sub_names, [table.schema.type_of(n) for n in sub_names]),
+                {n: table.columns[n][mask] for n in sub_names},
+                {n: t for n, t in table.string_tables.items() if n in sub_names},
+                {n: v[mask] for n, v in table.validities.items() if n in sub_names},
+            )
+            d = os.path.join(
+                self.root,
+                *[f"{c}={v}" for c, v in zip(self.partition_by, values)],
+            )
+            self._write_file(d, sub)
+
+    def _write_file(self, directory: str, table: Table) -> None:
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, f"part-{self._seq:05d}.parquet")
+        self._seq += 1
+        table.save_parquet(path)
+        self._written.append(path)
+
+    def finish(self) -> List[str]:
+        return list(self._written)
+
+
+class HiveConnector(Connector):
+    name = "hive"
+
+    def create_data_source(self, **kwargs) -> HiveDataSource:
+        return HiveDataSource(**kwargs)
+
+    def create_data_sink(self, **kwargs) -> HiveDataSink:
+        return HiveDataSink(**kwargs)
+
+
+register_connector(HiveConnector())
+
+
+def read_table(
+    root: str,
+    columns: Optional[Sequence[str]] = None,
+    partition_filter: Optional[Callable[[Dict[str, str]], bool]] = None,
+) -> Table:
+    """Convenience: discover + read a dataset directory into one host Table."""
+    src = HiveDataSource(columns=columns, partition_filter=partition_filter)
+    for split in _discover(root):
+        src.add_split(split)
+    return src.to_table()
+
+
+def write_table(
+    root: str, table: Table, partition_by: Sequence[str] = ()
+) -> List[str]:
+    """Convenience: write one host Table as a (optionally partitioned) dataset."""
+    sink = HiveDataSink(root, partition_by)
+    sink.append(table)
+    return sink.finish()

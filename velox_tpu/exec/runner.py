@@ -657,7 +657,13 @@ class LocalExecutor:
 
     def __init__(self, root: PlanNode, tile_rows: int = 1 << 20, config=None):
         from ..config import DEFAULT_CONFIG
+        from ..plan.nodes import TableWriteNode
 
+        self._write_sink_factory = None
+        if isinstance(root, TableWriteNode):
+            # the writer consumes the child pipeline's full result
+            self._write_sink_factory = root.sink_factory
+            root = root.source
         self.root = root
         self.tile_rows = tile_rows
         self.config = config or DEFAULT_CONFIG
@@ -938,6 +944,16 @@ class LocalExecutor:
             result = Table(self.out_schema, cols, tables, validities)
 
         result = apply_finishers(result, lin.finishers)
+        if self._write_sink_factory is not None:
+            from ..dtypes import BIGINT as _BIGINT
+
+            sink = self._write_sink_factory()
+            sink.append(result)
+            sink.finish()
+            result = Table(
+                RowType(["rows"], [_BIGINT]),
+                {"rows": np.asarray([result.num_rows], dtype=np.int64)},
+            )
         if stats is not None:
             stats.total_seconds = time.perf_counter() - t_start
         return result

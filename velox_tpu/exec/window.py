@@ -40,14 +40,19 @@ class WindowCall:
 
     name: str
     arg: Optional[str] = None  # input column name
-    offset: int = 1  # lead/lag offset
+    offset: int = 1  # lead/lag offset; also nth_value's n and ntile's buckets
     full_frame: bool = False  # aggregate over the whole partition
+    # ROWS frame (preceding, following); None component = UNBOUNDED.  Absent
+    # (frame is None) = the SQL default RANGE UNBOUNDED PRECEDING..CURRENT ROW.
+    frame: Optional[Tuple[Optional[int], Optional[int]]] = None
 
     def result_type(self, input_type: Optional[DataType]) -> DataType:
         if self.name in ("row_number", "rank", "dense_rank", "ntile", "count"):
             return BIGINT
         if self.name in ("percent_rank", "cume_dist", "avg"):
             return DOUBLE
+        if self.name == "nth_value":
+            return input_type
         if self.name == "sum":
             from .aggregates import _sum_result_type
 
@@ -77,23 +82,52 @@ class WindowNode(PlanNode):
 
 
 _CALL_RE = re.compile(
-    r"^\s*(?P<fn>[a-z_]+)\s*\(\s*(?P<args>[^)]*)\)\s*$", re.IGNORECASE
+    r"^\s*(?P<fn>[a-z_]+)\s*\(\s*(?P<args>[^)]*)\)\s*(?P<frame>rows\s+between\s+.*)?$",
+    re.IGNORECASE,
+)
+_BOUND_RE = re.compile(
+    r"^(unbounded\s+(preceding|following)|current\s+row|(\d+)\s+(preceding|following))$",
+    re.IGNORECASE,
 )
 
 
+def _parse_bound(text: str, is_start: bool) -> Optional[int]:
+    """Returns offset semantics: ints are distances; None = unbounded."""
+    m = _BOUND_RE.match(text.strip())
+    if not m:
+        raise ValueError(f"cannot parse frame bound {text!r}")
+    t = text.strip().lower()
+    if t.startswith("unbounded"):
+        return None
+    if t == "current row":
+        return 0
+    k = int(m.group(3))
+    return k if (("preceding" in t) == is_start) else -k
+
+
 def parse_window_call(text: str) -> WindowCall:
-    """'rank()' | 'sum(x)' | 'lag(x, 2)' -> WindowCall."""
-    m = _CALL_RE.match(text)
+    """'rank()' | 'sum(x)' | 'lag(x, 2)' |
+    'sum(x) rows between 2 preceding and current row' -> WindowCall."""
+    m = _CALL_RE.match(text.strip())
     if not m:
         raise ValueError(f"cannot parse window call {text!r}")
     fn = m.group("fn").lower()
     args = [a.strip() for a in m.group("args").split(",") if a.strip()]
+    frame = None
+    if m.group("frame"):
+        body = re.sub(r"^rows\s+between\s+", "", m.group("frame").strip(), flags=re.IGNORECASE)
+        start_s, end_s = re.split(r"\s+and\s+", body, flags=re.IGNORECASE)
+        frame = (_parse_bound(start_s, True), _parse_bound(end_s, False))
     if fn in ("lead", "lag"):
         return WindowCall(fn, args[0], int(args[1]) if len(args) > 1 else 1)
     if fn in ("first_value", "last_value"):
         return WindowCall(fn, args[0], full_frame=True)
+    if fn == "nth_value":
+        return WindowCall(fn, args[0], offset=int(args[1]))
     if fn in ("sum", "avg", "count", "min", "max"):
-        return WindowCall(fn, args[0] if args else None)
+        if frame is not None and fn in ("min", "max"):
+            raise NotImplementedError("ROWS frames for min/max not yet supported")
+        return WindowCall(fn, args[0] if args else None, frame=frame)
     if fn in ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist"):
         return WindowCall(fn)
     if fn == "ntile":
@@ -259,6 +293,82 @@ class WindowExec:
                     if validity is None
                     else jnp.take(validity, last_pos, mode="clip")
                 )
+            elif name == "nth_value":
+                values, validity = arg_of(call)
+                per_part_last = part_runs.reduce(idx, s_mask, "max")
+                part_last = jnp.take(
+                    per_part_last, jnp.clip(part_id, 0, cap - 1), mode="clip"
+                )
+                pos = part_start + jnp.int32(call.offset - 1)
+                # visible once the default frame (up to the current peer group's
+                # last row) includes the nth row
+                peer_runs0 = SortedRuns(peer_boundary, s_mask)
+                at_peer_end0 = peer_runs0.reduce(idx, s_mask, "max")
+                frame_hi = jnp.take(
+                    at_peer_end0,
+                    jnp.clip(peer_runs0.run_index, 0, cap - 1),
+                    mode="clip",
+                )
+                ok = (pos <= part_last) & (pos <= frame_hi)
+                out_cols.append(jnp.take(values, jnp.clip(pos, 0, cap - 1), mode="clip"))
+                v = ok
+                if validity is not None:
+                    v = v & jnp.take(validity, jnp.clip(pos, 0, cap - 1), mode="clip")
+                out_validity.append(v)
+            elif name in ("sum", "avg", "count") and call.frame is not None:
+                # ROWS frame via per-partition prefix sums: window sum =
+                # pref[hi] - pref[lo-1], bounds clamped to the partition
+                if call.arg is None:
+                    base_vals, v_mask = ones, s_mask
+                else:
+                    base_vals, validity = arg_of(call)
+                    v_mask = s_mask if validity is None else (s_mask & validity)
+                acc_dtype = (
+                    jnp.float64
+                    if jnp.issubdtype(base_vals.dtype, jnp.floating)
+                    else jnp.int64
+                )
+                masked = jnp.where(v_mask, base_vals.astype(acc_dtype), 0)
+                pref = segmented_scan(masked, part_boundary, "sum")
+                prefc = segmented_scan(
+                    v_mask.astype(jnp.int64), part_boundary, "sum"
+                )
+                per_part_last = part_runs.reduce(idx, s_mask, "max")
+                part_last = jnp.take(
+                    per_part_last, jnp.clip(part_id, 0, cap - 1), mode="clip"
+                )
+                k_pre, k_post = call.frame
+                lo = part_start if k_pre is None else jnp.maximum(idx - k_pre, part_start)
+                hi = part_last if k_post is None else jnp.minimum(idx + k_post, part_last)
+                hi = jnp.clip(hi, 0, cap - 1)
+                lo = jnp.clip(lo, 0, cap - 1)
+                sum_hi = jnp.take(pref, hi, mode="clip")
+                cnt_hi = jnp.take(prefc, hi, mode="clip")
+                lo_prev = jnp.clip(lo - 1, 0, cap - 1)
+                has_prev = lo > part_start
+                sum_lo = jnp.where(has_prev, jnp.take(pref, lo_prev, mode="clip"), 0)
+                cnt_lo = jnp.where(has_prev, jnp.take(prefc, lo_prev, mode="clip"), 0)
+                wsum = sum_hi - sum_lo
+                wcnt = cnt_hi - cnt_lo
+                empty = hi < lo
+                if name == "count":
+                    out_cols.append(jnp.where(empty, 0, wcnt))
+                    out_validity.append(None)
+                elif name == "avg":
+                    scale = 0
+                    if call.arg is not None:
+                        t = in_schema.type_of(call.arg)
+                        if t.kind == TypeKind.DECIMAL:
+                            scale = t.scale
+                    out_cols.append(
+                        wsum.astype(jnp.float64)
+                        / jnp.maximum(wcnt, 1)
+                        / (10.0**scale)
+                    )
+                    out_validity.append(~empty & (wcnt > 0))
+                else:
+                    out_cols.append(wsum)
+                    out_validity.append(~empty & (wcnt > 0))
             elif name in ("sum", "min", "max", "avg", "count"):
                 if call.arg is None:  # count(*)
                     base_vals = ones

@@ -406,5 +406,21 @@ class PlanBuilder:
         self.node = node
         return self
 
+    def table_write(
+        self,
+        root: str,
+        partition_by: Sequence[str] = (),
+    ) -> "PlanBuilder":
+        """Write the pipeline's rows as a (optionally partitioned) parquet
+        dataset (reference: PlanBuilder::tableWrite + HiveDataSink)."""
+        from ..connectors.hive import HiveDataSink
+        from .nodes import TableWriteNode
+
+        part = list(partition_by)
+        self.node = TableWriteNode(
+            self.node, lambda: HiveDataSink(root, part)
+        )
+        return self
+
     def build(self) -> PlanNode:
         return self.node

@@ -133,6 +133,22 @@ class AggregationNode(PlanNode):
         self.output_schema = RowType(names, types)
 
 
+@dataclasses.dataclass
+class TableWriteNode(PlanNode):
+    """Write the source's rows through a connector DataSink.
+
+    Reference: core::TableWriteNode + exec/TableWriter.h:102 — output is a
+    single row holding the written row count."""
+
+    source: PlanNode
+    sink_factory: object  # () -> DataSink (kept opaque; not serialized)
+    id: str = dataclasses.field(default_factory=lambda: _next_id("tablewrite"))
+
+    def __post_init__(self):
+        self.sources = (self.source,)
+        self.output_schema = RowType(["rows"], [BIGINT])
+
+
 @dataclasses.dataclass(frozen=True)
 class SortKey:
     name: str
