@@ -142,3 +142,77 @@ def test_tiling_invariance_fuzz(seed):
     small = run_plan(plan, tile_rows=64).to_pandas()
     big = run_plan(plan, tile_rows=1 << 12).to_pandas()
     pd.testing.assert_frame_equal(small, big)
+
+
+MORE_EXPRS = [
+    "bitwise_and(c0, c1)",
+    "bitwise_xor(c0, 255) + bit_count(c1)",
+    "try(c0 % c1)",
+    "case when c0 > c1 then c0 - c1 when c0 < c1 then c1 - c0 else 0 end",
+    "coalesce(nullif(c0, c1), c1, 0)",
+    "c0 between c1 - 5 and c1 + 5",
+    "if(c0 is null, -1, c0)",
+    "cast(c0 as double) / 3e0",
+    "sign(c0) * least(abs(c0), abs(c1))",
+]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_more_encodings_equivalence(seed):
+    """Extended function surface over the encoding matrix (reference:
+    ExpressionFuzzer's common-vs-simplified oracle)."""
+    fz = VectorFuzzer(100 + seed)
+    schema = RowType(["c0", "c1"], [vt.BIGINT, vt.BIGINT])
+    cap = 128
+    batch = fz.batch(schema, cap)
+    flat = Batch.make(
+        schema,
+        [fz.flat_copy(c, cap) for c in batch.columns],
+        batch.length,
+        capacity=cap,
+    )
+    for sql in MORE_EXPRS:
+        expr = parse_expr(sql, schema)
+        v1, valid1, err1 = _eval(expr, batch)
+        v2, valid2, err2 = _eval(expr, flat)
+        np.testing.assert_array_equal(valid1, valid2, err_msg=sql)
+        np.testing.assert_array_equal(err1, err2, err_msg=sql)
+        keep = valid1 & ~err1
+        np.testing.assert_array_equal(v1[keep], v2[keep], err_msg=sql)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_tiling_never_changes_query_results(seed):
+    """Random filter+project+agg plans: results identical across tile sizes
+    (the engine-level invariant the reference enforces via batch-size fuzz)."""
+    import pandas as pd
+
+    from velox_tpu.io.table import Table
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.exec import run_plan
+
+    rng = np.random.default_rng(40 + seed)
+    n = 3000
+    t = Table(
+        RowType(["a", "b", "g"], [vt.BIGINT, vt.BIGINT, vt.BIGINT]),
+        {
+            "a": rng.integers(-100, 100, n),
+            "b": rng.integers(1, 50, n),
+            "g": rng.integers(0, 321, n),
+        },
+    )
+    filters = ["a > 0", "a % b = 0", "a + b < 60", "bitwise_and(a, 1) = 1"]
+    plan = (
+        PlanBuilder()
+        .table_scan(t, filter=filters[seed % len(filters)])
+        .project(["g", "a * b as ab", "a - b as amb"])
+        .aggregation(
+            ["g"], ["sum(ab) as s", "min(amb) as lo", "count(*) as c"]
+        )
+        .orderby(["g"])
+        .build()
+    )
+    base = run_plan(plan, tile_rows=1 << 12).to_pandas()
+    for tile in (256, 1024):
+        out = run_plan(plan, tile_rows=tile).to_pandas()
+        pd.testing.assert_frame_equal(base, out)

@@ -82,7 +82,26 @@ def test_query_with_forced_spill_matches_no_spill():
         config=QueryConfig(spill_bytes_threshold=1, device_agg_merge=False),
     ).run().to_pandas()
     pd.testing.assert_frame_equal(normal, forced)
-    # 400 distinct keys with 256-row tiles overflows the device group carry;
-    # the executor must transparently fall back to the host-merge path
-    fallback = LocalExecutor(plan, tile_rows=256).run().to_pandas()
-    pd.testing.assert_frame_equal(normal, fallback)
+    # ~5000 distinct keys against a 1024-slot carry overflows the device group
+    # merge; the executor must transparently fall back to the host-merge path
+    rng2 = np.random.default_rng(6)
+    n2, nkeys = 8000, 5000
+    t2 = Table(
+        RowType(["k", "v"], [vt.BIGINT, vt.BIGINT]),
+        {
+            "k": rng2.permutation(np.repeat(np.arange(nkeys), 2))[:n2],
+            "v": rng2.integers(-100, 100, n2),
+        },
+    )
+    plan2 = (
+        PlanBuilder()
+        .table_scan(t2)
+        .aggregation(["k"], ["sum(v) as s", "count(*) as c"])
+        .orderby(["k"])
+        .build()
+    )
+    via_device_fallback = LocalExecutor(plan2, tile_rows=1024).run().to_pandas()
+    host_only = LocalExecutor(
+        plan2, tile_rows=1024, config=QueryConfig(device_agg_merge=False)
+    ).run().to_pandas()
+    pd.testing.assert_frame_equal(via_device_fallback, host_only)

@@ -78,3 +78,52 @@ def test_trace_context():
             s = status()
             assert "TableScan: live=1" in s and "Exchange: live=1" in s
     assert status() == "(no outstanding operations)"
+
+
+def test_testvalue_injection_points():
+    """Reference: common/testutil/TestValue.h — hooks fire at exact internal
+    states; here: the device-merge overflow fallback."""
+    import numpy as np
+
+    from velox_tpu.dtypes import BIGINT, RowType
+    from velox_tpu.exec.runner import LocalExecutor
+    from velox_tpu.io.table import Table
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.utils import testvalue
+
+    rng = np.random.default_rng(0)
+    n, nkeys = 8000, 5000
+    keys = rng.permutation(np.repeat(np.arange(nkeys), 2))[:n]
+    t = Table(
+        RowType(["k", "v"], [BIGINT, BIGINT]),
+        {"k": keys, "v": rng.integers(0, 5, n)},
+    )
+    plan = (
+        PlanBuilder().table_scan(t)
+        .aggregation(["k"], ["sum(v) as s"]).orderby(["k"]).build()
+    )
+    fired = []
+    with testvalue.scoped(
+        "AggExecutor::carryOverflowFallback", lambda st: fired.append(st)
+    ):
+        # 1024-slot carry with ~5000 distinct keys overflows the device merge
+        out = LocalExecutor(plan, tile_rows=1024).run().to_pandas()
+    assert fired, "overflow fallback injection point did not fire"
+    assert len(out) == len(np.unique(keys))
+
+
+def test_data_cache_hits(tmp_path):
+    import numpy as np
+
+    from velox_tpu.dtypes import BIGINT, RowType
+    from velox_tpu.io.cache import DataCache
+    from velox_tpu.io.table import Table
+
+    t = Table(RowType(["x"], [BIGINT]), {"x": np.arange(10, dtype=np.int64)})
+    path = str(tmp_path / "t.parquet")
+    t.save_parquet(path)
+    cache = DataCache(max_bytes=1 << 20)
+    a = cache.get_or_load(path)
+    b = cache.get_or_load(path)
+    assert a is b and cache.hits == 1 and cache.misses == 1
+    np.testing.assert_array_equal(a.columns["x"], t.columns["x"])

@@ -73,7 +73,9 @@ class HiveDataSource(DataSource):
         file_cols = None
         if self.columns is not None:
             file_cols = [c for c in self.columns if c not in part_names]
-        t = Table.load_parquet(split.path, columns=file_cols)
+        from ...io.cache import cached_load_parquet
+
+        t = cached_load_parquet(split.path, columns=file_cols)
         # attach partition-key columns as constants (reference: HiveDataSource
         # synthesizes partition columns)
         want = self.columns or (list(t.schema.names) + part_names)

@@ -10,6 +10,7 @@ import hashlib
 import os
 from typing import Optional, Sequence
 
+from ...io.cache import cached_load_parquet
 from ...io.table import Table
 from .gen import SCHEMAS, TABLE_NAMES, generate_table
 
@@ -35,7 +36,8 @@ def load_table(
     path = os.path.join(cache_dir, f"{name}_sf{sf:g}_{digest}.parquet")
     if os.path.exists(path):
         try:
-            return Table.load_parquet(path, columns)
+            # host-RAM cache fronting the parquet file (io/cache.py)
+            return cached_load_parquet(path, columns)
         except Exception:
             os.unlink(path)
     table = generate_table(name, sf, columns)

@@ -135,6 +135,9 @@ class Spiller:
         self.spilled_rows = 0
 
     def spill(self, table: Table) -> None:
+        from ..utils.testvalue import adjust
+
+        adjust("Spiller::spill", table)
         from ..serde.page import serialize_page
 
         path = os.path.join(self.directory, f"spill_{len(self.files)}.page")

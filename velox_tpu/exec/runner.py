@@ -861,6 +861,9 @@ class LocalExecutor:
             # fetch the scalars first, then only the live-group prefix
             count, overflow, errs = fetch_tree((count_d, overflow_d, errs_d))
             if int(overflow):
+                from ..utils.testvalue import adjust
+
+                adjust("AggExecutor::carryOverflowFallback", self)
                 # more distinct groups than carry slots: fall back to the
                 # host-merge path, which handles unbounded group counts
                 # (and can spill) at the cost of per-tile fetches.

@@ -350,6 +350,12 @@ for _name, _fn in [
         (lambda f: lambda ctx, out_t, arg_ts, a: f(a))(_fn),
     )
 
+# Presto sign() also takes exact numerics and keeps their type.
+_reg.register(
+    "sign", [NUMERIC], _same_type,
+    lambda ctx, out_t, arg_ts, a: jnp.sign(a),
+)
+
 _reg.register(
     "power",
     [TypeKind.DOUBLE, TypeKind.DOUBLE],

@@ -1,0 +1,90 @@
+"""Host-RAM table cache: the AsyncDataCache analog.
+
+Reference: velox/common/caching/AsyncDataCache.h:639 — an in-RAM cache of file
+data integrated with the allocator, fronting storage.  The TPU engine's scan
+path reads whole parquet column chunks into host Tables; the cache keeps those
+Tables resident keyed by (path, mtime, columns) with a byte budget and LRU
+eviction, so repeated queries over the same dataset skip storage and decode
+entirely (the reference's hot-read path).
+
+The SSD tier of the reference is the parquet dataset itself here (columnar,
+compressed, durable), so no separate checkpointing cache is needed.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import threading
+from typing import Dict, Optional, Sequence, Tuple
+
+from .table import Table
+
+
+def _table_bytes(t: Table) -> int:
+    total = sum(arr.nbytes for arr in t.columns.values())
+    total += sum(v.nbytes for v in t.validities.values())
+    return total
+
+
+class DataCache:
+    """Byte-budgeted LRU of host Tables (reference: AsyncDataCache + CacheShard)."""
+
+    def __init__(self, max_bytes: int = 4 << 30):
+        self.max_bytes = max_bytes
+        self._lock = threading.Lock()
+        self._entries: "collections.OrderedDict[Tuple, Table]" = (
+            collections.OrderedDict()
+        )
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def _key(self, path: str, columns: Optional[Sequence[str]]):
+        try:
+            mtime = os.stat(path).st_mtime_ns
+        except OSError:
+            mtime = 0
+        return (os.path.abspath(path), mtime, tuple(columns) if columns else None)
+
+    def get_or_load(
+        self, path: str, columns: Optional[Sequence[str]] = None
+    ) -> Table:
+        key = self._key(path, columns)
+        with self._lock:
+            hit = self._entries.get(key)
+            if hit is not None:
+                self._entries.move_to_end(key)
+                self.hits += 1
+                return hit
+            self.misses += 1
+        table = Table.load_parquet(path, columns=columns)
+        nbytes = _table_bytes(table)
+        with self._lock:
+            if key not in self._entries and nbytes <= self.max_bytes:
+                self._entries[key] = table
+                self._bytes += nbytes
+                while self._bytes > self.max_bytes and self._entries:
+                    _, evicted = self._entries.popitem(last=False)
+                    self._bytes -= _table_bytes(evicted)
+        return table
+
+    def clear(self) -> None:
+        with self._lock:
+            self._entries.clear()
+            self._bytes = 0
+
+    @property
+    def cached_bytes(self) -> int:
+        return self._bytes
+
+
+DEFAULT_CACHE = DataCache(
+    max_bytes=int(os.environ.get("VELOX_TPU_DATA_CACHE_BYTES", 4 << 30))
+)
+
+
+def cached_load_parquet(
+    path: str, columns: Optional[Sequence[str]] = None
+) -> Table:
+    return DEFAULT_CACHE.get_or_load(path, columns)
