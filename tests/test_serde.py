@@ -76,3 +76,38 @@ def test_compactrow_roundtrip_and_density(table):
     back = decode_compactrow(crows, table.schema)
     _assert_tables_equal(table, back)
     assert sum(map(len, crows)) < sum(map(len, urows))  # compact is denser
+
+
+def test_vector_saver_roundtrip(tmp_path):
+    """Reference: vector/VectorSaver.h — persist exact inputs for repro."""
+    import numpy as np
+
+    from velox_tpu.dtypes import BIGINT, RowType, VARCHAR
+    from velox_tpu.io.table import Table
+    from velox_tpu.vector.saver import load_batch, save_batch
+    from velox_tpu.vector.string_table import StringTable
+
+    st = StringTable()
+    codes = st.intern_all(["a", "bb", "a", "ccc"])
+    t = Table(
+        RowType(["s", "x"], [VARCHAR, BIGINT]),
+        {"s": codes, "x": np.array([1, 2, 3, 4], np.int64)},
+        string_tables={"s": st},
+        validities={"x": np.array([True, False, True, True])},
+    )
+    batch = t.tile(0, 8)
+    path = str(tmp_path / "repro" / "batch.vxpg")
+    save_batch(batch, path)
+    back = load_batch(path)
+    bt = back.schema
+    assert list(bt.names) == ["s", "x"]
+    vals, validity = back.column("x").decode(back.capacity)
+    n = int(back.length)
+    np.testing.assert_array_equal(np.asarray(vals)[:n], [1, 2, 3, 4])
+    np.testing.assert_array_equal(
+        np.asarray(validity)[:n], [True, False, True, True]
+    )
+    s = back.column("s")
+    assert s.strings.decode(np.asarray(s.data)[:n]).tolist() == [
+        "a", "bb", "a", "ccc",
+    ]
