@@ -127,3 +127,40 @@ def test_math_extras():
         np.testing.assert_array_equal(out["tr"], np.trunc(x))
         np.testing.assert_allclose(out["at"], np.arctan2(x, 1.0))
     assert out["nn"].tolist() == [False, False, True, False]
+
+
+def test_timestamp_functions():
+    from velox_tpu.dtypes import TIMESTAMP
+
+    usec = 1_000_000
+    ts = np.array(
+        [0, 3723 * usec + 456789, 86_400 * usec * 2 + 7200 * usec], np.int64
+    )
+    t = Table(
+        RowType(["ts", "n"], [TIMESTAMP, BIGINT]),
+        {"ts": ts, "n": np.array([1, 2, 3], np.int64)},
+    )
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .project(
+            [
+                "hour(ts) as h", "minute(ts) as m", "second(ts) as s",
+                "millisecond(ts) as ms", "to_unixtime(ts) as u",
+                "date_trunc('hour', ts) as th",
+                "date_add('minute', n, ts) as ta",
+                "date_diff('hour', ts, ts) as dz",
+                "from_unixtime(n) as fu",
+            ]
+        )
+        .build()
+    ).to_pandas()
+    assert out["h"].tolist() == [0, 1, 2]
+    assert out["m"].tolist() == [0, 2, 0]
+    assert out["s"].tolist() == [0, 3, 0]
+    assert out["ms"].tolist() == [0, 456, 0]
+    np.testing.assert_allclose(out["u"], ts / 1e6)
+    assert out["th"].tolist() == [0, 3_600_000_000, 180_000_000_000]
+    assert out["ta"].tolist() == (ts + np.array([1, 2, 3]) * 60_000_000).tolist()
+    assert out["dz"].tolist() == [0, 0, 0]
+    assert out["fu"].tolist() == [usec, 2 * usec, 3 * usec]

@@ -667,6 +667,69 @@ for _unit in ("day", "week", "month", "quarter", "year"):
     )
 
 
+# ---- timestamp functions ---------------------------------------------------
+# TIMESTAMP is int64 microseconds since epoch (velox_tpu/dtypes.py:10).
+
+from ...dtypes import TIMESTAMP as _TIMESTAMP  # noqa: E402
+
+_USEC_DAY = 86_400_000_000
+
+
+def _ts_days(a):
+    return jnp.floor_divide(a, jnp.int64(_USEC_DAY))
+
+
+def _ts_in_day(a):
+    return a - _ts_days(a) * jnp.int64(_USEC_DAY)
+
+
+_reg.register(
+    "from_unixtime", [NUMERIC], _TIMESTAMP,
+    lambda c, o, t, a: (a.astype(jnp.float64) * 1e6).astype(jnp.int64)
+    if t[0].is_floating
+    else a.astype(jnp.int64) * jnp.int64(1_000_000),
+)
+_reg.register(
+    "to_unixtime", [TypeKind.TIMESTAMP], DOUBLE,
+    lambda c, o, t, a: a.astype(jnp.float64) / 1e6,
+)
+_reg.register(
+    "hour", [TypeKind.TIMESTAMP], BIGINT,
+    lambda c, o, t, a: _ts_in_day(a) // jnp.int64(3_600_000_000),
+)
+_reg.register(
+    "minute", [TypeKind.TIMESTAMP], BIGINT,
+    lambda c, o, t, a: (_ts_in_day(a) // jnp.int64(60_000_000)) % 60,
+)
+_reg.register(
+    "second", [TypeKind.TIMESTAMP], BIGINT,
+    lambda c, o, t, a: (_ts_in_day(a) // jnp.int64(1_000_000)) % 60,
+)
+_reg.register(
+    "millisecond", [TypeKind.TIMESTAMP], BIGINT,
+    lambda c, o, t, a: (_ts_in_day(a) // jnp.int64(1000)) % 1000,
+)
+for _u, _usec in [
+    ("second", 1_000_000), ("minute", 60_000_000), ("hour", 3_600_000_000),
+    ("day", _USEC_DAY),
+]:
+    _reg.register(
+        f"date_trunc_{_u}", [TypeKind.TIMESTAMP], _TIMESTAMP,
+        (lambda us: lambda c, o, t, a: jnp.floor_divide(a, jnp.int64(us)) * jnp.int64(us))(_usec),
+    )
+    _reg.register(
+        f"date_add_{_u}", [INT_M, TypeKind.TIMESTAMP], _TIMESTAMP,
+        (lambda us: lambda c, o, t, n, a: a + n.astype(jnp.int64) * jnp.int64(us))(_usec),
+    )
+    _reg.register(
+        f"date_diff_{_u}", [TypeKind.TIMESTAMP, TypeKind.TIMESTAMP], BIGINT,
+        (lambda us: lambda c, o, t, a, b: jnp.floor_divide(b - a, jnp.int64(us)))(_usec),
+    )
+_reg.register("date_trunc", [STRINGY, TypeKind.TIMESTAMP], _TIMESTAMP, _unbound_string_fn("date_trunc"))
+_reg.register("date_add", [STRINGY, INT_M, TypeKind.TIMESTAMP], _TIMESTAMP, _unbound_string_fn("date_add"))
+_reg.register("date_diff", [STRINGY, TypeKind.TIMESTAMP, TypeKind.TIMESTAMP], BIGINT, _unbound_string_fn("date_diff"))
+
+
 # Unit-literal date functions: parse-time signatures; the bind-time rewrite
 # (expr/binding.py) dispatches to the date_{trunc,diff,add}_<unit> kernels.
 _reg.register("date_trunc", [STRINGY, TypeKind.DATE], _DATE, _unbound_string_fn("date_trunc"))

@@ -69,10 +69,10 @@ class PlanBuilder:
     def _parse(self, sql: str, schema: Optional[RowType] = None) -> Expr:
         schema = schema or self.schema
         expr = parse_expr(sql, schema)
-        tables = self._string_tables()
-        if tables:
-            expr = bind_string_literals(expr, tables)
-        return expr
+        # always bind: besides interning string literals against dictionaries,
+        # this dispatches unit-literal calls (date_trunc('month', ...)) even
+        # when the plan has no string columns at all
+        return bind_string_literals(expr, self._string_tables())
 
     def _string_tables(self) -> dict:
         """String tables visible to expressions at this point of the plan.
