@@ -164,3 +164,35 @@ def test_timestamp_functions():
     assert out["ta"].tolist() == (ts + np.array([1, 2, 3]) * 60_000_000).tolist()
     assert out["dz"].tolist() == [0, 0, 0]
     assert out["fu"].tolist() == [usec, 2 * usec, 3 * usec]
+
+
+def test_json_and_url_functions():
+    st, st2 = StringTable(), StringTable()
+    docs = ['{"a": {"b": 7}, "xs": [1,2,3]}', '{"a": {"b": "hi"}}', "not json"]
+    urls = ["https://example.com/p/q?x=1", "http://foo.io/", "bad"]
+    t = Table(
+        RowType(["j", "u"], [VARCHAR, VARCHAR]),
+        {"j": st.intern_all(docs), "u": st2.intern_all(urls)},
+        string_tables={"j": st, "u": st2},
+    )
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .project(
+            [
+                "json_extract_scalar(j, '$.a.b') as jb",
+                "json_extract(j, '$.xs') as jx",
+                "json_array_length(json_extract(j, '$.xs')) as jl",
+                "url_extract_host(u) as h",
+                "url_extract_path(u) as p",
+                "url_extract_protocol(u) as pr",
+            ]
+        )
+        .build()
+    ).to_pandas()
+    assert out["jb"].tolist() == ["7", "hi", ""]
+    assert out["jx"].tolist() == ["[1,2,3]", "", ""]
+    assert out["jl"].tolist() == [3, -1, -1]
+    assert out["h"].tolist() == ["example.com", "foo.io", ""]
+    assert out["p"].tolist() == ["/p/q", "/", "bad"]
+    assert out["pr"].tolist() == ["https", "http", ""]

@@ -65,11 +65,12 @@ def q1_oracle(lineitem) -> pd.DataFrame:
     disc = lineitem.columns["l_discount"][keep].astype(np.int64)
     tax = lineitem.columns["l_tax"][keep].astype(np.int64)
 
-    rf_strs = lineitem.string_tables["l_returnflag"].decode(rf)
-    ls_strs = lineitem.string_tables["l_linestatus"].decode(ls)
-    key = pd.MultiIndex.from_arrays([rf_strs, ls_strs], names=["l_returnflag", "l_linestatus"])
+    # group on integer codes (decoding 60M+ rows to python strings first is
+    # minutes of pure overhead at SF10); decode the handful of group keys after
     df = pd.DataFrame(
         {
+            "rf": rf,
+            "ls": ls,
             "qty": qty,
             "ep": ep,
             # scale 4 and 6 fixed-point products, exact in int64 per row
@@ -77,10 +78,19 @@ def q1_oracle(lineitem) -> pd.DataFrame:
             "charge": ep * (100 - disc) * (100 + tax),
             "disc": disc,
             "ones": np.ones(len(qty), dtype=np.int64),
-        },
-        index=key,
+        }
     )
-    g = df.groupby(level=[0, 1], sort=True).sum()
+    g = df.groupby(["rf", "ls"], sort=False).sum()
+    rf_table = lineitem.string_tables["l_returnflag"]
+    ls_table = lineitem.string_tables["l_linestatus"]
+    g.index = pd.MultiIndex.from_arrays(
+        [
+            rf_table.decode(g.index.get_level_values(0).to_numpy()),
+            ls_table.decode(g.index.get_level_values(1).to_numpy()),
+        ],
+        names=["l_returnflag", "l_linestatus"],
+    )
+    g = g.sort_index()
     out = pd.DataFrame(
         {
             "sum_qty": g["qty"] / 100.0,

@@ -308,3 +308,113 @@ _STRING_FN_BINDERS: Dict[str, Callable] = {
     "date_diff": _bind_date_unit("date_diff"),
     "date_add": _bind_date_unit("date_add"),
 }
+
+
+# ---- JSON / URL families (reference: functions/prestosql/JsonFunctions.h,
+# URLFunctions.h — simdjson/folly there; host-per-distinct-value here) -------
+
+
+def _json_scalar(v, _ci, path):
+    import json as _json
+
+    try:
+        doc = _json.loads(v)
+    except Exception:
+        return ""
+    for part in _parse_json_path(path):
+        if isinstance(doc, dict):
+            doc = doc.get(part)
+        elif isinstance(doc, list):
+            try:
+                doc = doc[int(part)]
+            except (ValueError, IndexError):
+                return ""
+        else:
+            return ""
+        if doc is None:
+            return ""
+    if isinstance(doc, (dict, list)):
+        return ""  # json_extract_scalar returns NULL for non-scalars
+    if isinstance(doc, bool):
+        return "true" if doc else "false"
+    return str(doc)
+
+
+def _json_extract(v, _ci, path):
+    import json as _json
+
+    try:
+        doc = _json.loads(v)
+    except Exception:
+        return ""
+    for part in _parse_json_path(path):
+        if isinstance(doc, dict):
+            doc = doc.get(part)
+        elif isinstance(doc, list):
+            try:
+                doc = doc[int(part)]
+            except (ValueError, IndexError):
+                return ""
+        else:
+            return ""
+        if doc is None:
+            return ""
+    return _json.dumps(doc, separators=(",", ":"))
+
+
+def _parse_json_path(path: str):
+    """Subset of JSONPath: $.a.b[0].c — dots and bracket indices."""
+    out = []
+    for part in re.findall(r"\.([A-Za-z_][A-Za-z_0-9]*)|\[(\d+)\]", path):
+        out.append(part[0] or part[1])
+    return out
+
+
+def _json_array_len(v, _ci):
+    import json as _json
+
+    try:
+        doc = _json.loads(v)
+    except Exception:
+        return -1
+    return len(doc) if isinstance(doc, list) else -1
+
+
+def _url_part(which):
+    def fn(v, _ci):
+        from urllib.parse import urlparse
+
+        try:
+            u = urlparse(v)
+        except Exception:
+            return ""
+        return getattr(u, which) or ""
+
+    return fn
+
+
+_STRING_FN_BINDERS.update(
+    {
+        "json_extract_scalar": _literal_args_fn(
+            None, None, _json_scalar, makes_strings=True
+        ),
+        "json_extract": _literal_args_fn(
+            None, None, _json_extract, makes_strings=True
+        ),
+        "json_array_length": _literal_args_fn(
+            BIGINT, np.int64, _json_array_len
+        ),
+        "url_extract_host": _literal_args_fn(
+            None, None, _url_part("hostname"), makes_strings=True
+        ),
+        "url_extract_path": _literal_args_fn(
+            None, None, _url_part("path"), makes_strings=True
+        ),
+        "url_extract_query": _literal_args_fn(
+            None, None, _url_part("query"), makes_strings=True
+        ),
+        "url_extract_protocol": _literal_args_fn(
+            None, None, _url_part("scheme"), makes_strings=True
+        ),
+    }
+)

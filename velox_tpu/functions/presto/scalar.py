@@ -737,5 +737,13 @@ _reg.register("date_diff", [STRINGY, TypeKind.DATE, TypeKind.DATE], BIGINT, _unb
 _reg.register("date_add", [STRINGY, INT_M, TypeKind.DATE], _DATE, _unbound_string_fn("date_add"))
 
 
+# JSON / URL (bind-time dictionary rewrites; signatures for type resolution)
+for _jname in ("json_extract_scalar", "json_extract"):
+    _reg.register(_jname, [STRINGY, STRINGY], _VARCHAR, _unbound_string_fn(_jname))
+_reg.register("json_array_length", [STRINGY], BIGINT, _unbound_string_fn("json_array_length"))
+for _uname in ("url_extract_host", "url_extract_path", "url_extract_query", "url_extract_protocol"):
+    _reg.register(_uname, [STRINGY], _VARCHAR, _unbound_string_fn(_uname))
+
+
 def register_all() -> None:
     """Import-time registration happened above; kept for explicit call sites."""
