@@ -128,13 +128,28 @@ def _linearize(root: PlanNode) -> _Linear:
     if isinstance(node, AggregationNode):
         agg = node
         node = node.sources[0]
+    from ..plan.nodes import AssignUniqueIdNode, GroupIdNode, UnnestNode
+
     steps_rev: List[Tuple] = []
-    while isinstance(node, (FilterNode, ProjectNode, HashJoinNode)):
+    while isinstance(
+        node,
+        (
+            FilterNode,
+            ProjectNode,
+            HashJoinNode,
+            UnnestNode,
+            GroupIdNode,
+            AssignUniqueIdNode,
+        ),
+    ):
         if isinstance(node, FilterNode):
             steps_rev.append(("filter", node.predicate))
             node = node.sources[0]
         elif isinstance(node, ProjectNode):
             steps_rev.append(("project", node.names, node.exprs, node.output_schema))
+            node = node.sources[0]
+        elif isinstance(node, (UnnestNode, GroupIdNode, AssignUniqueIdNode)):
+            steps_rev.append(("expand", node))
             node = node.sources[0]
         else:
             # probe continues down the left (probe) side; the right (build) side
@@ -184,6 +199,8 @@ def _pipeline_sort_keys(steps) -> Tuple[str, ...]:
                 else:
                     break
             sorted_by = tuple(kept)
+        elif step[0] == "expand":
+            sorted_by = ()  # cardinality change invalidates ordering info
         # filters preserve order
     return sorted_by
 
@@ -207,6 +224,21 @@ def apply_streaming(batch: Batch, steps: Sequence[Tuple]):
             batch = batch.with_selection(keep)
         elif step[0] == "join":
             batch = step[1].probe(batch)
+        elif step[0] == "expand":
+            from ..plan.nodes import AssignUniqueIdNode, GroupIdNode, UnnestNode
+            from .expand import (
+                apply_assign_unique_id,
+                apply_groupid,
+                apply_unnest,
+            )
+
+            node = step[1]
+            if isinstance(node, UnnestNode):
+                batch = apply_unnest(batch, node)
+            elif isinstance(node, GroupIdNode):
+                batch = apply_groupid(batch, node)
+            else:
+                batch = apply_assign_unique_id(batch, node)
         else:
             _, names, exprs, schema = step
             cols, errors = ExprSet(list(exprs)).eval_to_columns(batch)
@@ -785,6 +817,8 @@ class LocalExecutor:
                     out_schema = step[3]
                 elif step[0] == "join":
                     out_schema = step[1].node.output_schema
+                elif step[0] == "expand":
+                    out_schema = step[1].output_schema
             self.out_schema = out_schema
 
     # ------------------------------------------------------------------
@@ -904,7 +938,14 @@ class LocalExecutor:
             for (out, _), (n_d, _) in zip(outs, lens_errs):
                 n = int(n_d)
                 arrays, spec = [], []
+                complex_cols: Dict[str, Column] = {}
                 for name, col in zip(out.schema.names, out.columns):
+                    if col.dtype.is_complex:
+                        # whole Column pytree (spans + pools) rides in the
+                        # same batched fetch; host side re-densifies
+                        complex_cols[name] = col
+                        spec.append((name, "complex"))
+                        continue
                     arrays.append(col.data)
                     spec.append((name, col.validity is not None))
                     if col.validity is not None:
@@ -912,14 +953,24 @@ class LocalExecutor:
                     if col.strings is not None:
                         tables[name] = col.strings
                 bucket = min(bucket_of(max(n, 1)), out.capacity)
-                cut_tiles.append(_prefix_slicer(bucket)(tuple(arrays)))
+                cut_tiles.append(
+                    (_prefix_slicer(bucket)(tuple(arrays)), complex_cols)
+                )
                 specs.append((n, spec))
             fetched_tiles = fetch_tree(cut_tiles)
-            for arrays, (n, spec) in zip(fetched_tiles, specs):
+            for (arrays, complex_cols), (n, spec) in zip(fetched_tiles, specs):
                 row: Dict[str, np.ndarray] = {}
                 vrow: Dict[str, np.ndarray] = {}
                 k = 0
                 for name, has_validity in spec:
+                    if has_validity == "complex":
+                        from ..vector.complex import column_to_host
+
+                        seg, validity = column_to_host(complex_cols[name], n)
+                        row[name] = seg
+                        if validity is not None:
+                            vrow[name] = validity
+                        continue
                     row[name] = arrays[k][:n]
                     k += 1
                     if has_validity:
@@ -930,10 +981,16 @@ class LocalExecutor:
             if stats is not None:
                 stats.device_seconds = time.perf_counter() - t0
             _raise_on_errors(err_total)
-            cols = {
-                n: np.concatenate([c[n] for c in chunks]) if chunks else np.zeros(0)
-                for n in self.out_schema.names
-            }
+            from ..vector.complex import HostSegments
+
+            cols = {}
+            for n, t in zip(self.out_schema.names, self.out_schema.types):
+                if not chunks:
+                    cols[n] = np.zeros(0)
+                elif t.is_complex:
+                    cols[n] = HostSegments.concat([c[n] for c in chunks])
+                else:
+                    cols[n] = np.concatenate([c[n] for c in chunks])
             validities = {}
             for n in self.out_schema.names:
                 if any(n in vc for vc in valid_chunks):

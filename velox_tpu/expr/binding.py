@@ -52,7 +52,9 @@ def bind_string_literals(expr: Expr, tables: Dict[str, StringTable]) -> Expr:
 
 
 def _find_table(expr: Expr, tables: Dict[str, StringTable]) -> Optional[StringTable]:
-    if isinstance(expr, FieldAccess) and expr.dtype.is_string:
+    if isinstance(expr, FieldAccess) and (
+        expr.dtype.is_string or expr.dtype.is_complex
+    ):
         return tables.get(expr.name)
     if isinstance(expr, DictLookup) and expr.strings is not None:
         return expr.strings
@@ -88,7 +90,14 @@ def _rewrite(expr: Expr, tables, context_table: Optional[StringTable]) -> Expr:
             code = context_table.lookup(expr.value)
             return Constant(expr.dtype, -1 if code is None else code)
         return expr
-    if isinstance(expr, Call) and expr.name in _STRING_FN_BINDERS:
+    if (
+        isinstance(expr, Call)
+        and expr.name in _STRING_FN_BINDERS
+        and expr.args
+        and expr.args[0].dtype.is_string
+    ):
+        # names like reverse/concat/contains are shared with the array family;
+        # the dictionary rewrites only apply to string-typed arguments
         bound = _STRING_FN_BINDERS[expr.name](expr, tables, context_table)
         if bound is not None:
             return bound

@@ -86,6 +86,10 @@ class EvalContext:
     def _evaluate(self, expr: Expr) -> EvalResult:
         if isinstance(expr, FieldAccess):
             col = self.batch.column(expr.name)
+            if expr.dtype.is_complex:
+                from .seg import SegValue
+
+                return EvalResult(SegValue.from_column(col), col.validity)
             values, validity = col.decode(self.capacity)
             return EvalResult(values, validity)
         if isinstance(expr, Constant):
@@ -113,6 +117,10 @@ class EvalContext:
         return EvalResult(values, None)
 
     def _call(self, expr: Call) -> EvalResult:
+        from ..functions.presto.complex import COMPLEX_FNS, is_complex_call
+
+        if is_complex_call(expr.name, expr.args):
+            return COMPLEX_FNS[expr.name](self, expr)
         arg_results = [self.evaluate(a) for a in expr.args]
         arg_types = [a.dtype for a in expr.args]
         sig, _, _ = self.registry.resolve(expr.name, arg_types)
@@ -385,6 +393,9 @@ class ExprSet:
         cols = []
         for e, r in zip(self.exprs, results):
             errors = _or_masks(errors, r.errors)
+            if e.dtype.is_complex:
+                cols.append(r.values.to_column(r.validity))
+                continue
             strings = _strings_of(e, batch)
             cols.append(Column.flat(r.values, e.dtype, r.validity, strings))
         return cols, errors
@@ -399,7 +410,20 @@ def _strings_of(expr: Expr, batch: Batch):
     if isinstance(expr, FieldAccess):
         return batch.column(expr.name).strings
     for child in expr.children:
-        t = _strings_of(child, batch)
+        t = _child_string_table(child, batch)
         if t is not None:
             return t
+    return None
+
+
+def _child_string_table(expr: Expr, batch: Batch):
+    if expr.dtype.is_string:
+        return _strings_of(expr, batch)
+    if expr.dtype.is_complex and isinstance(expr, FieldAccess):
+        # element_at / subscript on ARRAY(VARCHAR) / MAP(.., VARCHAR): the
+        # string dictionary lives on the complex column's child pool
+        col = batch.column(expr.name)
+        for ch in reversed(col.children):  # MAP: prefer the value child
+            if ch.strings is not None:
+                return ch.strings
     return None

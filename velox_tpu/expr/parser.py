@@ -55,7 +55,7 @@ _TOKEN_RE = re.compile(
       (?P<number>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
     | (?P<name>[A-Za-z_][A-Za-z_0-9.]*)
     | (?P<string>'(?:[^']|'')*')
-    | (?P<op><>|!=|>=|<=|=|<|>|\|\||[+\-*/%(),])
+    | (?P<op><>|!=|>=|<=|->|=|<|>|\|\||[+\-*/%(),\[\]])
     )""",
     re.VERBOSE,
 )
@@ -139,6 +139,8 @@ class ExprParser:
         self.registry = registry or DEFAULT_REGISTRY
         self.tokens: List[_Token] = []
         self.pos = 0
+        # lambda parameters in scope (name -> DataType), innermost wins
+        self.locals: dict = {}
 
     # ---- plumbing -----------------------------------------------------
     def _peek(self) -> _Token:
@@ -287,7 +289,15 @@ class ExprParser:
             return make_call("negate", [child], self.registry)
         if self._accept("op", "+"):
             return self._parse_unary()
-        return self._parse_primary()
+        return self._postfix(self._parse_primary())
+
+    def _postfix(self, e: Expr) -> Expr:
+        """Subscript chains: a[i], m['k'], a[i][j] (Presto SUBSCRIPT)."""
+        while self._accept("op", "["):
+            idx = self._parse_or()
+            self._expect("op", "]")
+            e = make_call("subscript", [e, idx], self.registry)
+        return e
 
     # ---- primaries -----------------------------------------------------
     def _parse_primary(self) -> Expr:
@@ -333,8 +343,16 @@ class ExprParser:
         if t.kind == "case":
             return self._parse_case()
         if t.kind == "name":
+            if (
+                t.text.lower() == "array"
+                and self._peek().kind == "op"
+                and self._peek().text == "["
+            ):
+                return self._parse_array_literal()
             if self._peek().kind == "op" and self._peek().text == "(":
                 return self._parse_call(t.text)
+            if t.text in self.locals:
+                return FieldAccess(self.locals[t.text], t.text)
             if t.text in self.schema:
                 return FieldAccess(self.schema.type_of(t.text), t.text)
             raise ValueError(f"unknown column {t.text!r} (schema: {self.schema})")
@@ -355,18 +373,100 @@ class ExprParser:
 
     def _parse_call(self, name: str) -> Expr:
         self._expect("op", "(")
+        low = name.lower()
         args: List[Expr] = []
         if not (self._peek().kind == "op" and self._peek().text == ")"):
-            args.append(self._parse_or())
-            while self._accept("op", ","):
-                args.append(self._parse_or())
+            while True:
+                params = self._peek_lambda_params()
+                if params is not None:
+                    args.append(self._parse_lambda(low, len(args), args, params))
+                else:
+                    args.append(self._parse_or())
+                if not self._accept("op", ","):
+                    break
         self._expect("op", ")")
-        low = name.lower()
         if low == "if":
             return if_(args[0], *self._align_branches(args[1], args[2]))
         if low == "coalesce":
             return Special(args[0].dtype, SpecialForm.COALESCE, tuple(args))
         return make_call(low, args, self.registry)
+
+    # ---- lambdas / array literals --------------------------------------
+    def _peek_lambda_params(self) -> Optional[List[str]]:
+        """Lookahead for ``x ->`` or ``(x, y) ->`` at the current position."""
+        i = self.pos
+        toks = self.tokens
+        if toks[i].kind == "name" and toks[i + 1].kind == "op" and toks[i + 1].text == "->":
+            return [toks[i].text]
+        if toks[i].kind == "op" and toks[i].text == "(":
+            j = i + 1
+            names = []
+            while toks[j].kind == "name":
+                names.append(toks[j].text)
+                j += 1
+                if toks[j].kind == "op" and toks[j].text == ",":
+                    j += 1
+                    continue
+                break
+            if (
+                names
+                and toks[j].kind == "op"
+                and toks[j].text == ")"
+                and toks[j + 1].kind == "op"
+                and toks[j + 1].text == "->"
+            ):
+                return names
+        return None
+
+    def _parse_lambda(
+        self, fname: str, arg_index: int, prior: List[Expr], params: List[str]
+    ) -> Expr:
+        from .ir import Lambda
+
+        param_types = _lambda_param_types(fname, arg_index, prior, len(params))
+        if len(param_types) != len(params):
+            raise ValueError(
+                f"{fname}: lambda takes {len(param_types)} parameter(s), got {params}"
+            )
+        # consume the parameter tokens
+        if self._peek().text == "(":
+            self._expect("op", "(")
+            self._expect("name")
+            while self._accept("op", ","):
+                self._expect("name")
+            self._expect("op", ")")
+        else:
+            self._expect("name")
+        self._expect("op", "->")
+        saved = dict(self.locals)
+        self.locals.update(dict(zip(params, param_types)))
+        try:
+            body = self._parse_or()
+        finally:
+            self.locals = saved
+        return Lambda(body.dtype, tuple(params), tuple(param_types), body)
+
+    def _parse_array_literal(self) -> Expr:
+        from ..dtypes import array as array_t, common_numeric_type
+        from .ir import Call
+
+        self._expect("op", "[")
+        elems: List[Expr] = []
+        if not (self._peek().kind == "op" and self._peek().text == "]"):
+            elems.append(self._parse_or())
+            while self._accept("op", ","):
+                elems.append(self._parse_or())
+        self._expect("op", "]")
+        if not elems:
+            raise ValueError("empty ARRAY[] literal needs a type context")
+        target = elems[0].dtype
+        for e in elems[1:]:
+            if not e.dtype.equivalent(target):
+                target = common_numeric_type(target, e.dtype)
+        elems = [
+            e if e.dtype.equivalent(target) else cast(e, target) for e in elems
+        ]
+        return Call(array_t(target), "array_constructor", tuple(elems))
 
     def _parse_case(self) -> Expr:
         args: List[Expr] = []
@@ -422,6 +522,36 @@ class ExprParser:
         if name in _TYPE_NAMES:
             return _TYPE_NAMES[name]
         raise ValueError(f"unknown type {name!r}")
+
+
+def _lambda_param_types(fname: str, arg_index: int, prior: Sequence[Expr], nparams: int):
+    """Parameter types for a lambda at ``arg_index`` of function ``fname``
+    (the reference resolves these in the SignatureBinder; here the table is
+    explicit per higher-order function)."""
+    from ..dtypes import TypeKind
+
+    def elem(i=0):
+        t = prior[i].dtype
+        assert t.kind == TypeKind.ARRAY, f"{fname}: arg {i} must be ARRAY, got {t}"
+        return t.element
+
+    def map_kv():
+        t = prior[0].dtype
+        assert t.kind == TypeKind.MAP, f"{fname}: arg 0 must be MAP, got {t}"
+        return (t.key_type, t.value_type)
+
+    if fname in ("transform", "filter", "any_match", "all_match", "none_match"):
+        return (elem(),)
+    if fname == "reduce":
+        state_t = prior[1].dtype
+        if arg_index == 2:
+            return (state_t, elem())
+        return (state_t,)
+    if fname == "zip_with":
+        return (elem(0), elem(1))
+    if fname in ("map_filter", "transform_keys", "transform_values", "map_zip_with"):
+        return map_kv()
+    raise ValueError(f"{fname} does not take a lambda argument")
 
 
 def parse_expr(text: str, schema: RowType, registry: FunctionRegistry = None) -> Expr:

@@ -5,5 +5,6 @@ Importing this module registers all scalar functions into the default registry
 """
 
 from . import scalar  # noqa: F401
+from . import complex  # noqa: F401,A004
 
 scalar.register_all()

@@ -1,0 +1,1090 @@
+"""Presto array/map functions + lambda (higher-order) functions.
+
+Reference: velox/functions/prestosql/ArrayFunctions.h, MapFunctions.h and the
+lambda family (velox/functions/prestosql/Transform.cpp, Filter.cpp, Reduce.cpp,
+ZipWith.cpp) built on velox/expression/LambdaExpr.h + ComplexViewTypes.h.
+
+TPU re-design: an ARRAY/MAP value is per-row spans over fixed element pools
+(velox_tpu.expr.seg.SegValue).  Three evaluation regimes, all scatter-free:
+
+* span lookups (cardinality, element_at, slice) — pure gathers on any layout;
+* pool passes (transform, filter, min/max, distinct) — normalize the pool to
+  row order once (sort-based, memoized), then the whole pool is processed in
+  one vectorized pass; lambdas evaluate their body over the *pool* with outer
+  columns gathered per element through rowid;
+* offset iteration (reduce with an arbitrary, non-associative lambda) — a
+  while_loop over element offsets, each step processing every row in parallel
+  (iterations = longest array, not pool size).
+
+Unlike the scalar registry, these are dispatched by name from the expression
+compiler (velox_tpu.expr.compiler EvalContext._call) because their argument
+values are SegValues / Lambda nodes rather than flat arrays; the registry
+entries below exist for parse-time type resolution only.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...dtypes import (
+    BIGINT,
+    BOOLEAN,
+    DataType,
+    RowType,
+    TypeKind,
+    array as array_t,
+    map_ as map_t,
+)
+from ...expr.ir import Call, Expr, FieldAccess, Lambda
+from ...expr.registry import ANY, DEFAULT_REGISTRY, INTEGER as INT_M, NUMERIC
+from ...expr.seg import Elems, SegValue
+from ...ops.segpool import (
+    compact_pool,
+    dense_starts,
+    owner_rows,
+    segment_any,
+    segment_reduce,
+)
+
+_INT_MAX = 2**31 - 1
+
+
+def _and(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a & b
+
+
+def _or(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a | b
+
+
+def _result(ctx, values, validity=None, errors=None):
+    from ...expr.compiler import EvalResult
+
+    return EvalResult(values, validity, errors)
+
+
+# ---------------------------------------------------------------------------
+# lambda evaluation
+
+
+def _free_fields(expr: Expr, bound: frozenset) -> List[FieldAccess]:
+    out: Dict[str, FieldAccess] = {}
+
+    def walk(e: Expr, bound_names):
+        if isinstance(e, FieldAccess):
+            if e.name not in bound_names and e.name not in out:
+                out[e.name] = e
+            return
+        if isinstance(e, Lambda):
+            bound_names = bound_names | set(e.params)
+        for c in e.children:
+            walk(c, bound_names)
+
+    walk(expr, set(bound))
+    return list(out.values())
+
+
+def _eval_lambda(
+    ctx,
+    lam: Lambda,
+    bindings: List[Elems],
+    size: int,
+    rowid: Optional[jax.Array],
+):
+    """Evaluate a lambda body over ``size`` slots.
+
+    ``bindings`` supplies the parameter element pools; free (captured) outer
+    columns are gathered per slot through ``rowid`` (None = slots are rows).
+    Returns an EvalResult over the slots.
+    """
+    from ...expr.compiler import EvalContext
+    from ...vector.column import Batch, Column
+
+    names = list(lam.params)
+    cols: List[Column] = []
+    for elems in bindings:
+        if isinstance(elems.values, SegValue):
+            cols.append(elems.values.to_column(elems.validity))
+        else:
+            cols.append(
+                Column.flat(elems.values, elems.dtype, elems.validity, elems.strings)
+            )
+    types = [e.dtype for e in bindings]
+    for fa in _free_fields(lam.body, frozenset(lam.params)):
+        col = ctx.batch.column(fa.name)
+        values, validity = col.decode(ctx.capacity)
+        if rowid is not None:
+            values = jnp.take(values, rowid, axis=0, mode="clip")
+            if validity is not None:
+                validity = jnp.take(validity, rowid, mode="clip")
+        names.append(fa.name)
+        types.append(fa.dtype)
+        cols.append(Column.flat(values, fa.dtype, validity, col.strings))
+    pseudo = Batch.make(
+        RowType(names, types), cols, size, capacity=size
+    )
+    sub = EvalContext(pseudo, ctx.registry)
+    return sub.evaluate(lam.body)
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+
+
+def _seg_arg(ctx, e: Expr):
+    r = ctx.evaluate(e)
+    assert isinstance(r.values, SegValue), f"{e} did not produce a SegValue"
+    return r
+
+
+def _elem_result(ctx, elems: Elems, pos, ok, row_validity, errors):
+    """Gather pool elements at per-row positions -> EvalResult."""
+    taken = elems.take(jnp.clip(pos, 0, elems.pool_cap - 1))
+    validity = _and(_and(taken.validity, ok), row_validity)
+    if validity is None:
+        validity = ok
+    return _result(ctx, taken.values, validity, errors)
+
+
+def _broadcast_rows(values, validity, rowid):
+    v = jnp.take(values, rowid, axis=0, mode="clip")
+    val = None if validity is None else jnp.take(validity, rowid, mode="clip")
+    return v, val
+
+
+# ---------------------------------------------------------------------------
+# array functions
+
+
+def _cardinality(ctx, expr: Call):
+    r = ctx.evaluate(expr.args[0])
+    seg = r.values
+    return _result(ctx, seg.sizes.astype(jnp.int64), r.validity, r.errors)
+
+
+def _array_index(ctx, expr: Call, strict: bool):
+    r = _seg_arg(ctx, expr.args[0])
+    seg: SegValue = r.values
+    i = ctx.evaluate(expr.args[1])
+    idx = i.values.astype(jnp.int32)
+    sizes = seg.sizes.astype(jnp.int32)
+    eff = jnp.where(idx < 0, sizes + idx, idx - 1)
+    oob = (eff < 0) | (eff >= sizes) | (idx == 0)
+    pos = seg.starts.astype(jnp.int32) + eff
+    row_validity = _and(r.validity, i.validity)
+    errors = _or(r.errors, i.errors)
+    if strict:
+        err = oob if row_validity is None else (oob & row_validity)
+        errors = _or(errors, err)
+        return _elem_result(
+            ctx, seg.children[0], pos, jnp.ones_like(oob), row_validity, errors
+        )
+    return _elem_result(ctx, seg.children[0], pos, ~oob, row_validity, errors)
+
+
+def _map_lookup(ctx, expr: Call, strict: bool):
+    r = _seg_arg(ctx, expr.args[0])
+    k = ctx.evaluate(expr.args[1])
+    norm = r.values.normalized()
+    keys, vals = norm.children
+    k_pool, k_val = _broadcast_rows(k.values, k.validity, norm.rowid)
+    match = norm.emask & (keys.values == k_pool)
+    if keys.validity is not None:
+        match = match & keys.validity
+    if k_val is not None:
+        match = match & k_val
+    pool_cap = keys.pool_cap
+    pos_arr = jnp.where(match, jnp.arange(pool_cap, dtype=jnp.int32), _INT_MAX)
+    first = segment_reduce(
+        pos_arr, norm.starts, norm.sizes, norm.rowid, norm.emask, "min", init=_INT_MAX
+    )
+    found = first != _INT_MAX
+    row_validity = _and(r.validity, k.validity)
+    errors = _or(r.errors, k.errors)
+    if strict:
+        miss = ~found if row_validity is None else (~found & row_validity)
+        errors = _or(errors, miss)
+        return _elem_result(
+            ctx, vals, first, jnp.ones_like(found), row_validity, errors
+        )
+    return _elem_result(ctx, vals, first, found, row_validity, errors)
+
+
+def _subscript(ctx, expr: Call):
+    if expr.args[0].dtype.kind == TypeKind.MAP:
+        return _map_lookup(ctx, expr, strict=True)
+    return _array_index(ctx, expr, strict=True)
+
+
+def _element_at(ctx, expr: Call):
+    if expr.args[0].dtype.kind == TypeKind.MAP:
+        return _map_lookup(ctx, expr, strict=False)
+    return _array_index(ctx, expr, strict=False)
+
+
+def _contains(ctx, expr: Call):
+    r = _seg_arg(ctx, expr.args[0])
+    x = ctx.evaluate(expr.args[1])
+    norm = r.values.normalized()
+    elems = norm.children[0]
+    x_pool, x_val = _broadcast_rows(x.values, x.validity, norm.rowid)
+    ev = elems.validity
+    match = norm.emask & (elems.values == x_pool)
+    if ev is not None:
+        match = match & ev
+    if x_val is not None:
+        match = match & x_val
+    args5 = (norm.starts, norm.sizes, norm.rowid, norm.emask)
+    has = segment_any(match, *args5)
+    has_null = (
+        segment_any(norm.emask & ~ev, *args5)
+        if ev is not None
+        else jnp.zeros_like(has)
+    )
+    # Presto: TRUE on match; NULL if no match but a null element exists
+    validity = has | ~has_null
+    validity = _and(validity, _and(r.validity, x.validity))
+    return _result(ctx, has, validity, _or(r.errors, x.errors))
+
+
+def _array_position(ctx, expr: Call):
+    r = _seg_arg(ctx, expr.args[0])
+    x = ctx.evaluate(expr.args[1])
+    norm = r.values.normalized()
+    elems = norm.children[0]
+    x_pool, x_val = _broadcast_rows(x.values, x.validity, norm.rowid)
+    match = norm.emask & (elems.values == x_pool)
+    if elems.validity is not None:
+        match = match & elems.validity
+    if x_val is not None:
+        match = match & x_val
+    pool_cap = elems.pool_cap
+    pos = jnp.arange(pool_cap, dtype=jnp.int32)
+    offset = pos - jnp.take(norm.starts, norm.rowid, mode="clip") + 1
+    cand = jnp.where(match, offset, _INT_MAX)
+    first = segment_reduce(
+        cand, norm.starts, norm.sizes, norm.rowid, norm.emask, "min", init=_INT_MAX
+    )
+    out = jnp.where(first == _INT_MAX, 0, first).astype(jnp.int64)
+    validity = _and(r.validity, x.validity)
+    return _result(ctx, out, validity, _or(r.errors, x.errors))
+
+
+def _array_minmax(op: str):
+    def fn(ctx, expr: Call):
+        r = _seg_arg(ctx, expr.args[0])
+        norm = r.values.normalized()
+        elems = norm.children[0]
+        args5 = (norm.starts, norm.sizes, norm.rowid, norm.emask)
+        out = segment_reduce(elems.values, *args5, op)
+        nonempty = norm.sizes > 0
+        validity = nonempty
+        if elems.validity is not None:
+            # Presto: NULL if the array contains a null element
+            has_null = segment_any(norm.emask & ~elems.validity, *args5)
+            validity = validity & ~has_null
+        validity = _and(validity, r.validity)
+        return _result(ctx, out, validity, r.errors)
+
+    return fn
+
+
+def _array_sum(ctx, expr: Call):
+    """Per-row sum of elements, null elements skipped (Spark semantics)."""
+    r = _seg_arg(ctx, expr.args[0])
+    norm = r.values.normalized()
+    elems = norm.children[0]
+    v = elems.values
+    if jnp.issubdtype(v.dtype, jnp.integer):
+        v = v.astype(jnp.int64)
+    out = segment_reduce(
+        v,
+        norm.starts,
+        norm.sizes,
+        norm.rowid,
+        norm.emask,
+        "sum",
+        value_mask=elems.validity,
+    )
+    return _result(ctx, out, r.validity, r.errors)
+
+
+def _array_sort(ctx, expr: Call):
+    r = _seg_arg(ctx, expr.args[0])
+    norm = r.values.normalized()
+    elems = norm.children[0]
+    pool_cap = elems.pool_cap
+    row_key = jnp.where(norm.emask, norm.rowid, jnp.int32(_INT_MAX))
+    null_key = (
+        (~elems.validity).astype(jnp.int32)
+        if elems.validity is not None
+        else jnp.zeros((pool_cap,), jnp.int32)
+    )
+    order = _order_key(elems, norm)
+    ops = [row_key, null_key, order, elems.values]
+    if elems.validity is not None:
+        ops.append(elems.validity)
+    sorted_ops = jax.lax.sort(ops, num_keys=3)
+    values = sorted_ops[3]
+    validity = sorted_ops[4] if elems.validity is not None else None
+    out = SegValue(
+        norm.starts,
+        norm.sizes,
+        (Elems(values, validity, elems.dtype, elems.strings),),
+        r.values.dtype,
+    )
+    return _result(ctx, out, r.validity, r.errors)
+
+
+def _order_key(elems: Elems, norm) -> jax.Array:
+    """Device ordering key for pool elements (strings order by code rank)."""
+    v = elems.values
+    if elems.dtype.is_string and elems.strings is not None:
+        import numpy as np
+
+        ranks = jnp.asarray(
+            np.asarray(elems.strings.sort_permutation(), np.int32)
+        )
+        return jnp.take(ranks, v.astype(jnp.int32), mode="clip")
+    return v
+
+
+def _array_distinct(ctx, expr: Call):
+    r = _seg_arg(ctx, expr.args[0])
+    norm = r.values.normalized()
+    elems = norm.children[0]
+    pool_cap = elems.pool_cap
+    pos = jnp.arange(pool_cap, dtype=jnp.int32)
+    row_key = jnp.where(norm.emask, norm.rowid, jnp.int32(_INT_MAX))
+    null_key = (
+        (~elems.validity).astype(jnp.int32)
+        if elems.validity is not None
+        else jnp.zeros((pool_cap,), jnp.int32)
+    )
+    # sort by (row, null?, value) carrying position; first of each equal run
+    # wins, then restore original order and compact
+    rk, nk, vv, ps = jax.lax.sort(
+        [row_key, null_key, elems.values, pos], num_keys=3
+    )
+    same = (
+        (rk == jnp.roll(rk, 1))
+        & (nk == jnp.roll(nk, 1))
+        & (vv == jnp.roll(vv, 1))
+    )
+    same = same.at[0].set(False)
+    keep_sorted = ~same
+    # route keep flags back to original positions by sorting on position
+    _, keep = jax.lax.sort([ps, keep_sorted.astype(jnp.int32)], num_keys=1)
+    keep = keep.astype(jnp.bool_) & norm.emask
+    pools = [elems.values]
+    if elems.validity is not None:
+        pools.append(elems.validity)
+    starts, sizes, new_pools, rowid, emask = compact_pool(
+        keep, norm.starts, norm.sizes, norm.rowid, norm.emask, tuple(pools)
+    )
+    validity = new_pools[1] if elems.validity is not None else None
+    out = SegValue(
+        starts,
+        sizes,
+        (Elems(new_pools[0], validity, elems.dtype, elems.strings),),
+        r.values.dtype,
+    )
+    return _result(ctx, out, r.validity, r.errors)
+
+
+def _slice(ctx, expr: Call):
+    r = _seg_arg(ctx, expr.args[0])
+    seg: SegValue = r.values
+    s = ctx.evaluate(expr.args[1])
+    n = ctx.evaluate(expr.args[2])
+    start1 = s.values.astype(jnp.int32)
+    length = jnp.maximum(n.values.astype(jnp.int32), 0)
+    sizes = seg.sizes.astype(jnp.int32)
+    eff = jnp.where(start1 < 0, sizes + start1, start1 - 1)
+    errors = (start1 == 0) | (n.values.astype(jnp.int32) < 0)
+    eff_c = jnp.clip(eff, 0, sizes)
+    new_sizes = jnp.clip(length, 0, sizes - eff_c)
+    new_starts = seg.starts.astype(jnp.int32) + eff_c
+    row_validity = _and(_and(r.validity, s.validity), n.validity)
+    if row_validity is not None:
+        errors = errors & row_validity
+    out = SegValue(new_starts, new_sizes, seg.children, seg.dtype)
+    return _result(
+        ctx, out, row_validity, _or(_or(r.errors, s.errors), _or(n.errors, errors))
+    )
+
+
+def _reverse(ctx, expr: Call):
+    r = _seg_arg(ctx, expr.args[0])
+    norm = r.values.normalized()
+    starts_p = jnp.take(norm.starts, norm.rowid, mode="clip")
+    sizes_p = jnp.take(norm.sizes, norm.rowid, mode="clip")
+    pos = jnp.arange(norm.children[0].pool_cap, dtype=jnp.int32)
+    src = starts_p + sizes_p - 1 - (pos - starts_p)
+    src = jnp.where(norm.emask, src, pos)
+    new_children = tuple(ch.take(src) for ch in norm.children)
+    out = SegValue(norm.starts, norm.sizes, new_children, r.values.dtype)
+    return _result(ctx, out, r.validity, r.errors)
+
+
+def _concat_arrays(ctx, expr: Call):
+    results = [_seg_arg(ctx, a) for a in expr.args]
+    segs = [r.values for r in results]
+    elem_t = segs[0].dtype.element
+    if elem_t.is_complex:
+        raise NotImplementedError("concat of nested arrays")
+    tables = {id(s.children[0].strings) for s in segs if s.children[0].strings}
+    if len(tables) > 1:
+        raise TypeError("concat: VARCHAR arrays must share one dictionary")
+    sizes_list = [s.sizes.astype(jnp.int32) for s in segs]
+    out_sizes = sum(sizes_list[1:], sizes_list[0])
+    out_starts = dense_starts(out_sizes)
+    pool_cap = sum(s.pool_cap for s in segs)
+    total = out_starts[-1] + out_sizes[-1]
+    rowid = owner_rows(out_starts, total, pool_cap)
+    pos = jnp.arange(pool_cap, dtype=jnp.int32)
+    emask = pos < total
+    offset = pos - jnp.take(out_starts, rowid, mode="clip")
+    # which source array does this offset fall in, and at which index
+    big_values = jnp.concatenate([s.children[0].values for s in segs])
+    any_validity = any(s.children[0].validity is not None for s in segs)
+    big_validity = (
+        jnp.concatenate(
+            [s.children[0].validity_or_true() for s in segs]
+        )
+        if any_validity
+        else None
+    )
+    src = jnp.zeros((pool_cap,), jnp.int32)
+    chosen = jnp.zeros((pool_cap,), jnp.bool_)
+    prefix_sizes = jnp.zeros((pool_cap,), jnp.int32)
+    base = 0
+    for s in segs:
+        sz = jnp.take(s.sizes.astype(jnp.int32), rowid, mode="clip")
+        st = jnp.take(s.starts.astype(jnp.int32), rowid, mode="clip")
+        local = offset - prefix_sizes
+        here = (~chosen) & (local < sz)
+        src = jnp.where(here, base + st + local, src)
+        chosen = chosen | here
+        prefix_sizes = prefix_sizes + sz
+        base += s.pool_cap
+    values = jnp.take(big_values, src, mode="clip")
+    validity = (
+        None if big_validity is None else jnp.take(big_validity, src, mode="clip")
+    )
+    strings = next((s.children[0].strings for s in segs if s.children[0].strings), None)
+    row_validity = None
+    errors = None
+    for r in results:
+        row_validity = _and(row_validity, r.validity)
+        errors = _or(errors, r.errors)
+    out = SegValue(
+        out_starts,
+        out_sizes,
+        (Elems(values, validity, elem_t, strings),),
+        segs[0].dtype,
+    )
+    return _result(ctx, out, row_validity, errors)
+
+
+def _flatten(ctx, expr: Call):
+    r = _seg_arg(ctx, expr.args[0])
+    outer = r.values.normalized()
+    inner_elems = outer.children[0]
+    assert isinstance(inner_elems.values, SegValue)
+    inner: SegValue = inner_elems.values
+    inner_norm = inner.normalized()  # dense by outer pool slot == by row
+    out_sizes = segment_reduce(
+        inner.sizes.astype(jnp.int32),
+        outer.starts,
+        outer.sizes,
+        outer.rowid,
+        outer.emask,
+        "sum",
+        init=0,
+    )
+    out = SegValue(
+        dense_starts(out_sizes), out_sizes, inner_norm.children, expr.dtype
+    )
+    return _result(ctx, out, r.validity, r.errors)
+
+
+def _array_constructor(ctx, expr: Call):
+    k = len(expr.args)
+    cap = ctx.capacity
+    if k == 0:
+        out = SegValue(
+            jnp.zeros((cap,), jnp.int32),
+            jnp.zeros((cap,), jnp.int32),
+            (Elems(jnp.zeros((8,), expr.dtype.element.device_dtype), None, expr.dtype.element),),
+            expr.dtype,
+        )
+        return _result(ctx, out)
+    results = [ctx.evaluate(a) for a in expr.args]
+    errors = None
+    for r in results:
+        errors = _or(errors, r.errors)
+    if expr.dtype.element.is_complex:
+        return _array_constructor_nested(ctx, expr, results, errors)
+    values = jnp.stack([r.values for r in results], axis=1).reshape(cap * k)
+    any_validity = any(r.validity is not None for r in results)
+    validity = None
+    if any_validity:
+        validity = jnp.stack(
+            [r.validity_or_true(cap) for r in results], axis=1
+        ).reshape(cap * k)
+    strings = None
+    for a in expr.args:
+        if a.dtype.is_string:
+            from ...expr.compiler import _strings_of
+
+            strings = _strings_of(a, ctx.batch)
+            break
+    sizes = jnp.full((cap,), k, jnp.int32)
+    starts = jnp.arange(cap, dtype=jnp.int32) * k
+    out = SegValue(
+        starts,
+        sizes,
+        (Elems(values, validity, expr.dtype.element, strings),),
+        expr.dtype,
+    )
+    return _result(ctx, out, None, errors)
+
+
+def _array_constructor_nested(ctx, expr: Call, results, errors):
+    """ARRAY[a, b, ...] where elements are themselves ARRAY/MAP values.
+
+    Outer rows get k elements; the outer element pool interleaves the k
+    arguments' spans, rebased onto one concatenated inner pool.
+    """
+    k = len(results)
+    cap = ctx.capacity
+    segs: List[SegValue] = [r.values for r in results]
+    inner0 = segs[0].children
+    for s in segs[1:]:
+        for a, b in zip(inner0, s.children):
+            if isinstance(a.values, SegValue) or isinstance(b.values, SegValue):
+                raise NotImplementedError("ARRAY[...] nesting beyond two levels")
+            if a.strings is not b.strings:
+                raise TypeError("ARRAY[...]: element dictionaries must match")
+    bases = []
+    off = 0
+    for s in segs:
+        bases.append(off)
+        off += s.pool_cap
+    nested_starts = jnp.stack(
+        [s.starts.astype(jnp.int32) + b for s, b in zip(segs, bases)], axis=1
+    ).reshape(cap * k)
+    nested_sizes = jnp.stack(
+        [s.sizes.astype(jnp.int32) for s in segs], axis=1
+    ).reshape(cap * k)
+    elem_validity = None
+    if any(r.validity is not None for r in results):
+        elem_validity = jnp.stack(
+            [r.validity_or_true(cap) for r in results], axis=1
+        ).reshape(cap * k)
+    new_children = []
+    for ci in range(len(inner0)):
+        values = jnp.concatenate([s.children[ci].values for s in segs])
+        any_v = any(s.children[ci].validity is not None for s in segs)
+        validity = (
+            jnp.concatenate([s.children[ci].validity_or_true() for s in segs])
+            if any_v
+            else None
+        )
+        new_children.append(
+            Elems(values, validity, inner0[ci].dtype, inner0[ci].strings)
+        )
+    inner_seg = SegValue(
+        nested_starts, nested_sizes, tuple(new_children), expr.dtype.element
+    )
+    out = SegValue(
+        jnp.arange(cap, dtype=jnp.int32) * k,
+        jnp.full((cap,), k, jnp.int32),
+        (Elems(inner_seg, elem_validity, expr.dtype.element),),
+        expr.dtype,
+    )
+    return _result(ctx, out, None, errors)
+
+
+def _repeat(ctx, expr: Call):
+    from ...expr.ir import Constant
+
+    count = expr.args[1]
+    if not isinstance(count, Constant):
+        raise NotImplementedError("repeat(x, n) needs a constant n")
+    k = max(int(count.value or 0), 0)
+    return _array_constructor(
+        ctx, Call(expr.dtype, "array_constructor", (expr.args[0],) * k)
+    )
+
+
+def _map_keys(ctx, expr: Call):
+    r = _seg_arg(ctx, expr.args[0])
+    seg = r.values
+    out = SegValue(seg.starts, seg.sizes, (seg.children[0],), expr.dtype)
+    return _result(ctx, out, r.validity, r.errors)
+
+
+def _map_values(ctx, expr: Call):
+    r = _seg_arg(ctx, expr.args[0])
+    seg = r.values
+    out = SegValue(seg.starts, seg.sizes, (seg.children[1],), expr.dtype)
+    return _result(ctx, out, r.validity, r.errors)
+
+
+def _map_constructor(ctx, expr: Call):
+    ka = _seg_arg(ctx, expr.args[0])
+    va = _seg_arg(ctx, expr.args[1])
+    kn = ka.values.normalized()
+    vn = va.values.normalized()
+    mismatch = kn.sizes != vn.sizes
+    row_validity = _and(ka.validity, va.validity)
+    if row_validity is not None:
+        mismatch = mismatch & row_validity
+    errors = _or(_or(ka.errors, va.errors), mismatch)
+    kp = kn.children[0].pool_cap
+    vp = vn.children[0].pool_cap
+    if kp != vp:
+        # align pool capacities by padding the smaller one
+        k_el, v_el = kn.children[0], vn.children[0]
+        width = max(kp, vp)
+        k_el = _pad_elems(k_el, width)
+        v_el = _pad_elems(v_el, width)
+    else:
+        k_el, v_el = kn.children[0], vn.children[0]
+    out = SegValue(kn.starts, kn.sizes, (k_el, v_el), expr.dtype)
+    return _result(ctx, out, row_validity, errors)
+
+
+def _pad_elems(el: Elems, width: int) -> Elems:
+    cur = el.pool_cap
+    if cur >= width:
+        return el
+    pad = width - cur
+    values = jnp.concatenate([el.values, jnp.zeros((pad,), el.values.dtype)])
+    validity = (
+        None
+        if el.validity is None
+        else jnp.concatenate([el.validity, jnp.zeros((pad,), jnp.bool_)])
+    )
+    return Elems(values, validity, el.dtype, el.strings)
+
+
+# ---------------------------------------------------------------------------
+# higher-order (lambda) functions
+
+
+def _transform(ctx, expr: Call):
+    r = _seg_arg(ctx, expr.args[0])
+    lam: Lambda = expr.args[1]
+    norm = r.values.normalized()
+    elems = norm.children[0]
+    body = _eval_lambda(ctx, lam, [elems], elems.pool_cap, norm.rowid)
+    errors = r.errors
+    if body.errors is not None:
+        row_err = segment_any(
+            body.errors & norm.emask, norm.starts, norm.sizes, norm.rowid, norm.emask
+        )
+        errors = _or(errors, row_err)
+    out = SegValue(
+        norm.starts,
+        norm.sizes,
+        (Elems(body.values, body.validity, lam.dtype, _body_strings(ctx, lam)),),
+        expr.dtype,
+    )
+    return _result(ctx, out, r.validity, errors)
+
+
+def _body_strings(ctx, lam: Lambda):
+    if not lam.dtype.is_string:
+        return None
+    from ...expr.compiler import _strings_of
+
+    return _strings_of(lam.body, ctx.batch)
+
+
+def _filter(ctx, expr: Call):
+    r = _seg_arg(ctx, expr.args[0])
+    lam: Lambda = expr.args[1]
+    norm = r.values.normalized()
+    elems = norm.children[0]
+    body = _eval_lambda(ctx, lam, [elems], elems.pool_cap, norm.rowid)
+    keep = body.values.astype(jnp.bool_)
+    if body.validity is not None:
+        keep = keep & body.validity
+    errors = r.errors
+    if body.errors is not None:
+        row_err = segment_any(
+            body.errors & norm.emask, norm.starts, norm.sizes, norm.rowid, norm.emask
+        )
+        errors = _or(errors, row_err)
+    pools = [elems.values]
+    if elems.validity is not None:
+        pools.append(elems.validity)
+    starts, sizes, new_pools, rowid, emask = compact_pool(
+        keep, norm.starts, norm.sizes, norm.rowid, norm.emask, tuple(pools)
+    )
+    validity = new_pools[1] if elems.validity is not None else None
+    out = SegValue(
+        starts,
+        sizes,
+        (Elems(new_pools[0], validity, elems.dtype, elems.strings),),
+        expr.dtype,
+    )
+    return _result(ctx, out, r.validity, errors)
+
+
+def _match(kind: str):
+    def fn(ctx, expr: Call):
+        r = _seg_arg(ctx, expr.args[0])
+        lam: Lambda = expr.args[1]
+        norm = r.values.normalized()
+        elems = norm.children[0]
+        body = _eval_lambda(ctx, lam, [elems], elems.pool_cap, norm.rowid)
+        v = body.values.astype(jnp.bool_)
+        valid = (
+            body.validity
+            if body.validity is not None
+            else jnp.ones_like(v)
+        )
+        args5 = (norm.starts, norm.sizes, norm.rowid, norm.emask)
+        exists_true = segment_any(v & valid, *args5)
+        exists_false = segment_any(~v & valid, *args5)
+        has_null = segment_any(~valid & norm.emask, *args5)
+        # Kleene over the element set: a deciding element wins; otherwise a
+        # null lambda result makes the answer NULL
+        if kind == "any":
+            hit, decided = exists_true, exists_true
+        elif kind == "all":
+            hit, decided = ~exists_false, exists_false
+        else:  # none
+            hit, decided = ~exists_true, exists_true
+        validity = decided | ~has_null
+        validity = _and(validity, r.validity)
+        errors = r.errors
+        if body.errors is not None:
+            errors = _or(
+                errors, segment_any(body.errors & norm.emask, *args5)
+            )
+        return _result(ctx, hit, validity, errors)
+
+    return fn
+
+
+def _reduce(ctx, expr: Call):
+    """reduce(array(T), S, (S, T) -> S, S -> R): while_loop over offsets."""
+    r = _seg_arg(ctx, expr.args[0])
+    init = ctx.evaluate(expr.args[1])
+    merge: Lambda = expr.args[2]
+    final: Optional[Lambda] = expr.args[3] if len(expr.args) > 3 else None
+    seg: SegValue = r.values
+    elems = seg.children[0]
+    cap = ctx.capacity
+    starts = seg.starts.astype(jnp.int32)
+    sizes = seg.sizes.astype(jnp.int32)
+    max_size = jnp.max(sizes)
+    state_t = expr.args[1].dtype
+
+    init_validity = init.validity_or_true(cap)
+    err0 = jnp.zeros((cap,), jnp.bool_)
+
+    def cond(carry):
+        j = carry[0]
+        return j < max_size
+
+    def body(carry):
+        j, state, state_valid, err = carry
+        idx = jnp.clip(starts + j, 0, elems.pool_cap - 1)
+        ev = jnp.take(elems.values, idx, axis=0, mode="clip")
+        evalid = elems.validity_or_true()
+        e_val = jnp.take(evalid, idx, mode="clip")
+        active = j < sizes
+        out = _eval_lambda(
+            ctx,
+            merge,
+            [
+                Elems(state, state_valid, state_t),
+                Elems(ev, e_val, elems.dtype, elems.strings),
+            ],
+            cap,
+            None,
+        )
+        new_state = jnp.where(active, out.values, state)
+        nv = out.validity_or_true(cap)
+        new_valid = jnp.where(active, nv, state_valid)
+        if out.errors is not None:
+            err = err | (out.errors & active)
+        return (j + 1, new_state, new_valid, err)
+
+    _, state, state_valid, err = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), init.values, init_validity, err0)
+    )
+    errors = _or(_or(r.errors, init.errors), err)
+    if final is not None:
+        out = _eval_lambda(
+            ctx, final, [Elems(state, state_valid, state_t)], cap, None
+        )
+        state, state_valid = out.values, out.validity_or_true(cap)
+        if out.errors is not None:
+            errors = _or(errors, out.errors)
+    validity = _and(state_valid, r.validity)
+    return _result(ctx, state, validity, errors)
+
+
+def _zip_with(ctx, expr: Call):
+    ra = _seg_arg(ctx, expr.args[0])
+    rb = _seg_arg(ctx, expr.args[1])
+    lam: Lambda = expr.args[2]
+    a: SegValue = ra.values
+    b: SegValue = rb.values
+    sa = a.sizes.astype(jnp.int32)
+    sb = b.sizes.astype(jnp.int32)
+    out_sizes = jnp.maximum(sa, sb)
+    out_starts = dense_starts(out_sizes)
+    pool_cap = a.pool_cap + b.pool_cap
+    total = out_starts[-1] + out_sizes[-1]
+    rowid = owner_rows(out_starts, total, pool_cap)
+    pos = jnp.arange(pool_cap, dtype=jnp.int32)
+    emask = pos < total
+    offset = pos - jnp.take(out_starts, rowid, mode="clip")
+
+    def pick(seg: SegValue, sz):
+        st = jnp.take(seg.starts.astype(jnp.int32), rowid, mode="clip")
+        within = offset < jnp.take(sz, rowid, mode="clip")
+        idx = jnp.clip(st + offset, 0, seg.pool_cap - 1)
+        el = seg.children[0]
+        v = jnp.take(el.values, idx, axis=0, mode="clip")
+        valid = jnp.take(el.validity_or_true(), idx, mode="clip") & within
+        return Elems(v, valid, el.dtype, el.strings)
+
+    ea = pick(a, sa)
+    eb = pick(b, sb)
+    body = _eval_lambda(ctx, lam, [ea, eb], pool_cap, rowid)
+    errors = _or(ra.errors, rb.errors)
+    if body.errors is not None:
+        err_rows = segment_reduce(
+            (body.errors & emask).astype(jnp.int32),
+            out_starts,
+            out_sizes,
+            rowid,
+            emask,
+            "sum",
+            init=0,
+        )
+        errors = _or(errors, err_rows > 0)
+    out = SegValue(
+        out_starts,
+        out_sizes,
+        (Elems(body.values, body.validity, lam.dtype, _body_strings(ctx, lam)),),
+        expr.dtype,
+    )
+    return _result(ctx, out, _and(ra.validity, rb.validity), errors)
+
+
+def _map_filter(ctx, expr: Call):
+    r = _seg_arg(ctx, expr.args[0])
+    lam: Lambda = expr.args[1]
+    norm = r.values.normalized()
+    keys, vals = norm.children
+    body = _eval_lambda(ctx, lam, [keys, vals], keys.pool_cap, norm.rowid)
+    keep = body.values.astype(jnp.bool_)
+    if body.validity is not None:
+        keep = keep & body.validity
+    pools = [keys.values, vals.values, keys.validity_or_true(), vals.validity_or_true()]
+    starts, sizes, new_pools, rowid, emask = compact_pool(
+        keep, norm.starts, norm.sizes, norm.rowid, norm.emask, tuple(pools)
+    )
+    errors = r.errors
+    if body.errors is not None:
+        errors = _or(
+            errors,
+            segment_any(
+                body.errors & norm.emask,
+                norm.starts,
+                norm.sizes,
+                norm.rowid,
+                norm.emask,
+            ),
+        )
+    out = SegValue(
+        starts,
+        sizes,
+        (
+            Elems(new_pools[0], new_pools[2], keys.dtype, keys.strings),
+            Elems(new_pools[1], new_pools[3], vals.dtype, vals.strings),
+        ),
+        expr.dtype,
+    )
+    return _result(ctx, out, r.validity, errors)
+
+
+def _transform_map(which: str):
+    def fn(ctx, expr: Call):
+        r = _seg_arg(ctx, expr.args[0])
+        lam: Lambda = expr.args[1]
+        norm = r.values.normalized()
+        keys, vals = norm.children
+        body = _eval_lambda(ctx, lam, [keys, vals], keys.pool_cap, norm.rowid)
+        new_el = Elems(
+            body.values, body.validity, lam.dtype, _body_strings(ctx, lam)
+        )
+        children = (
+            (new_el, vals) if which == "keys" else (keys, new_el)
+        )
+        errors = r.errors
+        if body.errors is not None:
+            errors = _or(
+                errors,
+                segment_any(
+                    body.errors & norm.emask,
+                    norm.starts,
+                    norm.sizes,
+                    norm.rowid,
+                    norm.emask,
+                ),
+            )
+        out = SegValue(norm.starts, norm.sizes, children, expr.dtype)
+        return _result(ctx, out, r.validity, errors)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# dispatch table + type-resolution signatures
+
+COMPLEX_FNS: Dict[str, Callable] = {
+    "cardinality": _cardinality,
+    "subscript": _subscript,
+    "element_at": _element_at,
+    "contains": _contains,
+    "array_position": _array_position,
+    "array_min": _array_minmax("min"),
+    "array_max": _array_minmax("max"),
+    "array_sum": _array_sum,
+    "array_sort": _array_sort,
+    "array_distinct": _array_distinct,
+    "slice": _slice,
+    "reverse": _reverse,
+    "concat": _concat_arrays,
+    "flatten": _flatten,
+    "array_constructor": _array_constructor,
+    "repeat": _repeat,
+    "map_keys": _map_keys,
+    "map_values": _map_values,
+    "map": _map_constructor,
+    "transform": _transform,
+    "filter": _filter,
+    "any_match": _match("any"),
+    "all_match": _match("all"),
+    "none_match": _match("none"),
+    "reduce": _reduce,
+    "zip_with": _zip_with,
+    "map_filter": _map_filter,
+    "transform_keys": _transform_map("keys"),
+    "transform_values": _transform_map("values"),
+}
+
+
+def is_complex_call(name: str, args) -> bool:
+    if name not in COMPLEX_FNS:
+        return False
+    if name in ("array_constructor",):
+        return True
+    return any(
+        a.dtype.is_complex or isinstance(a, Lambda) for a in args
+    )
+
+
+# ---- registry entries (type resolution only) ------------------------------
+
+_A = TypeKind.ARRAY
+_M = TypeKind.MAP
+
+
+def _stub(*_a, **_k):  # pragma: no cover
+    raise RuntimeError("complex functions are dispatched by the compiler")
+
+
+def _elem_type(ts):
+    return ts[0].element
+
+
+def _value_type(ts):
+    return ts[0].value_type
+
+
+def _register_all():
+    reg = DEFAULT_REGISTRY
+    reg.register("cardinality", [_A], BIGINT, _stub)
+    reg.register("cardinality", [_M], BIGINT, _stub)
+    reg.register("subscript", [_A, INT_M], _elem_type, _stub)
+    reg.register("subscript", [_M, ANY], _value_type, _stub)
+    reg.register("element_at", [_A, INT_M], _elem_type, _stub)
+    reg.register("element_at", [_M, ANY], _value_type, _stub)
+    reg.register("contains", [_A, ANY], BOOLEAN, _stub)
+    reg.register("array_position", [_A, ANY], BIGINT, _stub)
+    reg.register("array_min", [_A], _elem_type, _stub)
+    reg.register("array_max", [_A], _elem_type, _stub)
+    reg.register(
+        "array_sum",
+        [_A],
+        lambda ts: BIGINT if ts[0].element.is_integer else ts[0].element,
+        _stub,
+    )
+    reg.register("array_sort", [_A], lambda ts: ts[0], _stub)
+    reg.register("array_distinct", [_A], lambda ts: ts[0], _stub)
+    reg.register("slice", [_A, INT_M, INT_M], lambda ts: ts[0], _stub)
+    reg.register("reverse", [_A], lambda ts: ts[0], _stub)
+    reg.register("concat", [_A, _A], lambda ts: ts[0], _stub, variadic=True)
+    reg.register("flatten", [_A], lambda ts: ts[0].element, _stub)
+    reg.register("repeat", [ANY, INT_M], lambda ts: array_t(ts[0]), _stub)
+    reg.register("map_keys", [_M], lambda ts: array_t(ts[0].key_type), _stub)
+    reg.register("map_values", [_M], lambda ts: array_t(ts[0].value_type), _stub)
+    reg.register(
+        "map",
+        [_A, _A],
+        lambda ts: map_t(ts[0].element, ts[1].element),
+        _stub,
+    )
+    # lambda-taking functions: the lambda arg matches ANY (its dtype is the
+    # body's result type)
+    reg.register(
+        "transform", [_A, ANY], lambda ts: array_t(ts[1]), _stub
+    )
+    reg.register("filter", [_A, ANY], lambda ts: ts[0], _stub)
+    reg.register("any_match", [_A, ANY], BOOLEAN, _stub)
+    reg.register("all_match", [_A, ANY], BOOLEAN, _stub)
+    reg.register("none_match", [_A, ANY], BOOLEAN, _stub)
+    reg.register("reduce", [_A, ANY, ANY], lambda ts: ts[1], _stub)
+    reg.register("reduce", [_A, ANY, ANY, ANY], lambda ts: ts[3], _stub)
+    reg.register(
+        "zip_with", [_A, _A, ANY], lambda ts: array_t(ts[2]), _stub
+    )
+    reg.register("map_filter", [_M, ANY], lambda ts: ts[0], _stub)
+    reg.register(
+        "transform_keys",
+        [_M, ANY],
+        lambda ts: map_t(ts[1], ts[0].value_type),
+        _stub,
+    )
+    reg.register(
+        "transform_values",
+        [_M, ANY],
+        lambda ts: map_t(ts[0].key_type, ts[1]),
+        _stub,
+    )
+
+
+_register_all()

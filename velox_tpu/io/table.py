@@ -62,6 +62,17 @@ class Table:
         n = max(0, stop - start)
         cols: List[Column] = []
         for name, dtype in zip(self.schema.names, self.schema.types):
+            if dtype.is_complex:
+                from ..vector.complex import HostSegments
+
+                seg: HostSegments = self.columns[name]
+                validity = self.validities.get(name)
+                if validity is not None:
+                    validity = validity[start:stop]
+                cols.append(
+                    seg.slice_rows(start, stop).device_column(tile_rows, validity)
+                )
+                continue
             arr = self.columns[name][start:stop]
             if n < tile_rows:
                 arr = np.concatenate(
@@ -79,7 +90,9 @@ class Table:
                     arr, dtype, validity, self.string_tables.get(name)
                 )
             )
-        return Batch.make(self.schema, cols, n, capacity=tile_rows)
+        return Batch.make(
+            self.schema, cols, n, capacity=tile_rows, row_offset=start
+        )
 
     def tiles(self, tile_rows: int) -> Iterator[Batch]:
         for i in range(self.num_tiles(tile_rows)):
@@ -102,6 +115,13 @@ class Table:
         out = {}
         for name, dtype in zip(self.schema.names, self.schema.types):
             arr = self.columns[name]
+            if dtype.is_complex:
+                validity = self.validities.get(name)
+                lst = arr.to_pylist(validity)
+                obj = np.empty(len(lst), dtype=object)
+                obj[:] = lst
+                out[name] = obj
+                continue
             if decode and dtype.is_string and name in self.string_tables:
                 arr = self.string_tables[name].decode(arr)
             elif decode and dtype.kind == TypeKind.DECIMAL:

@@ -99,6 +99,15 @@ class PlanBuilder:
             if isinstance(node, (TableScanNode, ValuesNode)):
                 for k, v in node.table.string_tables.items():
                     out.setdefault(k, v)
+                # ARRAY/MAP columns: expose the child string dictionary (MAP
+                # keys first) so literals in element_at(m, 'k') etc. bind
+                for k, t in zip(node.table.schema.names, node.table.schema.types):
+                    if t.is_complex:
+                        seg = node.table.columns.get(k)
+                        for tab in getattr(seg, "string_tables", ()) or ():
+                            if tab is not None:
+                                out.setdefault(k, tab)
+                                break
 
         walk(self.node)
         return out
@@ -126,6 +135,43 @@ class PlanBuilder:
     # ---- operators -----------------------------------------------------
     def filter(self, sql: str) -> "PlanBuilder":
         self.node = FilterNode(self.node, self._parse(sql))
+        return self
+
+    def unnest(
+        self,
+        replicate: Sequence[str],
+        unnest: Sequence[str],
+        ordinality: Optional[str] = None,
+    ) -> "PlanBuilder":
+        from .nodes import UnnestNode
+
+        self.node = UnnestNode(
+            self.node, tuple(replicate), tuple(unnest), ordinality_name=ordinality
+        )
+        return self
+
+    def group_id(
+        self,
+        grouping_sets: Sequence[Sequence[str]],
+        agg_inputs: Sequence[str],
+        name: str = "group_id",
+    ) -> "PlanBuilder":
+        from .nodes import GroupIdNode
+
+        self.node = GroupIdNode(
+            self.node,
+            tuple(tuple(s) for s in grouping_sets),
+            tuple(agg_inputs),
+            name,
+        )
+        return self
+
+    def assign_unique_id(
+        self, name: str = "unique_id", task_unique_id: int = 0
+    ) -> "PlanBuilder":
+        from .nodes import AssignUniqueIdNode
+
+        self.node = AssignUniqueIdNode(self.node, name, task_unique_id)
         return self
 
     def project(self, exprs: Sequence[str]) -> "PlanBuilder":

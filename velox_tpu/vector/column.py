@@ -62,6 +62,10 @@ class Column:
     strings: Optional[StringTable] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # ARRAY/MAP: ``data`` is int32[capacity, 2] (start, size) spans and
+    # ``children`` holds the element pool column(s) (ARRAY: one, MAP: key+value)
+    # with their own fixed pool capacity (velox ArrayVector/MapVector analog).
+    children: Tuple["Column", ...] = ()
 
     # ---- constructors ----------------------------------------------------
     @staticmethod
@@ -141,6 +145,16 @@ class Column:
     # ---- transforms ------------------------------------------------------
     def gather(self, indices: jax.Array) -> "Column":
         """Row-reordering gather; result is FLAT with the indices' length."""
+        if self.dtype.is_complex:
+            # spans move with the rows; element pools stay put (consumers
+            # re-densify via ops.segpool.normalize when they need row order)
+            data = jnp.take(self.data, indices, axis=0, mode="clip")
+            validity = (
+                None
+                if self.validity is None
+                else jnp.take(self.validity, indices, axis=0, mode="clip")
+            )
+            return dataclasses.replace(self, data=data, validity=validity)
         if self.encoding == Encoding.CONSTANT:
             cap = indices.shape[0]
             values, validity = self.decode(cap)
@@ -163,6 +177,8 @@ class Column:
         return Column.flat(data, self.dtype, validity, self.strings)
 
     def flatten(self, capacity: int) -> "Column":
+        if self.dtype.is_complex:
+            return self  # complex columns are always span+pool form
         values, validity = self.decode(capacity)
         return Column.flat(values, self.dtype, validity, self.strings)
 
@@ -190,8 +206,16 @@ class Column:
     def to_numpy(self, length: int, decode_strings: bool = True):
         """Materialize the first ``length`` rows on the host.
 
-        Returns (values, validity_or_None); strings decode to object arrays.
+        Returns (values, validity_or_None); strings decode to object arrays,
+        ARRAY/MAP columns to object arrays of python lists/dicts.
         """
+        if self.dtype.is_complex:
+            from .complex import column_to_host
+
+            seg, validity = column_to_host(self, length)
+            values = np.empty(length, dtype=object)
+            values[:] = seg.to_pylist()
+            return values, validity
         cap = length if self.is_constant else self.capacity
         values, validity = self.decode(cap)
         values = np.asarray(values)[:length]
@@ -218,6 +242,9 @@ class Batch:
     selection: Optional[jax.Array]
     schema: RowType = dataclasses.field(metadata=dict(static=True))
     capacity: int = dataclasses.field(metadata=dict(static=True))
+    # global row index of this tile's first row (traced; lets operators such
+    # as AssignUniqueId derive task-wide row positions without host sync)
+    row_offset: Optional[jax.Array] = None
 
     # ---- constructors ----------------------------------------------------
     @staticmethod
@@ -227,6 +254,7 @@ class Batch:
         length: Union[int, jax.Array],
         selection: Optional[jax.Array] = None,
         capacity: Optional[int] = None,
+        row_offset: Union[int, jax.Array, None] = None,
     ) -> "Batch":
         if capacity is None:
             capacity = next(
@@ -238,6 +266,7 @@ class Batch:
             selection,
             schema,
             capacity,
+            None if row_offset is None else jnp.asarray(row_offset, jnp.int64),
         )
 
     @staticmethod
