@@ -1,0 +1,149 @@
+"""Collect aggregates: array_agg / set_agg / map_agg / histogram / map_union.
+
+Reference: velox/functions/prestosql/aggregates/{ArrayAgg,SetAgg,MapAgg,
+Histogram,MapUnion}Aggregate.cpp + their tests — here checked against
+hand-computed groups, including mixes with classic aggregates and multi-tile
+inputs.
+"""
+
+import numpy as np
+
+from velox_tpu.dtypes import BIGINT, DOUBLE, RowType, VARCHAR, map_
+from velox_tpu.exec import run_plan
+from velox_tpu.io.table import Table
+from velox_tpu.plan import PlanBuilder
+from velox_tpu.vector.complex import HostSegments
+from velox_tpu.vector.string_table import StringTable
+
+
+def make_table():
+    st = StringTable()
+    st2 = StringTable()
+    return Table(
+        RowType(["g", "x", "k"], [VARCHAR, BIGINT, VARCHAR]),
+        {
+            "g": st.intern_all(["a", "b", "a", "b", "a"]),
+            "x": np.array([3, 1, 2, 4, 2], np.int64),
+            "k": st2.intern_all(["p", "q", "r", "q", "p"]),
+        },
+        {"g": st, "k": st2},
+    )
+
+
+def test_collect_aggregates_grouped():
+    out = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(make_table())
+            .aggregation(
+                ["g"],
+                [
+                    "array_agg(x) as ax",
+                    "set_agg(x) as sx",
+                    "map_agg(k, x) as mk",
+                    "histogram(x) as h",
+                    "count(x) as c",
+                    "sum(x) as s",
+                    "min(k) as mnk",
+                    "max(x) as mx",
+                    "avg(x) as av",
+                ],
+            )
+            .build()
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["g"].tolist() == ["a", "b"]
+    assert out["ax"].tolist() == [[3, 2, 2], [1, 4]]
+    assert out["sx"].tolist() == [[2, 3], [1, 4]]
+    assert out["mk"].tolist() == [{"p": 3, "r": 2}, {"q": 1}]
+    assert out["h"].tolist() == [{2: 2, 3: 1}, {1: 1, 4: 1}]
+    assert out["c"].tolist() == [3, 2]
+    assert out["s"].tolist() == [7, 5]
+    assert out["mnk"].tolist() == ["p", "q"]
+    assert out["mx"].tolist() == [3, 4]
+    assert out["av"].tolist() == [7 / 3, 2.5]
+
+
+def test_collect_aggregates_global_and_nulls():
+    t = Table(
+        RowType(["x"], [BIGINT]),
+        {"x": np.array([5, 7, 5], np.int64)},
+        validities={"x": np.array([True, True, False])},
+    )
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .aggregation([], ["array_agg(x) as ax", "set_agg(x) as sx"])
+        .build()
+    ).to_pandas()
+    # Presto array_agg keeps nulls; set_agg keeps one null
+    assert out["ax"].tolist() == [[5, 7, None]]
+    assert out["sx"].tolist() == [[5, 7, None]]
+
+
+def test_map_union():
+    mt = map_(VARCHAR, BIGINT)
+    seg, _ = HostSegments.from_pylist(
+        [{"a": 1}, {"b": 2}, {"a": 9, "c": 3}], mt
+    )
+    t = Table(
+        RowType(["g", "m"], [BIGINT, mt]),
+        {"g": np.array([1, 1, 2], np.int64), "m": seg},
+    )
+    out = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .aggregation(["g"], ["map_union(m) as mu"])
+            .build()
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["mu"].tolist() == [{"a": 1, "b": 2}, {"a": 9, "c": 3}]
+
+
+def test_collect_agg_multi_tile():
+    n = 5000
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, 7, n)
+    x = rng.integers(0, 100, n)
+    t = Table(RowType(["g", "x"], [BIGINT, BIGINT]), {"g": g, "x": x})
+    out = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .aggregation(["g"], ["array_agg(x) as ax", "sum(x) as s"])
+            .build(),
+            tile_rows=1024,  # forces 5 tiles
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["g"].tolist() == sorted(set(g.tolist()))
+    for _, row in out.iterrows():
+        expect = x[g == row["g"]]
+        assert sorted(row["ax"]) == sorted(expect.tolist())
+        assert row["s"] == expect.sum()
+
+
+def test_array_agg_after_filter():
+    t = make_table()
+    out = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .filter("x >= 2")
+            .aggregation(["g"], ["array_agg(x) as ax"])
+            .build()
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["ax"].tolist() == [[3, 2, 2], [4]]

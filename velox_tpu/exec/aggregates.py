@@ -335,6 +335,11 @@ def bind_aggregate(
     else:
         types = tuple(input_types)
 
+    from .collect_agg import COLLECT_AGG_NAMES, bind_collect
+
+    if name in COLLECT_AGG_NAMES:
+        return bind_collect(name, types)
+
     if name == "count":
         return BoundAggregate(
             "count", BIGINT, (jnp.int64,), ("sum",),

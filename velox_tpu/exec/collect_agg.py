@@ -1,0 +1,189 @@
+"""Collect aggregates: array_agg / set_agg / map_agg / histogram / map_union.
+
+Reference: velox/functions/prestosql/aggregates/{ArrayAgg,SetAgg,MapAgg,
+Histogram,MapUnion}Aggregate.cpp — accumulators there are per-group
+HashStringAllocator lists.  The TPU design has no per-group dynamic state:
+the device sorts/compacts rows; group assembly happens host-side on the
+(key-sorted) row stream, fully vectorized with numpy (lexsort + run-length
+slicing), producing HostSegments columns directly.  The result size equals
+the input size, so materializing rows costs no more than the answer itself.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..dtypes import BIGINT, DataType, TypeKind, array as array_t, map_ as map_t
+from ..vector.complex import HostSegments
+from ..vector.string_table import StringTable
+
+COLLECT_AGG_NAMES = ("array_agg", "set_agg", "map_agg", "histogram", "map_union")
+
+
+@dataclasses.dataclass
+class CollectAggregate:
+    """Marker 'bound aggregate' for the collect family (list-valued state)."""
+
+    name: str
+    result_type: DataType
+    arg_types: Tuple[DataType, ...]
+    arg_roles: Tuple[str, ...]
+    # kept for interface parity with BoundAggregate where harmless
+    acc_dtypes: Tuple = ()
+    acc_ops: Tuple = ()
+
+    @property
+    def num_args(self) -> int:
+        return len(self.arg_roles)
+
+
+def bind_collect(name: str, types: Tuple[DataType, ...]) -> CollectAggregate:
+    if name == "array_agg":
+        (t,) = types
+        return CollectAggregate(name, array_t(t), types, ("value",))
+    if name == "set_agg":
+        (t,) = types
+        return CollectAggregate(name, array_t(t), types, ("value",))
+    if name == "map_agg":
+        k, v = types
+        return CollectAggregate(name, map_t(k, v), types, ("value", "value"))
+    if name == "histogram":
+        (t,) = types
+        return CollectAggregate(name, map_t(t, BIGINT), types, ("value",))
+    if name == "map_union":
+        (m,) = types
+        assert m.kind == TypeKind.MAP, "map_union takes a MAP argument"
+        return CollectAggregate(name, m, types, ("value",))
+    raise KeyError(name)
+
+
+def _runs(arrs: Sequence[np.ndarray], n: int) -> np.ndarray:
+    """Start indices of equal-key runs over already-sorted arrays."""
+    if n == 0:
+        return np.zeros(0, np.int64)
+    diff = np.zeros(n, dtype=bool)
+    diff[0] = True
+    for a in arrs:
+        diff[1:] |= a[1:] != a[:-1]
+    return np.flatnonzero(diff)
+
+
+def compute_collect(
+    agg: CollectAggregate,
+    gids: np.ndarray,
+    starts: np.ndarray,
+    num_groups: int,
+    args: Sequence[np.ndarray],
+    validities: Sequence[Optional[np.ndarray]],
+    tables: Sequence[Optional[StringTable]],
+):
+    """Compute one collect aggregate over group-sorted rows.
+
+    ``gids``: group id per (sorted) row; ``starts``: first row of each group.
+    Returns (column_value, row_validity|None) where column_value is a
+    HostSegments (complex result).
+    """
+    n = len(gids)
+    lengths = np.diff(np.append(starts, n))
+
+    if agg.name == "array_agg":
+        # Presto array_agg keeps nulls
+        v = args[0]
+        val = validities[0]
+        seg = HostSegments(
+            agg.result_type,
+            lengths.astype(np.int32),
+            (v.copy(),),
+            (None if val is None else val.copy(),),
+            (tables[0],),
+        )
+        return seg, None
+
+    if agg.name == "set_agg":
+        v, val = args[0], validities[0]
+        null_key = (
+            (~val).astype(np.int8) if val is not None else np.zeros(n, np.int8)
+        )
+        order = np.lexsort((v, null_key, gids))
+        vs, nk, gs = v[order], null_key[order], gids[order]
+        keep = np.zeros(n, dtype=bool)
+        if n:
+            keep[0] = True
+            keep[1:] = (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1]) | (nk[1:] != nk[:-1])
+        sizes = np.bincount(gs[keep], minlength=num_groups)
+        seg = HostSegments(
+            agg.result_type,
+            sizes.astype(np.int32),
+            (vs[keep],),
+            (None if val is None else (nk[order][keep] == 0),),
+            (tables[0],),
+        )
+        return seg, None
+
+    if agg.name == "map_agg":
+        k, v = args[0], args[1]
+        kval = validities[0]
+        vval = validities[1]
+        live = np.ones(n, dtype=bool) if kval is None else kval.copy()
+        order = np.lexsort((k, gids))
+        ks, vs, gs, lv = k[order], v[order], gids[order], live[order]
+        vv = None if vval is None else vval[order]
+        keep = lv.copy()
+        if n:
+            dup = (gs[1:] == gs[:-1]) & (ks[1:] == ks[:-1])
+            keep[1:] &= ~dup
+        sizes = np.bincount(gs[keep], minlength=num_groups)
+        seg = HostSegments(
+            agg.result_type,
+            sizes.astype(np.int32),
+            (ks[keep], vs[keep]),
+            (None, None if vv is None else vv[keep]),
+            (tables[0], tables[1]),
+        )
+        return seg, None
+
+    if agg.name == "histogram":
+        v, val = args[0], validities[0]
+        live = np.ones(n, dtype=bool) if val is None else val
+        order = np.lexsort((v, gids))
+        vs, gs, lv = v[order], gids[order], live[order]
+        vs2, gs2 = vs[lv], gs[lv]
+        m = len(vs2)
+        run_starts = _runs([gs2, vs2], m)
+        counts = np.diff(np.append(run_starts, m)).astype(np.int64)
+        sizes = np.bincount(gs2[run_starts], minlength=num_groups)
+        seg = HostSegments(
+            agg.result_type,
+            sizes.astype(np.int32),
+            (vs2[run_starts], counts),
+            (None, None),
+            (tables[0], None),
+        )
+        return seg, None
+
+    if agg.name == "map_union":
+        # args[0] is a HostSegments column of MAP rows (gids-sorted)
+        seg: HostSegments = args[0]
+        k, v = seg.children
+        kv_val = seg.child_validities[1]
+        row_gids = np.repeat(gids, seg.sizes.astype(np.int64))
+        order = np.lexsort((k, row_gids))
+        ks, gs = k[order], row_gids[order]
+        vs = v[order]
+        keep = np.ones(len(ks), dtype=bool)
+        if len(ks):
+            keep[1:] = ~((gs[1:] == gs[:-1]) & (ks[1:] == ks[:-1]))
+        sizes = np.bincount(gs[keep], minlength=num_groups)
+        out = HostSegments(
+            agg.result_type,
+            sizes.astype(np.int32),
+            (ks[keep], vs[keep]),
+            (None, None if kv_val is None else kv_val[order][keep]),
+            seg.string_tables,
+        )
+        return out, None
+
+    raise KeyError(agg.name)

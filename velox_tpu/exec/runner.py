@@ -313,7 +313,15 @@ class AggExecutor:
             )
             for k in node.grouping_keys
         ]
-        if not self.key_infos:
+        from .collect_agg import CollectAggregate
+
+        if any(isinstance(a, CollectAggregate) for a in self.aggs):
+            # list-valued accumulators: rows are collected key-sorted and
+            # groups assembled host-side (exec/collect_agg.py)
+            self.mode = "collect_rows"
+            self.num_groups = 0
+            self.grouping = None
+        elif not self.key_infos:
             self.mode = "ungrouped"
             self.num_groups = 1
             self.grouping = None
@@ -600,6 +608,62 @@ class AggExecutor:
         return Table(RowType(names, types), cols, tables, validities)
 
 
+def _col_len(c) -> int:
+    return len(c)
+
+
+def _np_classic_agg(agg, ex, i, cols, vals, order, starts, gids, num_groups):
+    """Classic aggregates alongside collect aggregates, computed host-side on
+    the group-sorted rows (count/sum/min/max/avg/arbitrary/count_if)."""
+    names = ex.arg_names[i]
+    n = len(gids)
+    mask = np.ones(n, dtype=bool)
+    values = []
+    for j, nm in enumerate(names):
+        v = np.asarray(cols[nm])[order]
+        tr = ex.arg_transforms[i][j]
+        if tr is not None:
+            v = tr[np.clip(v.astype(np.int64), 0, len(tr) - 1)]
+        val = vals.get(nm)
+        if val is not None:
+            mask &= val[order]
+        values.append(v)
+    counts = np.bincount(gids[mask], minlength=num_groups).astype(np.int64)
+    name = agg.name
+    if name == "count":
+        return (counts if names else np.diff(np.append(starts, n))), None
+    if name == "count_if":
+        v = np.where(mask, values[0].astype(np.int64), 0)
+        return np.add.reduceat(v, starts) if len(starts) else v[:0], None
+    v = values[0]
+    if name in ("sum", "avg"):
+        acc = np.where(mask, v.astype(np.float64 if v.dtype.kind == "f" else np.int64), 0)
+        sums = np.add.reduceat(acc, starts) if len(starts) else acc[:0]
+        if name == "avg":
+            dt = ex.node.source.output_schema.type_of(names[0])
+            scale = 10.0 ** dt.scale if dt.kind == TypeKind.DECIMAL else 1.0
+            return sums / np.maximum(counts, 1) / scale, counts > 0
+        return sums, counts > 0
+    if name in ("min", "max", "arbitrary"):
+        op = np.maximum if name == "max" else np.minimum
+        if v.dtype.kind == "f":
+            ident = np.inf if name != "max" else -np.inf
+        else:
+            info = np.iinfo(np.int64)
+            ident = info.min if name == "max" else info.max
+            v = v.astype(np.int64)
+        vm = np.where(mask, v, ident)
+        out = op.reduceat(vm, starts) if len(starts) else vm[:0]
+        inv = ex.out_inverse[i]
+        if inv is not None:
+            out = inv[np.clip(out.astype(np.int64), 0, len(inv) - 1)]
+        return out, counts > 0
+    raise NotImplementedError(
+        f"{name} cannot be combined with collect aggregates in one "
+        "aggregation yet; split the aggregation into two nodes"
+    )
+
+
 def _radix_product(infos: Sequence[KeyInfo]) -> int:
     p = 1
     for k in infos:
@@ -749,7 +813,22 @@ class LocalExecutor:
             )
             ex = AggExecutor(lin.agg, self.capacity, presorted)
             self.agg_exec = ex
-            if ex.mode in ("ungrouped", "array"):
+            if ex.mode == "collect_rows":
+                self.kind = "collect_agg"
+                needed: List[str] = list(lin.agg.grouping_keys)
+                for names in ex.arg_names:
+                    for nm in names:
+                        if nm not in needed:
+                            needed.append(nm)
+                self._collect_needed = needed
+
+                @jax.jit
+                def collect_rows(batch):
+                    batch2, err = apply_streaming(batch, lin.steps)
+                    return compact(batch2.project(needed)), err
+
+                self._collect_rows_jit = collect_rows
+            elif ex.mode in ("ungrouped", "array"):
                 self.kind = "direct_agg"
 
                 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -920,6 +999,8 @@ class LocalExecutor:
             result = ex.extract(group_keys, accs_np)
         elif self.kind == "sort_agg":
             result = self._run_sort_agg_host(get_tile, n_tiles, stats)
+        elif self.kind == "collect_agg":
+            result = self._run_collect_agg(get_tile, n_tiles, stats)
         else:
             from ..utils.transfer import _prefix_slicer, bucket_of
 
@@ -1085,6 +1166,139 @@ class LocalExecutor:
             spiller.cleanup()
         group_keys, merged = ex.merge_partials_host(key_chunks, acc_chunks)
         return ex.extract(group_keys, merged)
+
+    def _run_collect_agg(self, get_tile, n_tiles: int, stats) -> Table:
+        """Grouped aggregation with list-valued accumulators (array_agg family):
+        collect key-sorted rows, assemble groups host-side (exec/collect_agg.py)."""
+        from ..utils.transfer import _prefix_slicer, bucket_of, fetch_tree
+        from ..vector.complex import HostSegments, column_to_host
+        from .collect_agg import CollectAggregate, compute_collect
+
+        ex = self.agg_exec
+        node = ex.node
+        needed = self._collect_needed
+        t0 = time.perf_counter()
+        outs = [self._collect_rows_jit(get_tile(i)) for i in range(n_tiles)]
+        lens_errs = fetch_tree([(o.length, e) for o, e in outs])
+        err_total = sum(int(e) for _, e in lens_errs)
+        _raise_on_errors(err_total)
+        # fetch all tiles' live prefixes in one round trip
+        cut_tiles, metas = [], []
+        for (out, _), (n_d, _) in zip(outs, lens_errs):
+            n = int(n_d)
+            arrays, complex_cols, meta = [], {}, []
+            for name, col in zip(out.schema.names, out.columns):
+                if col.dtype.is_complex:
+                    complex_cols[name] = col
+                    meta.append((name, "complex"))
+                    continue
+                arrays.append(col.data)
+                meta.append((name, col.validity is not None))
+                if col.validity is not None:
+                    arrays.append(col.validity)
+            bucket = min(bucket_of(max(n, 1)), out.capacity)
+            cut_tiles.append((_prefix_slicer(bucket)(tuple(arrays)), complex_cols))
+            metas.append((n, meta))
+        fetched = fetch_tree(cut_tiles)
+        if stats is not None:
+            stats.device_seconds = time.perf_counter() - t0
+        chunks: List[Dict[str, object]] = []
+        vchunks: List[Dict[str, np.ndarray]] = []
+        for (arrays, complex_cols), (n, meta) in zip(fetched, metas):
+            row, vrow = {}, {}
+            k = 0
+            for name, hv in meta:
+                if hv == "complex":
+                    seg, validity = column_to_host(complex_cols[name], n)
+                    row[name] = seg
+                    if validity is not None:
+                        vrow[name] = validity
+                    continue
+                row[name] = arrays[k][:n]
+                k += 1
+                if hv:
+                    vrow[name] = arrays[k][:n]
+                    k += 1
+            chunks.append(row)
+            vchunks.append(vrow)
+        in_schema = node.source.output_schema
+        cols: Dict[str, object] = {}
+        vals: Dict[str, np.ndarray] = {}
+        for name in needed:
+            if in_schema.type_of(name).is_complex:
+                cols[name] = HostSegments.concat([c[name] for c in chunks])
+            else:
+                cols[name] = np.concatenate([c[name] for c in chunks])
+            if any(name in vc for vc in vchunks):
+                vals[name] = np.concatenate(
+                    [
+                        vc.get(name, np.ones(_col_len(c[name]), dtype=bool))
+                        for vc, c in zip(vchunks, chunks)
+                    ]
+                )
+        n_rows = _col_len(cols[needed[0]]) if needed else 0
+        # sort rows by grouping keys (stable: row order preserved per group)
+        keys = [np.asarray(cols[k]) for k in node.grouping_keys]
+        if keys:
+            order = np.lexsort(tuple(reversed(keys)))
+            keys_s = [k[order] for k in keys]
+            diff = np.zeros(n_rows, dtype=bool)
+            if n_rows:
+                diff[0] = True
+                for k in keys_s:
+                    diff[1:] |= k[1:] != k[:-1]
+            starts = np.flatnonzero(diff)
+            num_groups = len(starts)
+            lengths = np.diff(np.append(starts, n_rows))
+            gids = np.repeat(np.arange(num_groups), lengths)
+        else:
+            order = np.arange(n_rows)
+            keys_s = []
+            starts = np.zeros(1, np.int64)
+            num_groups = 1
+            gids = np.zeros(n_rows, np.int64)
+        out_names = list(node.output_schema.names)
+        nkeys = len(node.grouping_keys)
+        out_cols: Dict[str, object] = {}
+        out_tables: Dict[str, StringTable] = {}
+        out_valid: Dict[str, np.ndarray] = {}
+        for info, name, arr in zip(ex.key_infos, out_names[:nkeys], keys_s):
+            out_cols[name] = arr[starts]
+            if info.strings is not None:
+                out_tables[name] = info.strings
+        for i, (agg, name) in enumerate(zip(ex.aggs, out_names[nkeys:])):
+            argn = ex.arg_names[i]
+            if isinstance(agg, CollectAggregate):
+                args, validities, tabs = [], [], []
+                for nm in argn:
+                    c = cols[nm]
+                    if isinstance(c, HostSegments):
+                        args.append(c.take_rows(order))
+                    else:
+                        args.append(np.asarray(c)[order])
+                    v = vals.get(nm)
+                    validities.append(None if v is None else v[order])
+                    tabs.append(
+                        resolve_column_strings(node.source, nm)
+                        if not in_schema.type_of(nm).is_complex
+                        else None
+                    )
+                value, validity = compute_collect(
+                    agg, gids, starts, num_groups, args, validities, tabs
+                )
+                out_cols[name] = value
+                if validity is not None:
+                    out_valid[name] = validity
+            else:
+                value, validity = _np_classic_agg(
+                    agg, ex, i, cols, vals, order, starts, gids, num_groups
+                )
+                out_cols[name] = value
+                if ex.out_strings[i] is not None:
+                    out_tables[name] = ex.out_strings[i]
+                if validity is not None and not validity.all():
+                    out_valid[name] = validity
+        return Table(node.output_schema, out_cols, out_tables, out_valid)
 
     def run_device(self):
         """Execute a collect-kind pipeline keeping results device-resident.
