@@ -117,9 +117,7 @@ def test_semi_and_anti_join():
     )
 
 
-def test_duplicate_build_keys_semi_ok_inner_rejected():
-    from velox_tpu.exec.joins import JoinBuildError
-
+def test_duplicate_build_keys_semi_dedupes_inner_expands():
     left = make_table(k=([1, 2], vt.BIGINT))
     right = make_table(k2=([2, 2], vt.BIGINT))
     semi = (
@@ -134,8 +132,10 @@ def test_duplicate_build_keys_semi_ok_inner_rejected():
         .hash_join(PlanBuilder().table_scan(right), ["k"], ["k2"],
                    output=["k"], join_type="inner").build()
     )
-    with pytest.raises(JoinBuildError):
-        run_plan(inner)
+    # duplicate build keys expand: one output row per matching pair
+    np.testing.assert_array_equal(
+        run_plan(inner).to_pandas()["k"].to_numpy(), [2, 2]
+    )
 
 
 def test_multi_key_join():

@@ -23,8 +23,12 @@ normalized key from build-side value ranges (VectorHasher range mode,
 velox/exec/VectorHasher.h:118); probe values outside any range cannot match and
 map to a negative sentinel.
 
-Scope: equi-joins with a UNIQUE build side for INNER/LEFT (primary-key joins;
-validated at build time — the planner keeps the N side probing).  LEFT_SEMI and
+Scope: equi-joins.  A UNIQUE build side (primary-key joins) probes in one fused
+program.  A build side with DUPLICATE keys becomes an **expansion join**: the
+build keeps per-key runs (start, count) in sorted order, each probe row
+resolves to a span over the build array, and the output is produced by the
+same scatter-free span-expansion machinery as Unnest (ops/segpool) into a
+power-of-two output bucket sized by one per-tile scalar fetch.  LEFT_SEMI and
 ANTI deduplicate the build keys, so any build side works there.  Non-equi join
 filters are expressed as FilterNode above an INNER join (semantically identical;
 the reference fuses them in HashProbe instead).
@@ -47,6 +51,11 @@ from ..vector.column import Batch, Column
 
 class JoinBuildError(RuntimeError):
     pass
+
+
+class DuplicateBuildKeys(JoinBuildError):
+    """Signals the device-resident build path that the build side needs
+    expansion-join state; the caller falls back to the host build."""
 
 
 @dataclasses.dataclass
@@ -122,6 +131,10 @@ class HashJoinExec:
     build_tables: Dict[str, object]
     normalizer: Optional[_NormalizedKey]  # None for single raw int64 key
     build_valid: Optional[jax.Array] = None  # [B] live-slot mask (device builds)
+    # expansion (N:M) join state: per sorted-build-slot run info
+    expansion: bool = False
+    run_start: Optional[jax.Array] = None  # [B] first slot of this key's run
+    run_count: Optional[jax.Array] = None  # [B] length of this key's run
 
     @staticmethod
     def build(node: HashJoinNode, build_result: Table) -> "HashJoinExec":
@@ -155,14 +168,25 @@ class HashJoinExec:
         keys_sorted = packed[order]
 
         jt = node.join_type
+        expansion = False
+        run_start = run_count = None
         if jt in (JoinType.LEFT_SEMI, JoinType.ANTI):
             # Only existence matters; deduplicate so any build side works.
             keys_sorted, first = np.unique(keys_sorted, return_index=True)
             row_order = row_order[first]
         elif len(keys_sorted) > 1 and (keys_sorted[1:] == keys_sorted[:-1]).any():
-            raise JoinBuildError(
-                "build side has duplicate keys; keep the unique (PK) side as "
-                "build — expansion joins are not supported in this version"
+            # duplicate keys: N:M expansion join — keep per-key runs
+            expansion = True
+            n = len(keys_sorted)
+            boundary = np.ones(n, dtype=bool)
+            boundary[1:] = keys_sorted[1:] != keys_sorted[:-1]
+            starts = np.flatnonzero(boundary)
+            lengths = np.diff(np.append(starts, n))
+            run_start = jnp.asarray(
+                np.repeat(starts, lengths).astype(np.int32)
+            )
+            run_count = jnp.asarray(
+                np.repeat(lengths, lengths).astype(np.int32)
             )
 
         cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]] = {}
@@ -180,6 +204,9 @@ class HashJoinExec:
             len(keys_sorted),
             dict(build_result.string_tables),
             normalizer,
+            expansion=expansion,
+            run_start=run_start,
+            run_count=run_count,
         )
 
     @staticmethod
@@ -303,9 +330,9 @@ class HashJoinExec:
 
             _raise_on_errors(int(err))
         if int(dup):
-            raise JoinBuildError(
-                "build side has duplicate keys; keep the unique (PK) side as "
-                "build — expansion joins are not supported in this version"
+            raise DuplicateBuildKeys(
+                "build side has duplicate keys; expansion state is built on "
+                "the host path"
             )
         n = int(n_valid)
         bucket = min(bucket_of(max(n, 1)), s_key.shape[0])
@@ -403,6 +430,118 @@ class HashJoinExec:
             live2[:cap].astype(jnp.bool_),
         )
 
+    # ---- expansion (N:M) probe: spans + expand ------------------------------
+    def _probe_keys(self, batch: Batch):
+        cap = batch.capacity
+        probe_vals: List[jax.Array] = []
+        key_ok = jnp.ones((cap,), dtype=jnp.bool_)
+        for k in self.node.left_keys:
+            values, validity = batch.column(k).decode(cap)
+            probe_vals.append(values)
+            if validity is not None:
+                key_ok = key_ok & validity
+        if self.normalizer is None:
+            probe_keys = probe_vals[0].astype(jnp.int64)
+        else:
+            probe_keys, key_ok = self.normalizer.pack_device(probe_vals, key_ok)
+        return probe_keys, key_ok
+
+    def probe_spans(self, batch: Batch):
+        """Phase 1 of an expansion join: per probe row (in ORIGINAL order) the
+        matching build run span.  Returns (sizes, starts, hit, total)."""
+        assert self.expansion
+        cap = batch.capacity
+        B = self.build_size
+        jt = self.node.join_type
+        probe_keys, key_ok = self._probe_keys(batch)
+        live = batch.active_mask()
+        all_keys = jnp.concatenate([self.build_keys, probe_keys])
+        is_probe = jnp.concatenate(
+            [jnp.zeros((B,), jnp.int8), jnp.ones((cap,), jnp.int8)]
+        )
+        orig = jnp.concatenate(
+            [jnp.arange(B, dtype=jnp.int32), jnp.arange(cap, dtype=jnp.int32)]
+        )
+        k_s, p_s, o_s = jax.lax.sort((all_keys, is_probe, orig), num_keys=2)
+        bidx = jnp.where(p_s == 0, o_s, jnp.int32(-1))
+        last_build = jax.lax.cummax(bidx)
+        cand = jnp.clip(last_build, 0, B - 1)
+        hit_s = (
+            (p_s == 1)
+            & (last_build >= 0)
+            & (jnp.take(self.build_keys, cand, mode="clip") == k_s)
+        )
+        # restore original probe order: probe markers sort first (flag 0),
+        # ordered by row id, so they occupy slots [0, cap)
+        _, _, cand_o, hit_o = jax.lax.sort(
+            (1 - p_s.astype(jnp.int32), o_s, cand, hit_s.astype(jnp.int8)),
+            num_keys=2,
+        )
+        cand_p = cand_o[:cap]
+        hit = hit_o[:cap].astype(jnp.bool_) & key_ok & live
+        starts = jnp.take(self.run_start, cand_p, mode="clip")
+        counts = jnp.take(self.run_count, cand_p, mode="clip")
+        if jt == JoinType.LEFT:
+            sizes = jnp.where(live, jnp.where(hit, counts, 1), 0)
+        else:  # INNER
+            sizes = jnp.where(hit, counts, 0)
+        total = jnp.sum(sizes.astype(jnp.int64))
+        return sizes.astype(jnp.int32), starts, hit, total
+
+    def expand(self, batch: Batch, spans, out_cap: int) -> Batch:
+        """Phase 2: materialize the joined rows into a [out_cap] batch."""
+        from ..ops.segpool import dense_starts, owner_rows
+
+        node = self.node
+        cap = batch.capacity
+        jt = node.join_type
+        sizes, run_starts, hit, total = spans
+        out_starts = dense_starts(sizes)
+        total32 = (out_starts[-1] + sizes[-1]).astype(jnp.int32)
+        rowid = owner_rows(out_starts, total32, out_cap)
+        pos = jnp.arange(out_cap, dtype=jnp.int32)
+        emask = pos < total32
+        offset = pos - jnp.take(out_starts, rowid, mode="clip")
+        build_pos = jnp.take(run_starts, rowid, mode="clip") + offset
+        build_pos = jnp.clip(build_pos, 0, max(self.build_size - 1, 0))
+        row_hit = jnp.take(hit, rowid, mode="clip")
+
+        left_schema = node.left.output_schema
+        right_key_to_left = dict(zip(node.right_keys, node.left_keys))
+        out_cols: List[Column] = []
+        for name, dtype in zip(node.output_schema.names, node.output_schema.types):
+            if name in left_schema:
+                out_cols.append(batch.column(name).flatten(cap).gather(rowid))
+            elif name in right_key_to_left:
+                left_name = right_key_to_left[name]
+                src = batch.column(left_name)
+                values, validity = src.decode(cap)
+                g = jnp.take(values, rowid, mode="clip")
+                gv = row_hit if jt == JoinType.LEFT else None
+                out_cols.append(
+                    Column.flat(g.astype(dtype.device_dtype), dtype, gv, src.strings)
+                )
+            else:
+                values, validity = self.build_cols[name]
+                g = jnp.take(values, build_pos, mode="clip")
+                gv = (
+                    None
+                    if validity is None
+                    else jnp.take(validity, build_pos, mode="clip")
+                )
+                if jt == JoinType.LEFT:
+                    gv = row_hit if gv is None else (gv & row_hit)
+                out_cols.append(
+                    Column.flat(g, dtype, gv, self.build_tables.get(name))
+                )
+        return Batch(
+            tuple(out_cols),
+            total32,
+            None,
+            node.output_schema,
+            out_cap,
+        )
+
     # ---- trace-time probe -------------------------------------------------
     def probe(self, batch: Batch) -> Batch:
         node = self.node
@@ -413,6 +552,7 @@ class HashJoinExec:
             JoinType.INNER, JoinType.LEFT_SEMI, JoinType.ANTI, JoinType.LEFT
         ):
             raise NotImplementedError(f"join type {jt} not yet supported")
+        assert not self.expansion, "expansion joins go through probe_spans/expand"
 
         probe_vals: List[jax.Array] = []
         key_ok = jnp.ones((cap,), dtype=jnp.bool_)

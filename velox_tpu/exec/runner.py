@@ -209,6 +209,11 @@ def _pipeline_sort_keys(steps) -> Tuple[str, ...]:
 # Streaming operator application (trace-time)
 
 
+def _apply_steps(batch: Batch, steps: Sequence[Tuple]):
+    """jit-friendly wrapper: steps bound via functools.partial (hashable)."""
+    return apply_streaming(batch, steps)
+
+
 def apply_streaming(batch: Batch, steps: Sequence[Tuple]):
     """Apply filter/project steps; returns (batch, error_count_on_live_rows)."""
     err = jnp.zeros((), dtype=jnp.int64)
@@ -766,21 +771,57 @@ class LocalExecutor:
         lin = _linearize(root)
         from .joins import HashJoinExec
 
+        from .joins import DuplicateBuildKeys
+
         resolved: List[Tuple] = []
         for step in lin.steps:
             if step[0] == "join":
                 sub = LocalExecutor(step[1].right, tile_rows, config)
                 device = sub.run_device()
+                exec_ = None
                 if device is not None:
                     # build data stays in HBM end to end (no host round trip)
                     batches, err = device
-                    exec_ = HashJoinExec.build_from_device(step[1], batches, err)
-                else:
+                    try:
+                        exec_ = HashJoinExec.build_from_device(
+                            step[1], batches, err
+                        )
+                    except DuplicateBuildKeys:
+                        pass  # N:M build: host path constructs run spans
+                if exec_ is None:
                     exec_ = HashJoinExec.build(step[1], sub.run())
-                resolved.append(("join", exec_))
+                resolved.append(
+                    ("xjoin", exec_) if exec_.expansion else ("join", exec_)
+                )
             else:
                 resolved.append(step)
-        lin.steps = resolved
+        # expansion (N:M) joins split the pipeline into phases: the output
+        # row count is data-dependent, so each expansion is sized by one
+        # per-tile scalar fetch and materialized into a power-of-two bucket
+        # before the remaining (tail) steps run (exec/joins.py probe_spans)
+        self._pre_segments: List[Tuple] = []
+        cur: List[Tuple] = []
+        for step in resolved:
+            if step[0] == "xjoin":
+                self._pre_segments.append((tuple(cur), step[1]))
+                cur = []
+            else:
+                cur.append(step)
+        lin.steps = cur
+        self._all_steps = resolved  # incl. xjoin steps (schema tracking)
+        self._pending_errs: List = []
+        if self._pre_segments:
+            self._seg_jits = [
+                jax.jit(functools.partial(_apply_steps, steps=seg))
+                for seg, _ in self._pre_segments
+            ]
+            self._span_jits = [
+                jax.jit(ex.probe_spans) for _, ex in self._pre_segments
+            ]
+            self._expand_jits = [
+                jax.jit(ex.expand, static_argnums=2)
+                for _, ex in self._pre_segments
+            ]
         from .window import WindowNode
 
         if isinstance(lin.source, WindowNode):
@@ -891,16 +932,38 @@ class LocalExecutor:
 
             self._tile_out = tile_out
             out_schema = lin.source.output_schema
-            for step in lin.steps:
+            for step in self._all_steps:
                 if step[0] == "project":
                     out_schema = step[3]
-                elif step[0] == "join":
+                elif step[0] in ("join", "xjoin"):
                     out_schema = step[1].node.output_schema
                 elif step[0] == "expand":
                     out_schema = step[1].output_schema
             self.out_schema = out_schema
 
     # ------------------------------------------------------------------
+    def _expand_tile(self, batch: Batch) -> Batch:
+        """Run the expansion-join phases on one tile (see __init__)."""
+        from ..utils.transfer import bucket_of, fetch_tree
+
+        for i in range(len(self._pre_segments)):
+            batch, err = self._seg_jits[i](batch)
+            self._pending_errs.append(err)
+            spans = self._span_jits[i](batch)
+            total = int(fetch_tree(spans[3]))
+            out_cap = bucket_of(max(total, 1))
+            batch = self._expand_jits[i](batch, spans, out_cap)
+        return batch
+
+    def _drain_pending_errs(self) -> int:
+        if not self._pending_errs:
+            return 0
+        from ..utils.transfer import fetch_tree
+
+        total = sum(int(e) for e in fetch_tree(list(self._pending_errs)))
+        self._pending_errs = []
+        return total
+
     def run(
         self,
         prefetched_tiles: Optional[List[Batch]] = None,
@@ -917,6 +980,9 @@ class LocalExecutor:
         else:
             n_tiles = self.source_table.num_tiles(self.capacity)
             get_tile = lambda i: self.source_table.tile(i, self.capacity)  # noqa: E731
+        if self._pre_segments:
+            inner_get = get_tile
+            get_tile = lambda i: self._expand_tile(inner_get(i))  # noqa: E731
         if stats is not None:
             stats.tiles = n_tiles
             stats.rows_in = self.source_table.num_rows
@@ -933,7 +999,7 @@ class LocalExecutor:
             (accs_np, rowcounts_np), errs = fetch_tree(carry)
             if stats is not None:
                 stats.device_seconds = time.perf_counter() - t0
-            _raise_on_errors(int(errs))
+            _raise_on_errors(int(errs) + self._drain_pending_errs())
             result = ex.extract(None, accs_np, rowcounts_np)
         elif self.kind == "sort_agg_device":
             from ..utils.transfer import _prefix_slicer, bucket_of
@@ -988,7 +1054,7 @@ class LocalExecutor:
             fetched = fetch_prefix(flat, int(count))
             if stats is not None:
                 stats.device_seconds = time.perf_counter() - t0
-            _raise_on_errors(int(errs))
+            _raise_on_errors(int(errs) + self._drain_pending_errs())
             nkeys = len(ex.key_infos)
             group_keys = fetched[:nkeys]
             accs_np = []
@@ -1061,7 +1127,7 @@ class LocalExecutor:
                 valid_chunks.append(vrow)
             if stats is not None:
                 stats.device_seconds = time.perf_counter() - t0
-            _raise_on_errors(err_total)
+            _raise_on_errors(err_total + self._drain_pending_errs())
             from ..vector.complex import HostSegments
 
             cols = {}
@@ -1157,7 +1223,7 @@ class LocalExecutor:
                 chunk_bytes = 0
         if stats is not None:
             stats.device_seconds = time.perf_counter() - t0
-        _raise_on_errors(err_total)
+        _raise_on_errors(err_total + self._drain_pending_errs())
         if spiller is not None:
             for t in spiller.restore():
                 keys, accs = ex.table_to_partials(t)
@@ -1181,7 +1247,7 @@ class LocalExecutor:
         outs = [self._collect_rows_jit(get_tile(i)) for i in range(n_tiles)]
         lens_errs = fetch_tree([(o.length, e) for o, e in outs])
         err_total = sum(int(e) for _, e in lens_errs)
-        _raise_on_errors(err_total)
+        _raise_on_errors(err_total + self._drain_pending_errs())
         # fetch all tiles' live prefixes in one round trip
         cut_tiles, metas = [], []
         for (out, _), (n_d, _) in zip(outs, lens_errs):
@@ -1312,9 +1378,15 @@ class LocalExecutor:
         n_tiles = self.source_table.num_tiles(self.capacity)
         batches, err = [], jnp.zeros((), dtype=jnp.int64)
         for i in range(n_tiles):
-            out, e = self._tile_out(self.source_table.tile(i, self.capacity))
+            tile = self.source_table.tile(i, self.capacity)
+            if self._pre_segments:
+                tile = self._expand_tile(tile)
+            out, e = self._tile_out(tile)
             batches.append(out)
             err = err + e
+        for e in self._pending_errs:
+            err = err + e
+        self._pending_errs = []
         return batches, err
 
     def device_tiles(self) -> List[Batch]:
