@@ -132,6 +132,76 @@ def test_collect_agg_multi_tile():
         assert row["s"] == expect.sum()
 
 
+def test_approx_percentile_and_most_frequent():
+    st = StringTable()
+    t = Table(
+        RowType(["g", "x", "s"], [BIGINT, BIGINT, VARCHAR]),
+        {
+            "g": np.array([1, 1, 1, 1, 2, 2], np.int64),
+            "x": np.array([10, 20, 30, 40, 5, 7], np.int64),
+            "s": st.intern_all(["a", "a", "b", "a", "c", "c"]),
+        },
+        {"s": st},
+    )
+    out = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .aggregation(
+                ["g"],
+                [
+                    "approx_percentile(x, 0.5) as p50",
+                    "approx_percentile(x, 0.99) as p99",
+                    "approx_most_frequent(1, s, 10) as top1",
+                    "approx_most_frequent(2, x, 10) as top2",
+                ],
+            )
+            .build()
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # exact quantiles (documented deviation: the reference's KLL sketch is
+    # approximate; sorting is free here, so results are exact)
+    assert out["p50"].tolist() == [30, 7]
+    assert out["p99"].tolist() == [40, 7]
+    assert out["top1"].tolist() == [{"a": 3}, {"c": 2}]
+    assert out["top2"].tolist() == [{10: 1, 20: 1}, {5: 1, 7: 1}]
+
+
+def test_right_join_rewrite():
+    left = Table(
+        RowType(["k", "lx"], [BIGINT, BIGINT]),
+        {"k": np.array([1, 2], np.int64), "lx": np.array([10, 20], np.int64)},
+    )
+    right = Table(
+        RowType(["rk", "ry"], [BIGINT, BIGINT]),
+        {"rk": np.array([2, 3], np.int64), "ry": np.array([200, 300], np.int64)},
+    )
+    import pandas as pd
+
+    out = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(left)
+            .hash_join(
+                PlanBuilder().table_scan(right).build(),
+                ["k"],
+                ["rk"],
+                output=["lx", "rk", "ry"],
+                join_type="right",
+            )
+            .build()
+        )
+        .to_pandas()
+        .sort_values("ry")
+        .reset_index(drop=True)
+    )
+    assert out["ry"].tolist() == [200, 300]
+    assert [None if pd.isna(v) else v for v in out["lx"]] == [20, None]
+
+
 def test_array_agg_after_filter():
     t = make_table()
     out = (

@@ -20,7 +20,15 @@ from ..dtypes import BIGINT, DataType, TypeKind, array as array_t, map_ as map_t
 from ..vector.complex import HostSegments
 from ..vector.string_table import StringTable
 
-COLLECT_AGG_NAMES = ("array_agg", "set_agg", "map_agg", "histogram", "map_union")
+COLLECT_AGG_NAMES = (
+    "array_agg",
+    "set_agg",
+    "map_agg",
+    "histogram",
+    "map_union",
+    "approx_percentile",
+    "approx_most_frequent",
+)
 
 
 @dataclasses.dataclass
@@ -57,6 +65,20 @@ def bind_collect(name: str, types: Tuple[DataType, ...]) -> CollectAggregate:
         (m,) = types
         assert m.kind == TypeKind.MAP, "map_union takes a MAP argument"
         return CollectAggregate(name, m, types, ("value",))
+    if name == "approx_percentile":
+        # (x, percentage) — computed EXACTLY here (the device sorts rows
+        # anyway, so the KLL sketch the reference uses for memory bounds,
+        # functions/lib/KllSketch.h, buys nothing; documented deviation:
+        # exact result instead of approximate)
+        assert len(types) == 2, "approx_percentile(x, percentage)"
+        return CollectAggregate(name, types[0], types, ("value", "plain"))
+    if name == "approx_most_frequent":
+        # (buckets, value, capacity) -> map(value, count); exact top-k
+        # (reference: ApproxMostFrequentStreamSummary.h space-saving sketch)
+        assert len(types) == 3, "approx_most_frequent(buckets, value, capacity)"
+        return CollectAggregate(
+            name, map_t(types[1], BIGINT), types, ("plain", "value", "plain")
+        )
     raise KeyError(name)
 
 
@@ -185,5 +207,59 @@ def compute_collect(
             seg.string_tables,
         )
         return out, None
+
+    if agg.name == "approx_percentile":
+        v, val = args[0], validities[0]
+        pt = agg.arg_types[1]
+        if n:
+            p_raw = float(np.asarray(args[1])[0])
+            p = p_raw / 10.0**pt.scale if pt.kind == TypeKind.DECIMAL else p_raw
+        else:
+            p = 0.5
+        live = np.ones(n, dtype=bool) if val is None else val
+        order = np.lexsort((v, gids))
+        vs, gs, lv = v[order], gids[order], live[order]
+        vs2, gs2 = vs[lv], gs[lv]
+        counts = np.bincount(gs2, minlength=num_groups)
+        firsts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        idx = firsts + np.minimum(
+            np.maximum(counts - 1, 0), np.floor(p * counts).astype(np.int64)
+        )
+        if len(vs2):
+            out = vs2[np.clip(idx, 0, len(vs2) - 1)]
+        else:
+            out = np.zeros(num_groups, v.dtype)
+        return out, counts > 0
+
+    if agg.name == "approx_most_frequent":
+        buckets = int(np.asarray(args[0])[0]) if n else 0
+        v, val = args[1], validities[1]
+        live = np.ones(n, dtype=bool) if val is None else val
+        order = np.lexsort((v, gids))
+        vs, gs, lv = v[order], gids[order], live[order]
+        vs2, gs2 = vs[lv], gs[lv]
+        m = len(vs2)
+        run_starts = _runs([gs2, vs2], m)
+        counts = np.diff(np.append(run_starts, m)).astype(np.int64)
+        rg = gs2[run_starts]
+        rv = vs2[run_starts]
+        # top-k per group by (count desc, value asc)
+        order2 = np.lexsort((rv, -counts, rg))
+        rg2, rv2, rc2 = rg[order2], rv[order2], counts[order2]
+        gcounts = np.bincount(rg2, minlength=num_groups)
+        gfirst = np.concatenate([[0], np.cumsum(gcounts)[:-1]])
+        rank = np.arange(len(rg2)) - np.repeat(gfirst, gcounts)
+        keep = rank < buckets
+        sizes = np.bincount(rg2[keep], minlength=num_groups)
+        # present entries in (value asc) order within each group
+        order3 = np.lexsort((rv2[keep], rg2[keep]))
+        seg = HostSegments(
+            agg.result_type,
+            sizes.astype(np.int32),
+            (rv2[keep][order3], rc2[keep][order3]),
+            (None, None),
+            (tables[1], None),
+        )
+        return seg, None
 
     raise KeyError(agg.name)

@@ -152,6 +152,25 @@ def _linearize(root: PlanNode) -> _Linear:
             steps_rev.append(("expand", node))
             node = node.sources[0]
         else:
+            from ..plan.nodes import JoinType
+
+            if node.join_type in (JoinType.RIGHT, JoinType.RIGHT_SEMI):
+                # lower by swapping sides (reference: the planner flips
+                # RIGHT to LEFT with probe/build exchanged)
+                flipped = {
+                    JoinType.RIGHT: JoinType.LEFT,
+                    JoinType.RIGHT_SEMI: JoinType.LEFT_SEMI,
+                }[node.join_type]
+                node = HashJoinNode(
+                    node.right,
+                    node.left,
+                    flipped,
+                    node.right_keys,
+                    node.left_keys,
+                    node.output_columns,
+                    node.filter,
+                    id=node.id,
+                )
             # probe continues down the left (probe) side; the right (build) side
             # is executed eagerly when the pipeline is instantiated.
             steps_rev.append(("join", node))
