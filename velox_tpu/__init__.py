@@ -73,5 +73,6 @@ from .dtypes import (  # noqa: E402,F401
 )
 from .vector import Batch, Column, Encoding, StringTable  # noqa: E402,F401
 from .functions import presto as _presto_functions  # noqa: E402,F401  (registers fns)
+from .functions import spark as _spark_functions  # noqa: E402,F401  (registers fns)
 
 __version__ = "0.1.0"

@@ -328,6 +328,15 @@ def bind_aggregate(
 ) -> BoundAggregate:
     """Bind an aggregate by name (reference: exec::Aggregate::create)."""
     name = name.lower()
+    # Spark-package aliases (reference: velox/functions/sparksql/aggregates):
+    # first/last reduce to arbitrary (deterministic here), collect_* to the
+    # Presto collect aggregates.
+    name = {
+        "first": "arbitrary",
+        "last": "arbitrary",
+        "collect_list": "array_agg",
+        "collect_set": "set_agg",
+    }.get(name, name)
     if input_types is None:
         types: Tuple[DataType, ...] = ()
     elif isinstance(input_types, DataType):
@@ -523,6 +532,45 @@ def bind_aggregate(
             raw,
             lambda accs: (accs[0], None),
             input_index, arg_roles=("plain",),
+        )
+
+    if name in ("skewness", "kurtosis"):
+        # central moments from raw power sums (reference: velox/functions/
+        # prestosql/aggregates/CentralMomentsAggregates.cpp; Spark's kurtosis
+        # differs from Presto's by the excess-kurtosis constant — Presto
+        # semantics here)
+        def raw(values, mask, _t=t0):
+            v = _to_float(values[0], _t)
+            return (
+                jnp.ones_like(v, dtype=jnp.int64),
+                v,
+                v * v,
+                v * v * v,
+                v * v * v * v,
+            )
+
+        def extract(accs, _name=name):
+            n, s1, s2, s3, s4 = (np.asarray(a) for a in accs)
+            nf = np.maximum(n, 1).astype(np.float64)
+            mean = s1 / nf
+            m2 = s2 - nf * mean**2
+            m3 = s3 - 3 * mean * s2 + 2 * nf * mean**3
+            m4 = s4 - 4 * mean * s3 + 6 * mean**2 * s2 - 3 * nf * mean**4
+            if _name == "skewness":
+                denom = np.where(m2 > 0, np.sqrt(np.maximum(m2, 1e-300)) ** 3, 1.0)
+                out = np.sqrt(nf) * m3 / denom
+                valid = (n >= 2) & (m2 > 0)
+            else:
+                denom = np.where(m2 > 0, m2 * m2, 1.0)
+                out = nf * m4 / denom - 3.0
+                valid = (n >= 2) & (m2 > 0)
+            return out, valid
+
+        return BoundAggregate(
+            name, DOUBLE,
+            (jnp.int64,) + (jnp.float64,) * 4,
+            ("sum",) * 5,
+            raw, extract, input_index, arg_roles=("plain",),
         )
 
     if name in ("covar_pop", "covar_samp", "corr"):

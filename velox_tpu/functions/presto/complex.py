@@ -630,6 +630,16 @@ def _repeat(ctx, expr: Call):
     )
 
 
+def _spark_size(ctx, expr: Call):
+    """Spark legacy size(): -1 for NULL input (sparksql/Size.cpp)."""
+    r = ctx.evaluate(expr.args[0])
+    seg = r.values
+    sizes = seg.sizes.astype(jnp.int64)
+    if r.validity is not None:
+        sizes = jnp.where(r.validity, sizes, jnp.int64(-1))
+    return _result(ctx, sizes, None, r.errors)
+
+
 def _map_keys(ctx, expr: Call):
     r = _seg_arg(ctx, expr.args[0])
     seg = r.values
@@ -994,6 +1004,10 @@ COMPLEX_FNS: Dict[str, Callable] = {
     "map_filter": _map_filter,
     "transform_keys": _transform_map("keys"),
     "transform_values": _transform_map("values"),
+    # Spark package (velox/functions/sparksql): aliases + legacy size()
+    "size": _spark_size,
+    "array_contains": _contains,
+    "sort_array": _array_sort,
 }
 
 
@@ -1085,6 +1099,11 @@ def _register_all():
         lambda ts: map_t(ts[0].key_type, ts[1]),
         _stub,
     )
+    # Spark package
+    reg.register("size", [_A], BIGINT, _stub)
+    reg.register("size", [_M], BIGINT, _stub)
+    reg.register("array_contains", [_A, ANY], BOOLEAN, _stub)
+    reg.register("sort_array", [_A], lambda ts: ts[0], _stub)
 
 
 _register_all()
