@@ -168,3 +168,44 @@ def test_nth_value_and_rows_frames():
         df.groupby("g")["v"].rolling(2, min_periods=1).mean().reset_index(drop=True)
     )
     assert out["wa"].tolist() == expect_wa.tolist()
+
+
+def test_k_bounded_frames_rows_and_range():
+    """ROWS min/max via RMQ sparse table; RANGE k bounds via rank merge
+    (reference: PlanNode.h:1989 WindowFrame kPreceding/kFollowing)."""
+    import numpy as np
+
+    from velox_tpu.dtypes import BIGINT, RowType
+    from velox_tpu.exec import run_plan
+    from velox_tpu.io.table import Table
+    from velox_tpu.plan import PlanBuilder
+
+    t = Table(
+        RowType(["g", "o", "x"], [BIGINT, BIGINT, BIGINT]),
+        {
+            "g": np.array([1, 1, 1, 1, 2, 2], np.int64),
+            "o": np.array([1, 2, 5, 6, 1, 9], np.int64),
+            "x": np.array([10, 20, 30, 40, 7, 9], np.int64),
+        },
+    )
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .window(
+            ["g"],
+            ["o"],
+            [
+                "min(x) rows between 1 preceding and current row as m1",
+                "max(x) rows between current row and 1 following as m2",
+                "sum(x) range between 1 preceding and 1 following as rs",
+                "min(x) range between 3 preceding and current row as rm",
+                "count(x) range between unbounded preceding and 0 following as rc",
+            ],
+        )
+        .build()
+    ).to_pandas()
+    assert out["m1"].tolist() == [10, 10, 20, 30, 7, 7]
+    assert out["m2"].tolist() == [20, 30, 40, 40, 9, 9]
+    assert out["rs"].tolist() == [30, 30, 70, 70, 7, 9]
+    assert out["rm"].tolist() == [10, 10, 20, 30, 7, 9]
+    assert out["rc"].tolist() == [1, 2, 3, 4, 1, 2]

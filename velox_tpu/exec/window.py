@@ -42,9 +42,12 @@ class WindowCall:
     arg: Optional[str] = None  # input column name
     offset: int = 1  # lead/lag offset; also nth_value's n and ntile's buckets
     full_frame: bool = False  # aggregate over the whole partition
-    # ROWS frame (preceding, following); None component = UNBOUNDED.  Absent
+    # frame (preceding, following); None component = UNBOUNDED.  Absent
     # (frame is None) = the SQL default RANGE UNBOUNDED PRECEDING..CURRENT ROW.
     frame: Optional[Tuple[Optional[int], Optional[int]]] = None
+    # 'rows' (positional offsets) or 'range' (order-key value offsets,
+    # PlanNode.h:1989 WindowFrame kRange with k bounds)
+    frame_unit: str = "rows"
 
     def result_type(self, input_type: Optional[DataType]) -> DataType:
         if self.name in ("row_number", "rank", "dense_rank", "ntile", "count"):
@@ -82,7 +85,8 @@ class WindowNode(PlanNode):
 
 
 _CALL_RE = re.compile(
-    r"^\s*(?P<fn>[a-z_]+)\s*\(\s*(?P<args>[^)]*)\)\s*(?P<frame>rows\s+between\s+.*)?$",
+    r"^\s*(?P<fn>[a-z_]+)\s*\(\s*(?P<args>[^)]*)\)\s*"
+    r"(?P<frame>(rows|range)\s+between\s+.*)?$",
     re.IGNORECASE,
 )
 _BOUND_RE = re.compile(
@@ -114,8 +118,13 @@ def parse_window_call(text: str) -> WindowCall:
     fn = m.group("fn").lower()
     args = [a.strip() for a in m.group("args").split(",") if a.strip()]
     frame = None
+    unit = "rows"
     if m.group("frame"):
-        body = re.sub(r"^rows\s+between\s+", "", m.group("frame").strip(), flags=re.IGNORECASE)
+        text_f = m.group("frame").strip()
+        unit = "range" if text_f.lower().startswith("range") else "rows"
+        body = re.sub(
+            r"^(rows|range)\s+between\s+", "", text_f, flags=re.IGNORECASE
+        )
         start_s, end_s = re.split(r"\s+and\s+", body, flags=re.IGNORECASE)
         frame = (_parse_bound(start_s, True), _parse_bound(end_s, False))
     if fn in ("lead", "lag"):
@@ -125,9 +134,9 @@ def parse_window_call(text: str) -> WindowCall:
     if fn == "nth_value":
         return WindowCall(fn, args[0], offset=int(args[1]))
     if fn in ("sum", "avg", "count", "min", "max"):
-        if frame is not None and fn in ("min", "max"):
-            raise NotImplementedError("ROWS frames for min/max not yet supported")
-        return WindowCall(fn, args[0] if args else None, frame=frame)
+        return WindowCall(
+            fn, args[0] if args else None, frame=frame, frame_unit=unit
+        )
     if fn in ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist"):
         return WindowCall(fn)
     if fn == "ntile":
@@ -315,9 +324,14 @@ class WindowExec:
                 if validity is not None:
                     v = v & jnp.take(validity, jnp.clip(pos, 0, cap - 1), mode="clip")
                 out_validity.append(v)
-            elif name in ("sum", "avg", "count") and call.frame is not None:
-                # ROWS frame via per-partition prefix sums: window sum =
-                # pref[hi] - pref[lo-1], bounds clamped to the partition
+            elif (
+                name in ("sum", "avg", "count", "min", "max")
+                and call.frame is not None
+            ):
+                # k-bounded frames.  ROWS: positional offsets clamped to the
+                # partition.  RANGE: order-key value offsets resolved to row
+                # positions with a scatter-free rank merge (the reference's
+                # kPreceding/kFollowing RANGE bounds, PlanNode.h:1989).
                 if call.arg is None:
                     base_vals, v_mask = ones, s_mask
                 else:
@@ -328,47 +342,116 @@ class WindowExec:
                     if jnp.issubdtype(base_vals.dtype, jnp.floating)
                     else jnp.int64
                 )
-                masked = jnp.where(v_mask, base_vals.astype(acc_dtype), 0)
-                pref = segmented_scan(masked, part_boundary, "sum")
-                prefc = segmented_scan(
-                    v_mask.astype(jnp.int64), part_boundary, "sum"
-                )
                 per_part_last = part_runs.reduce(idx, s_mask, "max")
                 part_last = jnp.take(
                     per_part_last, jnp.clip(part_id, 0, cap - 1), mode="clip"
                 )
                 k_pre, k_post = call.frame
-                lo = part_start if k_pre is None else jnp.maximum(idx - k_pre, part_start)
-                hi = part_last if k_post is None else jnp.minimum(idx + k_post, part_last)
-                hi = jnp.clip(hi, 0, cap - 1)
-                lo = jnp.clip(lo, 0, cap - 1)
-                sum_hi = jnp.take(pref, hi, mode="clip")
-                cnt_hi = jnp.take(prefc, hi, mode="clip")
-                lo_prev = jnp.clip(lo - 1, 0, cap - 1)
-                has_prev = lo > part_start
-                sum_lo = jnp.where(has_prev, jnp.take(pref, lo_prev, mode="clip"), 0)
-                cnt_lo = jnp.where(has_prev, jnp.take(prefc, lo_prev, mode="clip"), 0)
-                wsum = sum_hi - sum_lo
-                wcnt = cnt_hi - cnt_lo
-                empty = hi < lo
-                if name == "count":
-                    out_cols.append(jnp.where(empty, 0, wcnt))
-                    out_validity.append(None)
-                elif name == "avg":
-                    scale = 0
-                    if call.arg is not None:
-                        t = in_schema.type_of(call.arg)
-                        if t.kind == TypeKind.DECIMAL:
-                            scale = t.scale
-                    out_cols.append(
-                        wsum.astype(jnp.float64)
-                        / jnp.maximum(wcnt, 1)
-                        / (10.0**scale)
+                if call.frame_unit == "range" and (
+                    k_pre is not None or k_post is not None
+                ):
+                    if len(s_okeys) != 1:
+                        raise NotImplementedError(
+                            "RANGE k frames need exactly one ORDER BY key"
+                        )
+                    from ..ops.segmented import rank_in_segments
+
+                    okey = s_okeys[0]
+                    big = jnp.int64(1) << 40
+                    seg = jnp.where(s_mask, part_id.astype(jnp.int64), big)
+                    if k_pre is None:
+                        lo = part_start
+                    else:
+                        lo = rank_in_segments(
+                            seg, okey, seg, okey - k_pre, inclusive=False
+                        )
+                    if k_post is None:
+                        hi = part_last
+                    else:
+                        hi = (
+                            rank_in_segments(
+                                seg, okey, seg, okey + k_post, inclusive=True
+                            )
+                            - 1
+                        )
+                else:
+                    lo = (
+                        part_start
+                        if k_pre is None
+                        else jnp.maximum(idx - k_pre, part_start)
                     )
+                    hi = (
+                        part_last
+                        if k_post is None
+                        else jnp.minimum(idx + k_post, part_last)
+                    )
+                lo = jnp.clip(jnp.maximum(lo, part_start), 0, cap - 1)
+                hi = jnp.clip(jnp.minimum(hi, part_last), 0, cap - 1)
+                empty = hi < lo
+                if name in ("min", "max"):
+                    from ..ops.segmented import (
+                        identity_for,
+                        sparse_table,
+                        sparse_table_query,
+                    )
+
+                    op = name
+                    ident = identity_for(op, acc_dtype)
+                    masked = jnp.where(
+                        v_mask,
+                        base_vals.astype(acc_dtype),
+                        jnp.asarray(ident, acc_dtype),
+                    )
+                    table = sparse_table(masked, op)
+                    out = sparse_table_query(table, lo, hi, op, ident)
+                    prefc = segmented_scan(
+                        v_mask.astype(jnp.int64), part_boundary, "sum"
+                    )
+                    cnt_hi = jnp.take(prefc, hi, mode="clip")
+                    lo_prev = jnp.clip(lo - 1, 0, cap - 1)
+                    has_prev = lo > part_start
+                    cnt_lo = jnp.where(
+                        has_prev, jnp.take(prefc, lo_prev, mode="clip"), 0
+                    )
+                    wcnt = cnt_hi - cnt_lo
+                    out_cols.append(out)
                     out_validity.append(~empty & (wcnt > 0))
                 else:
-                    out_cols.append(wsum)
-                    out_validity.append(~empty & (wcnt > 0))
+                    masked = jnp.where(v_mask, base_vals.astype(acc_dtype), 0)
+                    pref = segmented_scan(masked, part_boundary, "sum")
+                    prefc = segmented_scan(
+                        v_mask.astype(jnp.int64), part_boundary, "sum"
+                    )
+                    sum_hi = jnp.take(pref, hi, mode="clip")
+                    cnt_hi = jnp.take(prefc, hi, mode="clip")
+                    lo_prev = jnp.clip(lo - 1, 0, cap - 1)
+                    has_prev = lo > part_start
+                    sum_lo = jnp.where(
+                        has_prev, jnp.take(pref, lo_prev, mode="clip"), 0
+                    )
+                    cnt_lo = jnp.where(
+                        has_prev, jnp.take(prefc, lo_prev, mode="clip"), 0
+                    )
+                    wsum = sum_hi - sum_lo
+                    wcnt = cnt_hi - cnt_lo
+                    if name == "count":
+                        out_cols.append(jnp.where(empty, 0, wcnt))
+                        out_validity.append(None)
+                    elif name == "avg":
+                        scale = 0
+                        if call.arg is not None:
+                            t = in_schema.type_of(call.arg)
+                            if t.kind == TypeKind.DECIMAL:
+                                scale = t.scale
+                        out_cols.append(
+                            wsum.astype(jnp.float64)
+                            / jnp.maximum(wcnt, 1)
+                            / (10.0**scale)
+                        )
+                        out_validity.append(~empty & (wcnt > 0))
+                    else:
+                        out_cols.append(wsum)
+                        out_validity.append(~empty & (wcnt > 0))
             elif name in ("sum", "min", "max", "avg", "count"):
                 if call.arg is None:  # count(*)
                     base_vals = ones

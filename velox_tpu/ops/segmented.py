@@ -141,6 +141,78 @@ def segmented_scan(values: jax.Array, boundary: jax.Array, op: str) -> jax.Array
     return out
 
 
+def sparse_table(values: jax.Array, op: str):
+    """Power-of-two range-min/max table: level j holds op over [i, i+2^j).
+
+    O(n log n) work once, then any [lo, hi] range reduces with two gathers
+    (the classic RMQ sparse table) — the TPU answer to sliding-window min/max
+    frames, where prefix-scan differences do not apply.
+    """
+    comb = _COMBINE[op]
+    cap = values.shape[0]
+    levels = [values]
+    step = 1
+    while step < cap:
+        prev = levels[-1]
+        shifted = jnp.concatenate([prev[step:], prev[-step:]])
+        levels.append(comb(prev, shifted))
+        step *= 2
+    return jnp.stack(levels)  # [J, cap]
+
+
+def sparse_table_query(
+    table: jax.Array, lo: jax.Array, hi: jax.Array, op: str, ident
+):
+    """op over values[lo..hi] per row; empty ranges (hi < lo) give ``ident``."""
+    J, cap = table.shape
+    w = jnp.maximum(hi - lo + 1, 1).astype(jnp.uint32)
+    j = (31 - jax.lax.clz(w)).astype(jnp.int32)
+    j = jnp.clip(j, 0, J - 1)
+    flat = table.reshape(-1)
+    a = jnp.take(flat, j * cap + jnp.clip(lo, 0, cap - 1), mode="clip")
+    b_pos = jnp.clip(hi - (1 << j.astype(jnp.int64)).astype(jnp.int32) + 1, 0, cap - 1)
+    b = jnp.take(flat, j * cap + b_pos, mode="clip")
+    out = _COMBINE[op](a, b)
+    return jnp.where(hi < lo, jnp.asarray(ident, out.dtype), out)
+
+
+def rank_in_segments(
+    seg_ids: jax.Array,
+    keys: jax.Array,
+    probe_seg: jax.Array,
+    probe_keys: jax.Array,
+    inclusive: bool,
+) -> jax.Array:
+    """Per probe: count of data rows in its segment with key < probe
+    (``inclusive=True``: key <= probe).  Scatter-free 2-sort merge; data rows
+    must already be sorted by (seg, key) — which they are inside a window
+    partition sort."""
+    cap = keys.shape[0]
+    n = probe_keys.shape[0]
+    all_seg = jnp.concatenate([seg_ids.astype(jnp.int64), probe_seg.astype(jnp.int64)])
+    all_key = jnp.concatenate([keys, probe_keys.astype(keys.dtype)])
+    # probes sort after equal keys when inclusive, before when exclusive
+    flag = jnp.concatenate(
+        [
+            jnp.full((cap,), 0 if inclusive else 1, jnp.int32),
+            jnp.full((n,), 1 if inclusive else 0, jnp.int32),
+        ]
+    )
+    src = jnp.concatenate(
+        [jnp.arange(cap, dtype=jnp.int32), jnp.arange(n, dtype=jnp.int32)]
+    )
+    is_probe = jnp.concatenate(
+        [jnp.zeros((cap,), jnp.int32), jnp.ones((n,), jnp.int32)]
+    )
+    _, _, _, src_s, isp_s = jax.lax.sort(
+        [all_seg, all_key, flag, src, is_probe], num_keys=3
+    )
+    cum_data = jnp.cumsum(1 - isp_s)  # data rows at or before this slot
+    # route back to probe order: probes (1-isp = 0) occupy the first n slots
+    _, _, by_probe = jax.lax.sort([1 - isp_s, src_s, cum_data], num_keys=2)
+    return by_probe[:n].astype(jnp.int32)
+
+
 class SortedRuns:
     """Run structure of a key-sorted tile; built once, reused per column.
 
