@@ -192,3 +192,56 @@ def test_expansion_multi_key():
     )
     assert out["ry"].tolist() == [100, 101, 102]
     assert out["lx"].tolist() == [10, 10, 20]
+
+
+def test_full_outer_join():
+    left = Table(
+        RowType(["k", "lx"], [BIGINT, BIGINT]),
+        {"k": np.array([1, 2, 5], np.int64), "lx": np.array([10, 20, 50], np.int64)},
+    )
+    right = Table(
+        RowType(["rk", "ry"], [BIGINT, BIGINT]),
+        {
+            "rk": np.array([2, 2, 3], np.int64),
+            "ry": np.array([200, 201, 300], np.int64),
+        },
+    )
+    out = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(left)
+            .hash_join(
+                PlanBuilder().table_scan(right).build(),
+                ["k"],
+                ["rk"],
+                output=["k", "lx", "rk", "ry"],
+                join_type="full",
+            )
+            .build()
+        )
+        .to_pandas()
+        .sort_values(["k", "ry"], na_position="last")
+        .reset_index(drop=True)
+    )
+    norm = lambda col: [None if pd.isna(v) else v for v in col]  # noqa: E731
+    assert norm(out["k"]) == [1, 2, 2, 5, None]
+    assert norm(out["ry"]) == [None, 200, 201, None, 300]
+    assert norm(out["rk"]) == [None, 2, 2, None, 3]
+
+    # the unmatched-build epilogue must flow through downstream operators
+    out2 = run_plan(
+        PlanBuilder()
+        .table_scan(left)
+        .hash_join(
+            PlanBuilder().table_scan(right).build(),
+            ["k"],
+            ["rk"],
+            output=["lx", "ry"],
+            join_type="full",
+        )
+        .aggregation([], ["count(lx) as cl", "count(ry) as cr", "sum(ry) as s"])
+        .build()
+    ).to_pandas()
+    assert out2["cl"].tolist() == [4]
+    assert out2["cr"].tolist() == [3]
+    assert out2["s"].tolist() == [701]

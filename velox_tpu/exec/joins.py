@@ -174,12 +174,16 @@ class HashJoinExec:
             # Only existence matters; deduplicate so any build side works.
             keys_sorted, first = np.unique(keys_sorted, return_index=True)
             row_order = row_order[first]
-        elif len(keys_sorted) > 1 and (keys_sorted[1:] == keys_sorted[:-1]).any():
-            # duplicate keys: N:M expansion join — keep per-key runs
+        elif jt == JoinType.FULL or (
+            len(keys_sorted) > 1 and (keys_sorted[1:] == keys_sorted[:-1]).any()
+        ):
+            # duplicate keys (or FULL, which always needs the expansion
+            # machinery for its unmatched-build epilogue): keep per-key runs
             expansion = True
             n = len(keys_sorted)
             boundary = np.ones(n, dtype=bool)
-            boundary[1:] = keys_sorted[1:] != keys_sorted[:-1]
+            if n:
+                boundary[1:] = keys_sorted[1:] != keys_sorted[:-1]
             starts = np.flatnonzero(boundary)
             lengths = np.diff(np.append(starts, n))
             run_start = jnp.asarray(
@@ -192,7 +196,11 @@ class HashJoinExec:
         cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]] = {}
         right_schema = node.right.output_schema
         for name in node.output_columns:
-            if name in right_schema and name not in key_names:
+            # FULL keeps the right KEY columns too: the unmatched-build
+            # epilogue must emit real key values, not probe-side copies
+            if name in right_schema and (
+                name not in key_names or jt == JoinType.FULL
+            ):
                 arr = np.asarray(build_result.columns[name])[row_order]
                 validity = build_result.validities.get(name)
                 v = None if validity is None else jnp.asarray(validity[row_order])
@@ -481,12 +489,36 @@ class HashJoinExec:
         hit = hit_o[:cap].astype(jnp.bool_) & key_ok & live
         starts = jnp.take(self.run_start, cand_p, mode="clip")
         counts = jnp.take(self.run_count, cand_p, mode="clip")
-        if jt == JoinType.LEFT:
+        if jt in (JoinType.LEFT, JoinType.FULL):
             sizes = jnp.where(live, jnp.where(hit, counts, 1), 0)
         else:  # INNER
             sizes = jnp.where(hit, counts, 0)
         total = jnp.sum(sizes.astype(jnp.int64))
-        return sizes.astype(jnp.int32), starts, hit, total
+        if jt != JoinType.FULL:
+            return sizes.astype(jnp.int32), starts, hit, total
+        # FULL: per-build-slot matched flag for this tile — same merge trick
+        # with probes sorted BEFORE equal build keys
+        pk_masked = jnp.where(live & key_ok, probe_keys, jnp.int64(_KEY_SENTINEL))
+        allk2 = jnp.concatenate([self.build_keys, pk_masked])
+        bflag = jnp.concatenate(
+            [jnp.ones((B,), jnp.int32), jnp.zeros((cap,), jnp.int32)]
+        )
+        orig2 = jnp.concatenate(
+            [jnp.arange(B, dtype=jnp.int32), jnp.arange(cap, dtype=jnp.int32)]
+        )
+        k2, f2, o2 = jax.lax.sort((allk2, bflag, orig2), num_keys=2)
+        pmark = jnp.where(f2 == 0, o2, jnp.int32(-1))
+        lastp = jax.lax.cummax(pmark)
+        cand_eq = (lastp >= 0) & (
+            jnp.take(pk_masked, jnp.clip(lastp, 0, cap - 1), mode="clip") == k2
+        )
+        matched_s = (f2 == 1) & cand_eq & (k2 != jnp.int64(_KEY_SENTINEL))
+        # route to build order: probes (flag 0) first, build rows in [cap:)
+        _, _, m_r = jax.lax.sort(
+            (f2, o2, matched_s.astype(jnp.int8)), num_keys=2
+        )
+        matched_b = m_r[cap:].astype(jnp.bool_)
+        return sizes.astype(jnp.int32), starts, hit, total, matched_b
 
     def expand(self, batch: Batch, spans, out_cap: int) -> Batch:
         """Phase 2: materialize the joined rows into a [out_cap] batch."""
@@ -495,7 +527,7 @@ class HashJoinExec:
         node = self.node
         cap = batch.capacity
         jt = node.join_type
-        sizes, run_starts, hit, total = spans
+        sizes, run_starts, hit = spans[0], spans[1], spans[2]
         out_starts = dense_starts(sizes)
         total32 = (out_starts[-1] + sizes[-1]).astype(jnp.int32)
         rowid = owner_rows(out_starts, total32, out_cap)
@@ -517,7 +549,7 @@ class HashJoinExec:
                 src = batch.column(left_name)
                 values, validity = src.decode(cap)
                 g = jnp.take(values, rowid, mode="clip")
-                gv = row_hit if jt == JoinType.LEFT else None
+                gv = row_hit if jt in (JoinType.LEFT, JoinType.FULL) else None
                 out_cols.append(
                     Column.flat(g.astype(dtype.device_dtype), dtype, gv, src.strings)
                 )
@@ -529,7 +561,7 @@ class HashJoinExec:
                     if validity is None
                     else jnp.take(validity, build_pos, mode="clip")
                 )
-                if jt == JoinType.LEFT:
+                if jt in (JoinType.LEFT, JoinType.FULL):
                     gv = row_hit if gv is None else (gv & row_hit)
                 out_cols.append(
                     Column.flat(g, dtype, gv, self.build_tables.get(name))
@@ -540,6 +572,49 @@ class HashJoinExec:
             None,
             node.output_schema,
             out_cap,
+        )
+
+    # ---- FULL join: unmatched-build epilogue -------------------------------
+    def init_matched(self) -> jax.Array:
+        return jnp.zeros((self.build_size,), jnp.bool_)
+
+    def full_tail(self, matched: jax.Array) -> Batch:
+        """The FULL join's final batch: unmatched build rows, left side NULL."""
+        from ..ops.compact import compaction_indices
+
+        node = self.node
+        B = self.build_size
+        unmatched = ~matched
+        if self.build_valid is not None:
+            unmatched = unmatched & self.build_valid
+        unmatched = unmatched & (self.build_keys != jnp.int64(_KEY_SENTINEL))
+        perm, count = compaction_indices(unmatched)
+        left_schema = node.left.output_schema
+        out_cols: List[Column] = []
+        for name, dtype in zip(node.output_schema.names, node.output_schema.types):
+            if name in self.build_cols:
+                values, validity = self.build_cols[name]
+                g = jnp.take(values, perm, mode="clip")
+                gv = (
+                    None
+                    if validity is None
+                    else jnp.take(validity, perm, mode="clip")
+                )
+                out_cols.append(
+                    Column.flat(g, dtype, gv, self.build_tables.get(name))
+                )
+            elif name in left_schema:
+                out_cols.append(
+                    Column.flat(
+                        jnp.zeros((B,), dtype.device_dtype),
+                        dtype,
+                        jnp.zeros((B,), jnp.bool_),
+                    )
+                )
+            else:
+                raise KeyError(f"FULL join: no build column for {name!r}")
+        return Batch(
+            tuple(out_cols), count, None, node.output_schema, B
         )
 
     # ---- trace-time probe -------------------------------------------------

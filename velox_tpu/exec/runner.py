@@ -795,8 +795,14 @@ class LocalExecutor:
         resolved: List[Tuple] = []
         for step in lin.steps:
             if step[0] == "join":
+                from ..plan.nodes import JoinType as _JT
+
                 sub = LocalExecutor(step[1].right, tile_rows, config)
-                device = sub.run_device()
+                device = (
+                    None
+                    if step[1].join_type == _JT.FULL  # host build keeps keys
+                    else sub.run_device()
+                )
                 exec_ = None
                 if device is not None:
                     # build data stays in HBM end to end (no host round trip)
@@ -841,6 +847,12 @@ class LocalExecutor:
                 jax.jit(ex.expand, static_argnums=2)
                 for _, ex in self._pre_segments
             ]
+            self._full_tail_jits = {
+                i: jax.jit(ex.full_tail)
+                for i, (_, ex) in enumerate(self._pre_segments)
+                if ex.expansion and ex.node.join_type.name == "FULL"
+            }
+            self._matched: Dict[int, jax.Array] = {}
         from .window import WindowNode
 
         if isinstance(lin.source, WindowNode):
@@ -961,18 +973,30 @@ class LocalExecutor:
             self.out_schema = out_schema
 
     # ------------------------------------------------------------------
-    def _expand_tile(self, batch: Batch) -> Batch:
-        """Run the expansion-join phases on one tile (see __init__)."""
+    def _expand_tile(self, batch: Batch, start: int = 0) -> Batch:
+        """Run the expansion-join phases on one tile (see __init__).
+
+        ``start`` skips segments at/below a FULL join whose epilogue tile
+        enters the pipeline mid-chain."""
+        from ..plan.nodes import JoinType as _JT
         from ..utils.transfer import bucket_of, fetch_tree
 
-        for i in range(len(self._pre_segments)):
+        for i in range(start, len(self._pre_segments)):
             batch, err = self._seg_jits[i](batch)
             self._pending_errs.append(err)
             spans = self._span_jits[i](batch)
+            ex = self._pre_segments[i][1]
+            if ex.node.join_type == _JT.FULL:
+                self._matched[i] = self._or_jit(self._matched[i], spans[4])
             total = int(fetch_tree(spans[3]))
             out_cap = bucket_of(max(total, 1))
-            batch = self._expand_jits[i](batch, spans, out_cap)
+            batch = self._expand_jits[i](batch, spans[:4], out_cap)
         return batch
+
+    @staticmethod
+    @jax.jit
+    def _or_jit(a, b):
+        return a | b
 
     def _drain_pending_errs(self) -> int:
         if not self._pending_errs:
@@ -1000,8 +1024,28 @@ class LocalExecutor:
             n_tiles = self.source_table.num_tiles(self.capacity)
             get_tile = lambda i: self.source_table.tile(i, self.capacity)  # noqa: E731
         if self._pre_segments:
+            from ..plan.nodes import JoinType as _JT
+
+            self._matched = {
+                i: ex.init_matched()
+                for i, (_, ex) in enumerate(self._pre_segments)
+                if ex.node.join_type == _JT.FULL
+            }
+            full_idx = sorted(self._matched)
             inner_get = get_tile
-            get_tile = lambda i: self._expand_tile(inner_get(i))  # noqa: E731
+            real_n = n_tiles
+
+            def get_tile(i):
+                if i < real_n:
+                    return self._expand_tile(inner_get(i))
+                # FULL join epilogue: unmatched build rows enter the pipeline
+                # just above their join, after all real tiles marked matches
+                j = full_idx[i - real_n]
+                ex = self._pre_segments[j][1]
+                tail = self._full_tail_jits[j](self._matched[j])
+                return self._expand_tile(tail, start=j + 1)
+
+            n_tiles = real_n + len(full_idx)
         if stats is not None:
             stats.tiles = n_tiles
             stats.rows_in = self.source_table.num_rows
