@@ -253,3 +253,74 @@ def test_string_array_elements():
 
     assert [None if pd.isna(v) else v for v in out["e1"]] == ["x", "y", None]
     assert out["n"].tolist() == [2, 1, 0]
+
+
+def test_array_set_operations_and_map_concat():
+    mt = map_(VARCHAR, BIGINT)
+    a, _ = HostSegments.from_pylist([[1, 2, 2, 3], [4], []], AT)
+    b, _ = HostSegments.from_pylist([[2, 3, 9], [5], [1]], AT)
+    m1, _ = HostSegments.from_pylist([{"a": 1, "b": 2}, {"x": 7}, {}], mt)
+    m2, _ = HostSegments.from_pylist([{"b": 20, "c": 3}, {}, {"z": 9}], mt)
+    t = Table(
+        RowType(["a", "b", "m1", "m2"], [AT, AT, mt, mt]),
+        {"a": a, "b": b, "m1": m1, "m2": m2},
+    )
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .project(
+            [
+                "array_intersect(a, b) as ai",
+                "array_except(a, b) as ae",
+                "arrays_overlap(a, b) as ao",
+                "map_concat(m1, m2) as mc",
+            ]
+        )
+        .build()
+    ).to_pandas()
+    assert out["ai"].tolist() == [[2, 3], [], []]
+    assert out["ae"].tolist() == [[1], [4], []]
+    assert out["ao"].tolist() == [True, False, False]
+    # later map wins key clashes; different key dictionaries align at trace
+    assert out["mc"].tolist() == [
+        {"a": 1, "b": 20, "c": 3},
+        {"x": 7},
+        {"z": 9},
+    ]
+
+
+def test_cross_join():
+    left = Table(RowType(["a"], [BIGINT]), {"a": np.array([1, 2, 3], np.int64)})
+    right = Table(RowType(["b"], [BIGINT]), {"b": np.array([10, 20], np.int64)})
+    out = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(left)
+            .cross_join(PlanBuilder().table_scan(right).build(), output=["a", "b"])
+            .build()
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [
+        [1, 10], [1, 20], [2, 10], [2, 20], [3, 10], [3, 20]
+    ]
+    out2 = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(left)
+            .cross_join(
+                PlanBuilder().table_scan(right).build(),
+                output=["a", "b"],
+                filter="a * 10 >= b",
+            )
+            .build()
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert out2.values.tolist() == [
+        [1, 10], [2, 10], [2, 20], [3, 10], [3, 20]
+    ]

@@ -630,6 +630,218 @@ def _repeat(ctx, expr: Call):
     )
 
 
+def _aligned_values(elems_list):
+    """Comparable device values across pools: strings from different
+    dictionaries remap into one combined dictionary (tables are static at
+    trace time, so the remap is a host array + one device gather)."""
+    import numpy as np
+
+    if not elems_list[0].dtype.is_string:
+        return [e.values for e in elems_list], elems_list[0].strings
+    tables = [e.strings for e in elems_list]
+    if all(t is tables[0] for t in tables):
+        return [e.values for e in elems_list], tables[0]
+    from ...vector.string_table import StringTable
+
+    combined = StringTable()
+    out = []
+    for e, t in zip(elems_list, tables):
+        values = t.values() if t is not None else [""]
+        remap = jnp.asarray(
+            np.asarray([combined.intern(v) for v in values], np.int32)
+        )
+        out.append(jnp.take(remap, e.values.astype(jnp.int32), mode="clip"))
+    return out, combined
+
+
+def _membership(ra, rb):
+    """For each element of a's pool: does b's same-row segment contain it?
+
+    One combined sort by (row, null?, value, source) with b's elements first,
+    then an inclusive segmented max of "saw b" over equal-value runs — a's
+    duplicates and nulls all resolve in the same pass.  Returns
+    (na, match_a[bool over a's pool]).
+    """
+    from ...ops.segmented import segmented_scan
+
+    na = ra.values.normalized()
+    nb = rb.values.normalized()
+    ea, eb = na.children[0], nb.children[0]
+    Pa, Pb = ea.pool_cap, eb.pool_cap
+    big = jnp.int32(_INT_MAX)
+    rid = jnp.concatenate(
+        [
+            jnp.where(na.emask, na.rowid, big),
+            jnp.where(nb.emask, nb.rowid, big),
+        ]
+    )
+    nullk = jnp.concatenate(
+        [(~ea.validity_or_true()), (~eb.validity_or_true())]
+    ).astype(jnp.int32)
+    (av, bv), _ = _aligned_values([ea, eb])
+    val = jnp.concatenate([av, bv.astype(av.dtype)])
+    src = jnp.concatenate(
+        [jnp.ones((Pa,), jnp.int32), jnp.zeros((Pb,), jnp.int32)]
+    )  # b sorts first at equal keys
+    pos = jnp.concatenate(
+        [jnp.arange(Pa, dtype=jnp.int32), jnp.arange(Pb, dtype=jnp.int32)]
+    )
+    rs, ns, vs, ss, ps = jax.lax.sort([rid, nullk, val, src, pos], num_keys=4)
+    prev_same = (
+        (rs == jnp.roll(rs, 1))
+        & (ns == jnp.roll(ns, 1))
+        & (vs == jnp.roll(vs, 1))
+    )
+    boundary = ~prev_same
+    boundary = boundary.at[0].set(True)
+    from_b = (ss == 0).astype(jnp.int32)
+    saw_b = segmented_scan(from_b, boundary, "max")
+    # route back to a's pool positions (a slots have src=1)
+    _, _, back = jax.lax.sort([1 - ss, ps, saw_b], num_keys=2)
+    match_a = back[:Pa] > 0
+    return na, match_a
+
+
+def _first_occurrence(norm, elems):
+    """keep-first dedup flags over a normalized pool (array_distinct core)."""
+    pool_cap = elems.pool_cap
+    pos = jnp.arange(pool_cap, dtype=jnp.int32)
+    row_key = jnp.where(norm.emask, norm.rowid, jnp.int32(_INT_MAX))
+    null_key = (
+        (~elems.validity).astype(jnp.int32)
+        if elems.validity is not None
+        else jnp.zeros((pool_cap,), jnp.int32)
+    )
+    rk, nk, vv, ps = jax.lax.sort(
+        [row_key, null_key, elems.values, pos], num_keys=3
+    )
+    same = (
+        (rk == jnp.roll(rk, 1))
+        & (nk == jnp.roll(nk, 1))
+        & (vv == jnp.roll(vv, 1))
+    )
+    same = same.at[0].set(False)
+    _, keep = jax.lax.sort([ps, (~same).astype(jnp.int32)], num_keys=1)
+    return keep.astype(jnp.bool_)
+
+
+def _array_setop(which: str):
+    def fn(ctx, expr: Call):
+        ra = _seg_arg(ctx, expr.args[0])
+        rb = _seg_arg(ctx, expr.args[1])
+        na, match_a = _membership(ra, rb)
+        elems = na.children[0]
+        row_validity = _and(ra.validity, rb.validity)
+        errors = _or(ra.errors, rb.errors)
+        if which == "overlap":
+            args5 = (na.starts, na.sizes, na.rowid, na.emask)
+            ev = elems.validity
+            valid_match = match_a
+            if ev is not None:
+                valid_match = match_a & ev
+            has = segment_any(valid_match & na.emask, *args5)
+            # NULL if no definite match but a null element exists on either side
+            has_null = (
+                segment_any(na.emask & ~ev, *args5)
+                if ev is not None
+                else jnp.zeros_like(has)
+            )
+            validity = _and(has | ~has_null, row_validity)
+            return _result(ctx, has, validity, errors)
+        keep = _first_occurrence(na, elems)
+        keep = keep & (match_a if which == "intersect" else ~match_a)
+        pools = [elems.values]
+        if elems.validity is not None:
+            pools.append(elems.validity)
+        starts, sizes, new_pools, rowid, emask = compact_pool(
+            keep, na.starts, na.sizes, na.rowid, na.emask, tuple(pools)
+        )
+        validity = new_pools[1] if elems.validity is not None else None
+        out = SegValue(
+            starts,
+            sizes,
+            (Elems(new_pools[0], validity, elems.dtype, elems.strings),),
+            expr.dtype,
+        )
+        return _result(ctx, out, row_validity, errors)
+
+    return fn
+
+
+def _map_concat(ctx, expr: Call):
+    """map_concat(m1, m2): union of entries; later maps win on key clashes
+    (reference: MapConcat.cpp)."""
+    from ...ops.segmented import rank_in_segments
+
+    results = [_seg_arg(ctx, a) for a in expr.args]
+    norms = [r.values.normalized() for r in results]
+    cap = ctx.capacity
+    big = jnp.int32(_INT_MAX)
+    rid = jnp.concatenate(
+        [jnp.where(n.emask, n.rowid, big) for n in norms]
+    )
+    key_aligned, key_table = _aligned_values([n.children[0] for n in norms])
+    val_aligned, val_table = _aligned_values([n.children[1] for n in norms])
+    keyv = jnp.concatenate([k.astype(jnp.int64) for k in key_aligned])
+    # later maps sort first at equal keys so their entry survives the dedup
+    src = jnp.concatenate(
+        [
+            jnp.full((n.children[0].pool_cap,), len(norms) - i, jnp.int32)
+            for i, n in enumerate(norms)
+        ]
+    )
+    vals = jnp.concatenate(
+        [v.astype(val_aligned[0].dtype) for v in val_aligned]
+    )
+    vvalid = jnp.concatenate(
+        [n.children[1].validity_or_true() for n in norms]
+    )
+    ops = [rid, keyv, src, vals, vvalid.astype(jnp.int8)]
+    rs, ks, ss, vs, vv = jax.lax.sort(ops, num_keys=3)
+    dup = (rs == jnp.roll(rs, 1)) & (ks == jnp.roll(ks, 1))
+    dup = dup.at[0].set(False)
+    keep = ~dup & (rs != big)
+    # stable partition keeps (row, key) order; pool is then normalized
+    perm = jnp.argsort(~keep, stable=True).astype(jnp.int32)
+    total = jnp.sum(keep.astype(jnp.int32))
+    kk = jnp.take(ks, perm, mode="clip")
+    kv = jnp.take(vs, perm, mode="clip")
+    kvv = jnp.take(vv, perm, mode="clip").astype(jnp.bool_)
+    kr = jnp.take(rs, perm, mode="clip")
+    # dropped slots (beyond the kept prefix) must not count toward any row
+    pool_total = kr.shape[0]
+    kr = jnp.where(
+        jnp.arange(pool_total, dtype=jnp.int32) < total, kr, big
+    )
+    # per-row sizes: kept entries with row <= r, differenced
+    upto = rank_in_segments(
+        jnp.zeros((pool_total,), jnp.int64),
+        kr.astype(jnp.int64),
+        jnp.zeros((cap,), jnp.int64),
+        jnp.arange(cap, dtype=jnp.int64),
+        inclusive=True,
+    )
+    prev = jnp.concatenate([jnp.zeros((1,), upto.dtype), upto[:-1]])
+    sizes = (upto - prev).astype(jnp.int32)
+    key_t = expr.dtype.key_type
+    val_t = expr.dtype.value_type
+    row_validity = None
+    errors = None
+    for r in results:
+        row_validity = _and(row_validity, r.validity)
+        errors = _or(errors, r.errors)
+    out = SegValue(
+        dense_starts(sizes),
+        sizes,
+        (
+            Elems(kk.astype(key_t.device_dtype), None, key_t, key_table),
+            Elems(kv, kvv, val_t, val_table),
+        ),
+        expr.dtype,
+    )
+    return _result(ctx, out, row_validity, errors)
+
+
 def _spark_size(ctx, expr: Call):
     """Spark legacy size(): -1 for NULL input (sparksql/Size.cpp)."""
     r = ctx.evaluate(expr.args[0])
@@ -1004,6 +1216,10 @@ COMPLEX_FNS: Dict[str, Callable] = {
     "map_filter": _map_filter,
     "transform_keys": _transform_map("keys"),
     "transform_values": _transform_map("values"),
+    "array_intersect": _array_setop("intersect"),
+    "array_except": _array_setop("except"),
+    "arrays_overlap": _array_setop("overlap"),
+    "map_concat": _map_concat,
     # Spark package (velox/functions/sparksql): aliases + legacy size()
     "size": _spark_size,
     "array_contains": _contains,
@@ -1099,6 +1315,10 @@ def _register_all():
         lambda ts: map_t(ts[0].key_type, ts[1]),
         _stub,
     )
+    reg.register("array_intersect", [_A, _A], lambda ts: ts[0], _stub)
+    reg.register("array_except", [_A, _A], lambda ts: ts[0], _stub)
+    reg.register("arrays_overlap", [_A, _A], BOOLEAN, _stub)
+    reg.register("map_concat", [_M, _M], lambda ts: ts[0], _stub, variadic=True)
     # Spark package
     reg.register("size", [_A], BIGINT, _stub)
     reg.register("size", [_M], BIGINT, _stub)

@@ -425,6 +425,32 @@ class PlanBuilder:
         self.node = LimitNode(self.node, offset, count)
         return self
 
+    def cross_join(
+        self,
+        right: Union["PlanBuilder", PlanNode],
+        output: Sequence[str],
+        filter: Optional[str] = None,
+    ) -> "PlanBuilder":
+        """Cartesian product (reference: core::NestedLoopJoinNode +
+        exec/NestedLoopJoinProbe.cpp).  Lowered onto the expansion hash join
+        with a constant key on both sides — every probe row matches the whole
+        build side, which is exactly the nested-loop product; an optional
+        filter lands above (the reference's join condition)."""
+        right_node = right.node if isinstance(right, PlanBuilder) else right
+        rb = PlanBuilder(right_node).project(
+            list(right_node.output_schema.names) + ["1 as __xk_r"]
+        )
+        self.project(list(self.schema.names) + ["1 as __xk_l"])
+        self.hash_join(
+            rb,
+            ["__xk_l"],
+            ["__xk_r"],
+            output=list(output),
+        )
+        if filter:
+            self.filter(filter)
+        return self
+
     def hash_join(
         self,
         right: Union["PlanBuilder", PlanNode],
