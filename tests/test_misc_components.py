@@ -1,0 +1,105 @@
+"""Smaller reference components: BloomFilter, StatsReporter, ArrowStream,
+TableWriteMerge, MergeExchange.
+
+Reference: velox/common/base/BloomFilter.h, StatsReporter.h:64,
+core::ArrowStreamNode, core::TableWriteMergeNode, core::MergeExchangeNode
+(PlanNode.h:890).
+"""
+
+import numpy as np
+
+from velox_tpu.dtypes import BIGINT, RowType
+from velox_tpu.exec import run_plan
+from velox_tpu.io.table import Table
+from velox_tpu.plan import PlanBuilder
+from velox_tpu.utils import reporter
+from velox_tpu.utils.bloom import BloomFilter
+
+
+def test_bloom_filter_host_and_device():
+    import jax.numpy as jnp
+
+    bf = BloomFilter(capacity=1000)
+    keys = np.arange(0, 2000, 2, dtype=np.int64)  # evens
+    bf.add(keys)
+    probe = np.arange(100, dtype=np.int64)
+    host = bf.might_contain_host(probe)
+    assert host[::2].all()  # no false negatives
+    assert (~host[1::2]).sum() > 40  # most odds rejected
+    dev = np.asarray(bf.might_contain_device(jnp.asarray(probe)))
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_stats_reporter_counts_queries():
+    before = reporter.reporter().counter(reporter.METRIC_QUERY_COUNT)
+    t = Table(RowType(["x"], [BIGINT]), {"x": np.arange(10, dtype=np.int64)})
+    run_plan(PlanBuilder().table_scan(t).filter("x > 3").build())
+    after = reporter.reporter().counter(reporter.METRIC_QUERY_COUNT)
+    assert after == before + 1
+    assert reporter.reporter().counter(reporter.METRIC_ROWS_SCANNED) >= 10
+
+    # pluggable sink
+    class Capture(reporter.BaseStatsReporter):
+        pass
+
+    prev = reporter.set_reporter(Capture())
+    try:
+        reporter.increment_counter("custom.metric", 5)
+        assert reporter.reporter().counter("custom.metric") == 5
+    finally:
+        reporter.set_reporter(prev)
+
+
+def test_arrow_stream_source():
+    import pyarrow as pa
+
+    batches = [
+        pa.record_batch({"k": pa.array([1, 2], pa.int64()),
+                         "s": pa.array(["a", "b"])}),
+        pa.record_batch({"k": pa.array([3], pa.int64()),
+                         "s": pa.array(["a"])}),
+    ]
+    out = run_plan(
+        PlanBuilder()
+        .arrow_stream(iter(batches))
+        .filter("k >= 2")
+        .project(["k", "s"])
+        .build()
+    ).to_pandas()
+    assert out["k"].tolist() == [2, 3]
+    assert out["s"].tolist() == ["b", "a"]
+
+
+def test_table_write_merge(tmp_path):
+    from velox_tpu.connectors.hive import HiveDataSink
+    from velox_tpu.plan.nodes import TableWriteMergeNode, TableWriteNode
+
+    t = Table(RowType(["x"], [BIGINT]), {"x": np.arange(7, dtype=np.int64)})
+    root = str(tmp_path / "out")
+    node = TableWriteNode(
+        PlanBuilder().table_scan(t).build(),
+        sink_factory=lambda: HiveDataSink(root),
+    )
+    out = run_plan(TableWriteMergeNode(node)).to_pandas()
+    assert out["rows"].tolist() == [7]
+
+
+def test_merge_exchange():
+    a = Table(RowType(["k", "v"], [BIGINT, BIGINT]),
+              {"k": np.array([1, 3, 5], np.int64), "v": np.array([10, 30, 50], np.int64)})
+    b = Table(RowType(["k", "v"], [BIGINT, BIGINT]),
+              {"k": np.array([2, 3, 6], np.int64), "v": np.array([20, 31, 60], np.int64)})
+    out = run_plan(
+        PlanBuilder()
+        .merge_exchange(
+            [
+                PlanBuilder().table_scan(a),
+                PlanBuilder().table_scan(b),
+            ],
+            ["k"],
+        )
+        .project(["k", "v"])
+        .build()
+    ).to_pandas()
+    assert out["k"].tolist() == [1, 2, 3, 3, 5, 6]
+    assert out["v"].tolist() == [10, 20, 30, 31, 50, 60]

@@ -76,7 +76,9 @@ def resolve_column_strings(node: PlanNode, name: str) -> Optional[StringTable]:
     """Walk provenance of a column down to its scan to find its StringTable."""
     from ..expr.ir import DictLookup
 
-    if isinstance(node, (TableScanNode, ValuesNode)):
+    from ..plan.nodes import ArrowStreamNode
+
+    if isinstance(node, (TableScanNode, ValuesNode, ArrowStreamNode)):
         return node.table.string_tables.get(name)
     if isinstance(node, ProjectNode):
         expr = node.exprs[node.names.index(name)]
@@ -748,6 +750,18 @@ def apply_finishers(table: Table, finishers: Sequence[PlanNode]) -> Table:
 # The single-chip runner
 
 
+def _arrow_stream_cls():
+    from ..plan.nodes import ArrowStreamNode
+
+    return ArrowStreamNode
+
+
+def _merge_exchange_cls():
+    from ..plan.nodes import MergeExchangeNode
+
+    return MergeExchangeNode
+
+
 def _pick_capacity(num_rows: int, tile_rows: int) -> int:
     cap = 1024
     while cap < min(num_rows, tile_rows):
@@ -777,9 +791,14 @@ class LocalExecutor:
 
     def __init__(self, root: PlanNode, tile_rows: int = 1 << 20, config=None):
         from ..config import DEFAULT_CONFIG
-        from ..plan.nodes import TableWriteNode
+        from ..plan.nodes import TableWriteMergeNode, TableWriteNode
 
         self._write_sink_factory = None
+        self._tw_merge = False
+        if isinstance(root, TableWriteMergeNode):
+            # merge fragment row counts into one row (exec/TableWriteMerge.cpp)
+            self._tw_merge = True
+            root = root.source
         if isinstance(root, TableWriteNode):
             # the writer consumes the child pipeline's full result
             self._write_sink_factory = root.sink_factory
@@ -862,6 +881,27 @@ class LocalExecutor:
             lin.source = ValuesNode(
                 _materialize_window(lin.source, tile_rows), id=lin.source.id
             )
+        elif isinstance(lin.source, _arrow_stream_cls()):
+            pass  # has .table / .output_schema: scan-like source
+        elif isinstance(lin.source, _merge_exchange_cls()):
+            # sorted merge of sorted inputs (MergeExchange): concatenate child
+            # results and stable-sort by the merge keys — identical ordering
+            # to the reference's TreeOfLosers k-way merge
+            node = lin.source
+            parts = [
+                LocalExecutor(s, tile_rows, config).run() for s in node.inputs
+            ]
+            from .grouped import concat_tables
+
+            merged = concat_tables(parts)
+            order = _sort_indices(merged, node.keys)
+            merged = Table(
+                merged.schema,
+                {n: v[order] for n, v in merged.columns.items()},
+                merged.string_tables,
+                {n: v[order] for n, v in merged.validities.items()},
+            )
+            lin.source = ValuesNode(merged, id=node.id)
         elif not isinstance(lin.source, (TableScanNode, ValuesNode)):
             # Generic pipeline barrier: materialize the subtree (e.g. an
             # aggregation feeding a join probe side) and scan its result.
@@ -1224,6 +1264,25 @@ class LocalExecutor:
                 RowType(["rows"], [_BIGINT]),
                 {"rows": np.asarray([result.num_rows], dtype=np.int64)},
             )
+        if self._tw_merge:
+            from ..dtypes import BIGINT as _BIGINT
+
+            rows = result.columns.get("rows")
+            total = int(np.sum(rows)) if rows is not None else result.num_rows
+            result = Table(
+                RowType(["rows"], [_BIGINT]),
+                {"rows": np.asarray([total], dtype=np.int64)},
+            )
+        from ..utils import reporter as _rep
+
+        _rep.increment_counter(_rep.METRIC_QUERY_COUNT)
+        _rep.increment_counter(_rep.METRIC_TILES_EXECUTED, n_tiles)
+        _rep.increment_counter(
+            _rep.METRIC_ROWS_SCANNED, self.source_table.num_rows
+        )
+        _rep.record_metric(
+            _rep.METRIC_QUERY_SECONDS, time.perf_counter() - t_start
+        )
         if stats is not None:
             stats.total_seconds = time.perf_counter() - t_start
         return result

@@ -50,14 +50,18 @@ class DataCache:
     def get_or_load(
         self, path: str, columns: Optional[Sequence[str]] = None
     ) -> Table:
+        from ..utils import reporter as _rep
+
         key = self._key(path, columns)
         with self._lock:
             hit = self._entries.get(key)
             if hit is not None:
                 self._entries.move_to_end(key)
                 self.hits += 1
+                _rep.increment_counter(_rep.METRIC_CACHE_HITS)
                 return hit
             self.misses += 1
+            _rep.increment_counter(_rep.METRIC_CACHE_MISSES)
         table = Table.load_parquet(path, columns=columns)
         nbytes = _table_bytes(table)
         with self._lock:

@@ -161,6 +161,21 @@ class Table:
         pq.write_table(table, path)
 
     @staticmethod
+    def from_arrow(source) -> "Table":
+        """Ingest a pyarrow Table / RecordBatchReader / iterable of batches
+        (reference: vector/arrow/Bridge.h import + exec/ArrowStream.cpp)."""
+        import pyarrow as pa
+
+        if isinstance(source, pa.Table):
+            pa_table = source
+        elif hasattr(source, "read_all"):
+            pa_table = source.read_all()
+        else:
+            batches = list(source)
+            pa_table = pa.Table.from_batches(batches)
+        return Table._from_arrow_table(pa_table, {})
+
+    @staticmethod
     def load_parquet(path: str, columns: Optional[Sequence[str]] = None) -> "Table":
         import pyarrow.parquet as pq
 
@@ -170,6 +185,12 @@ class Table:
             for k, v in (pa_table.schema.metadata or {}).items()
             if k.startswith(b"velox_tpu:")
         }
+        return Table._from_arrow_table(pa_table, meta)
+
+    @staticmethod
+    def _from_arrow_table(pa_table, meta: Dict[str, str]) -> "Table":
+        import pyarrow as pa
+
         names, types, cols, tables = [], [], {}, {}
         for field in pa_table.schema:
             name = field.name
@@ -177,8 +198,6 @@ class Table:
             names.append(name)
             types.append(dtype)
             chunked = pa_table.column(name).combine_chunks()
-            import pyarrow as pa
-
             if isinstance(chunked, pa.DictionaryArray):
                 codes = chunked.indices.to_numpy(zero_copy_only=False).astype(np.int32)
                 values = chunked.dictionary.to_pylist()
@@ -196,8 +215,7 @@ class Table:
                 tables[name] = table
             else:
                 cols[name] = chunked.to_numpy(zero_copy_only=False)
-        t = Table(RowType(names, types), cols, tables)
-        return t
+        return Table(RowType(names, types), cols, tables)
 
 
 def _intern_arrow_strings(arr):

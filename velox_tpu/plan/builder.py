@@ -96,7 +96,9 @@ class PlanBuilder:
         def walk(node: PlanNode):
             for s in node.sources:
                 walk(s)
-            if isinstance(node, (TableScanNode, ValuesNode)):
+            from .nodes import ArrowStreamNode as _ASN
+
+            if isinstance(node, (TableScanNode, ValuesNode, _ASN)):
                 for k, v in node.table.string_tables.items():
                     out.setdefault(k, v)
                 # ARRAY/MAP columns: expose the child string dictionary (MAP
@@ -130,6 +132,14 @@ class PlanBuilder:
     def values(self, table: Table) -> "PlanBuilder":
         assert self.node is None
         self.node = ValuesNode(table)
+        return self
+
+    def arrow_stream(self, reader) -> "PlanBuilder":
+        """Arrow RecordBatchReader / batch-iterable source (core::ArrowStreamNode)."""
+        from .nodes import ArrowStreamNode
+
+        assert self.node is None
+        self.node = ArrowStreamNode(reader)
         return self
 
     # ---- operators -----------------------------------------------------
@@ -415,6 +425,23 @@ class PlanBuilder:
 
     def orderby(self, keys: Sequence[str]) -> "PlanBuilder":
         self.node = OrderByNode(self.node, self._sort_keys(keys))
+        return self
+
+    def merge_exchange(
+        self,
+        inputs: Sequence[Union["PlanBuilder", PlanNode]],
+        keys: Sequence[str],
+    ) -> "PlanBuilder":
+        """Sorted merge of already-sorted inputs (core::MergeExchangeNode)."""
+        from .nodes import MergeExchangeNode
+
+        assert self.node is None, "merge_exchange is a source"
+        nodes = tuple(
+            i.node if isinstance(i, PlanBuilder) else i for i in inputs
+        )
+        self.node = nodes[0]  # resolve sort keys against the input schema
+        sort_keys = self._sort_keys(keys)
+        self.node = MergeExchangeNode(nodes, sort_keys)
         return self
 
     def topn(self, keys: Sequence[str], count: int) -> "PlanBuilder":

@@ -78,6 +78,22 @@ class ValuesNode(PlanNode):
 
 
 @dataclasses.dataclass
+class ArrowStreamNode(PlanNode):
+    """Consume an Arrow stream (RecordBatchReader / batch iterable) as a
+    source (reference: core::ArrowStreamNode + exec/ArrowStream.cpp via the
+    C-ABI bridge, vector/arrow/Bridge.h).  The stream materializes to a host
+    Table at plan-build time — Arrow data is host-resident either way."""
+
+    reader: Any
+    id: str = dataclasses.field(default_factory=lambda: _next_id("arrowstream"))
+
+    def __post_init__(self):
+        self.sources = ()
+        self.table = Table.from_arrow(self.reader)
+        self.output_schema = self.table.schema
+
+
+@dataclasses.dataclass
 class FilterNode(PlanNode):
     source: PlanNode
     predicate: Expr
@@ -143,6 +159,19 @@ class TableWriteNode(PlanNode):
     source: PlanNode
     sink_factory: object  # () -> DataSink (kept opaque; not serialized)
     id: str = dataclasses.field(default_factory=lambda: _next_id("tablewrite"))
+
+    def __post_init__(self):
+        self.sources = (self.source,)
+        self.output_schema = RowType(["rows"], [BIGINT])
+
+
+@dataclasses.dataclass
+class TableWriteMergeNode(PlanNode):
+    """Merge TableWrite fragment results into one row-count row
+    (reference: core::TableWriteMergeNode + exec/TableWriteMerge.cpp)."""
+
+    source: PlanNode
+    id: str = dataclasses.field(default_factory=lambda: _next_id("twmerge"))
 
     def __post_init__(self):
         self.sources = (self.source,)
@@ -366,6 +395,22 @@ class PartitionedOutputNode(PlanNode):
     def __post_init__(self):
         self.sources = (self.source,)
         self.output_schema = self.source.output_schema
+
+
+@dataclasses.dataclass
+class MergeExchangeNode(PlanNode):
+    """Sorted merge of multiple already-sorted sources (reference:
+    core::MergeExchangeNode PlanNode.h:890 + exec/Merge.h TreeOfLosers;
+    here the merge is a stable host lexsort over the concatenated runs,
+    which yields the identical ordering)."""
+
+    inputs: Tuple[PlanNode, ...]
+    keys: Tuple["SortKey", ...]
+    id: str = dataclasses.field(default_factory=lambda: _next_id("mergex"))
+
+    def __post_init__(self):
+        self.sources = tuple(self.inputs)
+        self.output_schema = self.inputs[0].output_schema
 
 
 @dataclasses.dataclass
