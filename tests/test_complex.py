@@ -324,3 +324,42 @@ def test_cross_join():
     assert out2.values.tolist() == [
         [1, 10], [2, 10], [2, 20], [3, 10], [3, 20]
     ]
+
+
+def test_row_struct_columns():
+    from velox_tpu.dtypes import row
+    from velox_tpu.vector.complex import HostStruct
+
+    rt = row(["a", "b"], [BIGINT, VARCHAR])
+    st, validity = HostStruct.from_pylist(
+        [{"a": 1, "b": "x"}, None, {"a": 3, "b": "y"}], rt
+    )
+    assert st.to_pylist(validity) == [{"a": 1, "b": "x"}, None, {"a": 3, "b": "y"}]
+    t = Table(
+        RowType(["r", "k"], [rt, BIGINT]),
+        {"r": st, "k": np.array([10, 20, 30], np.int64)},
+        validities={"r": validity},
+    )
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .project(["r.a as ra", "r.b as rb", "r", "row(k, r.a) as nr"])
+        .build()
+    ).to_pandas()
+    assert out["ra"].tolist() == [1, None, 3]
+    assert out["r"].tolist() == [{"a": 1, "b": "x"}, None, {"a": 3, "b": "y"}]
+    assert out["nr"].tolist() == [
+        {"f0": 10, "f1": 1},
+        {"f0": 20, "f1": None},
+        {"f0": 30, "f1": 3},
+    ]
+
+    # struct passthrough across filter compaction (children gather with rows)
+    out2 = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .filter("k >= 20")
+        .project(["r.a as ra", "r"])
+        .build()
+    ).to_pandas()
+    assert out2["r"].tolist() == [None, {"a": 3, "b": "y"}]

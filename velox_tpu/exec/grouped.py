@@ -63,7 +63,8 @@ def concat_tables(tables: Sequence[Table]) -> Table:
     validities: Dict[str, np.ndarray] = {}
     for name, dtype in zip(first.schema.names, first.schema.types):
         if dtype.is_complex:
-            cols[name] = HostSegments.concat([t.columns[name] for t in tables])
+            parts = [t.columns[name] for t in tables]
+            cols[name] = type(parts[0]).concat(parts)
         elif dtype.is_string and any(name in t.string_tables for t in tables):
             combined = StringTable()
             parts = []

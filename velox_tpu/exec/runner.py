@@ -1238,7 +1238,8 @@ class LocalExecutor:
                 if not chunks:
                     cols[n] = np.zeros(0)
                 elif t.is_complex:
-                    cols[n] = HostSegments.concat([c[n] for c in chunks])
+                    parts = [c[n] for c in chunks]
+                    cols[n] = type(parts[0]).concat(parts)
                 else:
                     cols[n] = np.concatenate([c[n] for c in chunks])
             validities = {}
@@ -1414,7 +1415,8 @@ class LocalExecutor:
         vals: Dict[str, np.ndarray] = {}
         for name in needed:
             if in_schema.type_of(name).is_complex:
-                cols[name] = HostSegments.concat([c[name] for c in chunks])
+                parts = [c[name] for c in chunks]
+                cols[name] = type(parts[0]).concat(parts)
             else:
                 cols[name] = np.concatenate([c[name] for c in chunks])
             if any(name in vc for vc in vchunks):
@@ -1460,7 +1462,7 @@ class LocalExecutor:
                 args, validities, tabs = [], [], []
                 for nm in argn:
                     c = cols[nm]
-                    if isinstance(c, HostSegments):
+                    if isinstance(c, (HostSegments,)) or hasattr(c, "take_rows"):
                         args.append(c.take_rows(order))
                     else:
                         args.append(np.asarray(c)[order])

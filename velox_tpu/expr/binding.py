@@ -101,6 +101,13 @@ def _rewrite(expr: Expr, tables, context_table: Optional[StringTable]) -> Expr:
         bound = _STRING_FN_BINDERS[expr.name](expr, tables, context_table)
         if bound is not None:
             return bound
+    if isinstance(expr, Call) and expr.name == "row_field":
+        # the second arg is a field NAME (metadata), never a data literal
+        return Call(
+            expr.dtype,
+            expr.name,
+            (_rewrite(expr.args[0], tables, context_table), expr.args[1]),
+        )
     if isinstance(expr, (Call, Special)):
         local = _find_table(expr, tables) or context_table
         new_args = tuple(_rewrite(a, tables, local) for a in expr.children)

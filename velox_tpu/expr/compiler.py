@@ -86,6 +86,10 @@ class EvalContext:
     def _evaluate(self, expr: Expr) -> EvalResult:
         if isinstance(expr, FieldAccess):
             col = self.batch.column(expr.name)
+            if expr.dtype.kind == TypeKind.ROW:
+                from .seg import StructValue
+
+                return EvalResult(StructValue.from_column(col), col.validity)
             if expr.dtype.is_complex:
                 from .seg import SegValue
 

@@ -355,11 +355,38 @@ class ExprParser:
                 return FieldAccess(self.locals[t.text], t.text)
             if t.text in self.schema:
                 return FieldAccess(self.schema.type_of(t.text), t.text)
+            if "." in t.text:
+                return self._dotted_field(t.text)
             raise ValueError(f"unknown column {t.text!r} (schema: {self.schema})")
         # Keywords that double as function names (e.g. day(d)).
         if t.kind in _KEYWORDS and self._peek().kind == "op" and self._peek().text == "(":
             return self._parse_call(t.kind)
         raise ValueError(f"unexpected token {t!r}")
+
+    def _dotted_field(self, text: str) -> Expr:
+        """r.f / r.f.g — ROW field dereference chains (core::FieldAccessTypedExpr
+        with a ROW-typed input)."""
+        from ..dtypes import TypeKind
+        from .ir import Call
+
+        parts = text.split(".")
+        base_name = parts[0]
+        if base_name in self.locals:
+            base: Expr = FieldAccess(self.locals[base_name], base_name)
+        elif base_name in self.schema:
+            base = FieldAccess(self.schema.type_of(base_name), base_name)
+        else:
+            raise ValueError(
+                f"unknown column {base_name!r} (schema: {self.schema})"
+            )
+        for field_name in parts[1:]:
+            if base.dtype.kind != TypeKind.ROW:
+                raise TypeError(f"{base}: .{field_name} needs a ROW input")
+            child_t = base.dtype.child(field_name)
+            base = Call(
+                child_t, "row_field", (base, Constant(VARCHAR, field_name))
+            )
+        return base
 
     def _number(self, text: str) -> Constant:
         if "e" in text.lower():

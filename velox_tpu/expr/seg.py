@@ -146,6 +146,57 @@ class SegValue:
 
 
 @dataclasses.dataclass
+class StructValue:
+    """Trace-time value of ROW expressions: one Elems per field."""
+
+    fields: Tuple[Elems, ...]
+    dtype: DataType  # the ROW type
+
+    @staticmethod
+    def from_column(col) -> "StructValue":
+        fields = []
+        for ch, ft in zip(col.children, col.dtype.children):
+            if ft.kind == TypeKind.ROW:
+                fields.append(
+                    Elems(StructValue.from_column(ch), ch.validity, ft, None)
+                )
+            elif ft.is_complex:
+                fields.append(
+                    Elems(SegValue.from_column(ch), ch.validity, ft, None)
+                )
+            else:
+                fields.append(Elems(ch.data, ch.validity, ft, ch.strings))
+        return StructValue(tuple(fields), col.dtype)
+
+    def to_column(self, validity: Optional[jax.Array] = None):
+        from ..vector.column import Column, Encoding
+
+        children = []
+        capacity = None
+        for f in self.fields:
+            if isinstance(f.values, (SegValue, StructValue)):
+                children.append(f.values.to_column(f.validity))
+                capacity = capacity or (
+                    f.values.capacity
+                    if isinstance(f.values, SegValue)
+                    else None
+                )
+            else:
+                children.append(
+                    Column.flat(f.values, f.dtype, f.validity, f.strings)
+                )
+                capacity = capacity or f.values.shape[0]
+        placeholder = jnp.zeros((capacity or 1,), jnp.int8)
+        return Column(
+            placeholder, validity, None, self.dtype, Encoding.FLAT, None,
+            tuple(children),
+        )
+
+    def field(self, name: str) -> Elems:
+        return self.fields[self.dtype.names.index(name)]
+
+
+@dataclasses.dataclass
 class NormSeg:
     """A SegValue with a dense, row-ordered pool + derived index arrays."""
 

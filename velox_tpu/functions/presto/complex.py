@@ -842,6 +842,36 @@ def _map_concat(ctx, expr: Call):
     return _result(ctx, out, row_validity, errors)
 
 
+def _row_constructor(ctx, expr: Call):
+    """row(a, b, ...) -> ROW value (reference: RowConstructor.cpp)."""
+    from ...expr.seg import StructValue
+
+    results = [ctx.evaluate(a) for a in expr.args]
+    errors = None
+    fields = []
+    for a, r in zip(expr.args, results):
+        errors = _or(errors, r.errors)
+        strings = None
+        if a.dtype.is_string:
+            from ...expr.compiler import _strings_of
+
+            strings = _strings_of(a, ctx.batch)
+        fields.append(Elems(r.values, r.validity, a.dtype, strings))
+    return _result(ctx, StructValue(tuple(fields), expr.dtype), None, errors)
+
+
+def _row_field(ctx, expr: Call):
+    """r.name / subscript(ROW, 'name') field access (reference:
+    FieldReference.cpp dereference on ROW inputs)."""
+    from ...expr.ir import Constant
+
+    r = ctx.evaluate(expr.args[0])
+    assert isinstance(expr.args[1], Constant)
+    el = r.values.field(expr.args[1].value)
+    validity = _and(el.validity, r.validity)
+    return _result(ctx, el.values, validity, r.errors)
+
+
 def _spark_size(ctx, expr: Call):
     """Spark legacy size(): -1 for NULL input (sparksql/Size.cpp)."""
     r = ctx.evaluate(expr.args[0])
@@ -1220,6 +1250,8 @@ COMPLEX_FNS: Dict[str, Callable] = {
     "array_except": _array_setop("except"),
     "arrays_overlap": _array_setop("overlap"),
     "map_concat": _map_concat,
+    "row": _row_constructor,
+    "row_field": _row_field,
     # Spark package (velox/functions/sparksql): aliases + legacy size()
     "size": _spark_size,
     "array_contains": _contains,
@@ -1230,7 +1262,7 @@ COMPLEX_FNS: Dict[str, Callable] = {
 def is_complex_call(name: str, args) -> bool:
     if name not in COMPLEX_FNS:
         return False
-    if name in ("array_constructor",):
+    if name in ("array_constructor", "row"):
         return True
     return any(
         a.dtype.is_complex or isinstance(a, Lambda) for a in args
@@ -1319,6 +1351,15 @@ def _register_all():
     reg.register("array_except", [_A, _A], lambda ts: ts[0], _stub)
     reg.register("arrays_overlap", [_A, _A], BOOLEAN, _stub)
     reg.register("map_concat", [_M, _M], lambda ts: ts[0], _stub, variadic=True)
+    from ...dtypes import row as row_t
+
+    reg.register(
+        "row",
+        [ANY],
+        lambda ts: row_t([f"f{i}" for i in range(len(ts))], list(ts)),
+        _stub,
+        variadic=True,
+    )
     # Spark package
     reg.register("size", [_A], BIGINT, _stub)
     reg.register("size", [_M], BIGINT, _stub)

@@ -146,15 +146,21 @@ class Column:
     def gather(self, indices: jax.Array) -> "Column":
         """Row-reordering gather; result is FLAT with the indices' length."""
         if self.dtype.is_complex:
-            # spans move with the rows; element pools stay put (consumers
-            # re-densify via ops.segpool.normalize when they need row order)
+            # ARRAY/MAP: spans move with the rows; element pools stay put
+            # (consumers re-densify via ops.segpool.normalize when they need
+            # row order).  ROW: children are row-aligned and gather with us.
             data = jnp.take(self.data, indices, axis=0, mode="clip")
             validity = (
                 None
                 if self.validity is None
                 else jnp.take(self.validity, indices, axis=0, mode="clip")
             )
-            return dataclasses.replace(self, data=data, validity=validity)
+            children = self.children
+            if self.dtype.kind == TypeKind.ROW:
+                children = tuple(c.gather(indices) for c in children)
+            return dataclasses.replace(
+                self, data=data, validity=validity, children=children
+            )
         if self.encoding == Encoding.CONSTANT:
             cap = indices.shape[0]
             values, validity = self.decode(cap)

@@ -340,6 +340,188 @@ def _pad_segments(seg: HostSegments, rows: int) -> HostSegments:
     )
 
 
+@dataclasses.dataclass
+class HostStruct:
+    """A host-resident ROW column: one child array per field, row-aligned
+    (reference: velox/vector/ComplexVector.h RowVector)."""
+
+    dtype: DataType  # the ROW type
+    children: Tuple[Any, ...]  # per field: np.ndarray | HostSegments | HostStruct
+    child_validities: Tuple[Optional[np.ndarray], ...]
+    string_tables: Tuple[Optional[StringTable], ...] = ()
+
+    def __post_init__(self):
+        if not self.string_tables:
+            self.string_tables = (None,) * len(self.children)
+
+    def __len__(self) -> int:
+        c = self.children[0]
+        return len(c)
+
+    @staticmethod
+    def from_pylist(values: Sequence[Any], dtype: DataType):
+        """rows are dicts (by field name) or tuples; None -> NULL row."""
+        row_validity = np.asarray([v is not None for v in values], dtype=bool)
+        children, validities, tables = [], [], []
+        for i, (fname, ft) in enumerate(zip(dtype.names, dtype.children)):
+            field_vals = []
+            for v in values:
+                if v is None:
+                    field_vals.append(None)
+                elif isinstance(v, dict):
+                    field_vals.append(v.get(fname))
+                else:
+                    field_vals.append(v[i])
+            if ft.is_complex:
+                if ft.kind == TypeKind.ROW:
+                    sub, sub_valid = HostStruct.from_pylist(field_vals, ft)
+                else:
+                    sub, sub_valid = HostSegments.from_pylist(field_vals, ft)
+                children.append(sub)
+                validities.append(sub_valid)
+                tables.append(None)
+            else:
+                arr, valid, tab = _to_device_rep(field_vals, ft, None)
+                children.append(arr)
+                validities.append(valid)
+                tables.append(tab)
+        st = HostStruct(dtype, tuple(children), tuple(validities), tuple(tables))
+        return st, (None if row_validity.all() else row_validity)
+
+    def slice_rows(self, start: int, stop: int) -> "HostStruct":
+        children = tuple(
+            c.slice_rows(start, stop)
+            if isinstance(c, (HostSegments, HostStruct))
+            else c[start:stop]
+            for c in self.children
+        )
+        validities = tuple(
+            None if v is None else v[start:stop] for v in self.child_validities
+        )
+        return HostStruct(self.dtype, children, validities, self.string_tables)
+
+    def take_rows(self, indices: np.ndarray) -> "HostStruct":
+        idx = np.asarray(indices, np.int64)
+        children = tuple(
+            c.take_rows(idx)
+            if isinstance(c, (HostSegments, HostStruct))
+            else c[idx]
+            for c in self.children
+        )
+        validities = tuple(
+            None if v is None else v[idx] for v in self.child_validities
+        )
+        return HostStruct(self.dtype, children, validities, self.string_tables)
+
+    @staticmethod
+    def concat(parts: Sequence["HostStruct"]) -> "HostStruct":
+        first = parts[0]
+        children, validities = [], []
+        for i, c0 in enumerate(first.children):
+            if isinstance(c0, HostSegments):
+                children.append(HostSegments.concat([p.children[i] for p in parts]))
+            elif isinstance(c0, HostStruct):
+                children.append(HostStruct.concat([p.children[i] for p in parts]))
+            else:
+                children.append(np.concatenate([p.children[i] for p in parts]))
+            vs = [p.child_validities[i] for p in parts]
+            if all(v is None for v in vs):
+                validities.append(None)
+            else:
+                validities.append(
+                    np.concatenate(
+                        [
+                            v if v is not None else np.ones(len(p), bool)
+                            for v, p in zip(vs, parts)
+                        ]
+                    )
+                )
+        return HostStruct(
+            first.dtype, tuple(children), tuple(validities), first.string_tables
+        )
+
+    def to_pylist(self, row_validity: Optional[np.ndarray] = None) -> List[Any]:
+        n = len(self)
+        field_lists = []
+        for c, cv, tab, ft in zip(
+            self.children, self.child_validities, self.string_tables, self.dtype.children
+        ):
+            if isinstance(c, (HostSegments, HostStruct)):
+                field_lists.append(c.to_pylist(cv))
+            else:
+                raw = _from_device_rep(c, ft, tab)
+                field_lists.append(
+                    [
+                        None if (cv is not None and not cv[i]) else _py(raw[i])
+                        for i in range(n)
+                    ]
+                )
+        out = [
+            {name: field_lists[j][i] for j, name in enumerate(self.dtype.names)}
+            for i in range(n)
+        ]
+        if row_validity is not None:
+            out = [v if ok else None for v, ok in zip(out, row_validity)]
+        return out
+
+    def device_column(
+        self, capacity: int, validity: Optional[np.ndarray] = None
+    ):
+        import jax.numpy as jnp
+
+        from .column import Column
+
+        n = len(self)
+        children = []
+        for c, cv, tab, ft in zip(
+            self.children, self.child_validities, self.string_tables, self.dtype.children
+        ):
+            if isinstance(c, (HostSegments, HostStruct)):
+                padded = c if len(c) >= capacity else _pad_rows(c, capacity)
+                children.append(
+                    padded.device_column(
+                        capacity, None if cv is None else _pad_bool(cv, capacity)
+                    )
+                )
+            else:
+                arr = c
+                if len(arr) < capacity:
+                    arr = np.concatenate(
+                        [arr, np.zeros(capacity - len(arr), arr.dtype)]
+                    )
+                v = None if cv is None else _pad_bool(cv, capacity)
+                children.append(
+                    Column.flat(
+                        jnp.asarray(arr), ft,
+                        None if v is None else jnp.asarray(v), tab,
+                    )
+                )
+        v = None
+        if validity is not None:
+            v = jnp.asarray(_pad_bool(validity, capacity))
+        placeholder = jnp.zeros((capacity,), jnp.int8)
+        return Column(
+            placeholder, v, None, self.dtype, _FLAT(), None, tuple(children)
+        )
+
+
+def _pad_rows(c, rows: int):
+    if isinstance(c, HostSegments):
+        return _pad_segments(c, rows)
+    pad = rows - len(c)
+    children = tuple(
+        np.concatenate([ch, np.zeros(pad, ch.dtype)])
+        if isinstance(ch, np.ndarray)
+        else _pad_rows(ch, rows)
+        for ch in c.children
+    )
+    validities = tuple(
+        None if v is None else np.concatenate([v, np.zeros(pad, bool)])
+        for v in c.child_validities
+    )
+    return HostStruct(c.dtype, children, validities, c.string_tables)
+
+
 def _child_len(seg: "HostSegments", i: int) -> int:
     c = seg.children[i]
     return len(c.sizes) if isinstance(c, HostSegments) else len(c)
@@ -352,9 +534,32 @@ def _py(v):
     return v
 
 
-def column_to_host(col, length: int) -> Tuple[HostSegments, Optional[np.ndarray]]:
-    """Fetch a device complex Column back into HostSegments (first ``length``
-    rows; pools are re-densified host-side)."""
+def column_to_host(col, length: int):
+    """Fetch a device complex Column back into HostSegments / HostStruct
+    (first ``length`` rows; ARRAY/MAP pools re-densify host-side)."""
+    if col.dtype.kind == TypeKind.ROW:
+        validity = None if col.validity is None else np.asarray(col.validity)[:length]
+        children, validities, tables = [], [], []
+        for child, ft in zip(col.children, col.dtype.children):
+            if ft.is_complex:
+                sub, sub_valid = column_to_host(child, length)
+                children.append(sub)
+                validities.append(sub_valid)
+                tables.append(None)
+            else:
+                children.append(np.asarray(child.data)[:length])
+                validities.append(
+                    None
+                    if child.validity is None
+                    else np.asarray(child.validity)[:length]
+                )
+                tables.append(child.strings)
+        return (
+            HostStruct(
+                col.dtype, tuple(children), tuple(validities), tuple(tables)
+            ),
+            validity,
+        )
     spans = np.asarray(col.data)[:length]
     starts, sizes = spans[:, 0].astype(np.int64), spans[:, 1].astype(np.int64)
     validity = None if col.validity is None else np.asarray(col.validity)[:length]
