@@ -363,3 +363,45 @@ def test_row_struct_columns():
         .build()
     ).to_pandas()
     assert out2["r"].tolist() == [None, {"a": 3, "b": "y"}]
+
+
+def test_split_and_sequence():
+    from velox_tpu.vector.string_table import StringTable
+
+    st = StringTable()
+    t = Table(
+        RowType(["s"], [VARCHAR]),
+        {"s": st.intern_all(["a,b,c", "", "x"])},
+        {"s": st},
+    )
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .project(
+            [
+                "split(s, ',') as p",
+                "element_at(split(s, ','), 2) as e2",
+                "sequence(1, 4) as sq",
+                "sequence(3, 1) as sqd",
+            ]
+        )
+        .build()
+    ).to_pandas()
+    assert out["p"].tolist() == [["a", "b", "c"], [], ["x"]]
+    import pandas as pd
+
+    assert [None if pd.isna(v) else v for v in out["e2"]] == ["b", None, None]
+    assert out["sq"].tolist() == [[1, 2, 3, 4]] * 3
+    assert out["sqd"].tolist() == [[3, 2, 1]] * 3
+
+    # split feeding unnest (the classic tokenize-and-count shape)
+    out2 = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .project(["split(s, ',') as p"])
+        .unnest([], ["p"])
+        .aggregation(["p"], ["count(*) as c"])
+        .build()
+    ).to_pandas()
+    got = dict(zip(out2["p"], out2["c"]))
+    assert got == {"a": 1, "b": 1, "c": 1, "x": 1}

@@ -93,10 +93,40 @@ def resolve_column_strings(node: PlanNode, name: str) -> Optional[StringTable]:
             if hit is not None:
                 return resolve_column_strings(node.source, hit)
         return None
+    from ..plan.nodes import UnnestNode
+
+    if isinstance(node, UnnestNode):
+        for col, names in zip(node.unnest, node.unnested_names):
+            if name in names:
+                return _element_strings(node.source, col, names.index(name))
     if node.sources:
         for s in node.sources:
             if name in s.output_schema:
                 return resolve_column_strings(s, name)
+    return None
+
+
+def _element_strings(node: PlanNode, name: str, child_idx: int):
+    """Dictionary of an ARRAY/MAP column's child (for unnested elements)."""
+    from ..expr.ir import StringsCall
+    from ..plan.nodes import ArrowStreamNode
+
+    if isinstance(node, (TableScanNode, ValuesNode, ArrowStreamNode)):
+        seg = node.table.columns.get(name)
+        tabs = getattr(seg, "string_tables", None)
+        if tabs and child_idx < len(tabs):
+            return tabs[child_idx]
+        return None
+    if isinstance(node, ProjectNode):
+        expr = node.exprs[node.names.index(name)]
+        if isinstance(expr, StringsCall) and child_idx == 0:
+            return expr.strings
+        if isinstance(expr, FieldAccess):
+            return _element_strings(node.source, expr.name, child_idx)
+        return None
+    for s in node.sources:
+        if name in s.output_schema:
+            return _element_strings(s, name, child_idx)
     return None
 
 

@@ -108,6 +108,26 @@ def _rewrite(expr: Expr, tables, context_table: Optional[StringTable]) -> Expr:
             expr.name,
             (_rewrite(expr.args[0], tables, context_table), expr.args[1]),
         )
+    if isinstance(expr, Call) and expr.name == "split":
+        # bind the parts dictionary now: it derives only from the input
+        # dictionary + the literal delimiter, so downstream operators
+        # (unnest -> group-by) can resolve the element strings statically
+        from .ir import StringsCall
+
+        child = _rewrite(expr.args[0], tables, context_table)
+        delim = expr.args[1]
+        out_table = None
+        table = _table_of(child, tables) or _find_table(child, tables)
+        if (
+            table is not None
+            and isinstance(delim, Constant)
+            and isinstance(delim.value, str)
+        ):
+            out_table = StringTable()
+            for v in table.values():
+                for part in (v.split(delim.value) if v else []):
+                    out_table.intern(part)
+        return StringsCall(expr.dtype, expr.name, (child, delim), out_table)
     if isinstance(expr, (Call, Special)):
         local = _find_table(expr, tables) or context_table
         new_args = tuple(_rewrite(a, tables, local) for a in expr.children)

@@ -36,11 +36,16 @@ from .registry import DEFAULT_REGISTRY, FunctionRegistry
 
 @dataclasses.dataclass
 class EvalResult:
-    """values[capacity], optional validity (True=non-null), optional error lane."""
+    """values[capacity], optional validity (True=non-null), optional error lane.
+
+    ``strings``: dictionary of a VARCHAR result whose table was created at
+    trace time (e.g. element_at over split()'s parts pool) — the static
+    provenance walk (_strings_of) cannot see those."""
 
     values: jax.Array
     validity: Optional[jax.Array] = None
     errors: Optional[jax.Array] = None
+    strings: Optional[object] = None
 
     def validity_or_true(self, capacity: int) -> jax.Array:
         if self.validity is None:
@@ -400,7 +405,7 @@ class ExprSet:
             if e.dtype.is_complex:
                 cols.append(r.values.to_column(r.validity))
                 continue
-            strings = _strings_of(e, batch)
+            strings = r.strings or _strings_of(e, batch)
             cols.append(Column.flat(r.values, e.dtype, r.validity, strings))
         return cols, errors
 

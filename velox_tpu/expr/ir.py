@@ -173,6 +173,18 @@ class DictLookup(Expr):
 
 
 @dataclasses.dataclass(frozen=True)
+class StringsCall(Call):
+    """A Call whose (complex) result carries a statically-known element
+    dictionary (e.g. split(): the parts table derives from the input
+    dictionary at bind time, so downstream operators can resolve it)."""
+
+    strings: Optional[object] = None  # StringTable, hashable by identity
+
+    def to_json(self):
+        raise TypeError("StringsCall is a bind-time node; serialize pre-bind")
+
+
+@dataclasses.dataclass(frozen=True)
 class Lambda(Expr):
     """Lambda expression for array/map higher-order functions.
 

@@ -68,10 +68,10 @@ def _or(a, b):
     return a | b
 
 
-def _result(ctx, values, validity=None, errors=None):
+def _result(ctx, values, validity=None, errors=None, strings=None):
     from ...expr.compiler import EvalResult
 
-    return EvalResult(values, validity, errors)
+    return EvalResult(values, validity, errors, strings)
 
 
 # ---------------------------------------------------------------------------
@@ -154,7 +154,7 @@ def _elem_result(ctx, elems: Elems, pos, ok, row_validity, errors):
     validity = _and(_and(taken.validity, ok), row_validity)
     if validity is None:
         validity = ok
-    return _result(ctx, taken.values, validity, errors)
+    return _result(ctx, taken.values, validity, errors, strings=taken.strings)
 
 
 def _broadcast_rows(values, validity, rowid):
@@ -842,6 +842,91 @@ def _map_concat(ctx, expr: Call):
     return _result(ctx, out, row_validity, errors)
 
 
+def _split(ctx, expr: Call):
+    """split(s, delim) -> array(varchar) (reference: SplitFunctions.cpp).
+
+    The string dictionary is static at trace time: each distinct value splits
+    once on the host into a shared parts pool; per-row spans then expand into
+    a dense pool sized capacity x longest-split (static)."""
+    import numpy as np
+
+    from ...expr.compiler import _strings_of
+    from ...expr.ir import Constant
+    from ...vector.string_table import StringTable
+
+    s = ctx.evaluate(expr.args[0])
+    delim_e = expr.args[1]
+    if not isinstance(delim_e, Constant) or not isinstance(delim_e.value, str):
+        raise TypeError("split() needs a literal delimiter")
+    table = _strings_of(expr.args[0], ctx.batch)
+    if table is None:
+        raise TypeError("split() requires a dictionary-backed string input")
+    # reuse the bind-time parts dictionary when present (expr.ir.StringsCall)
+    # so static provenance and the traced program agree on codes; intern() is
+    # deterministic, so re-filling it here yields identical codes
+    out_table = getattr(expr, "strings", None) or StringTable()
+    code_starts, code_sizes, pool_codes = [], [], []
+    for v in table.values():
+        parts = v.split(delim_e.value) if v else []
+        code_starts.append(len(pool_codes))
+        code_sizes.append(len(parts))
+        pool_codes.extend(out_table.intern(p) for p in parts)
+    max_parts = max(code_sizes, default=0)
+    cap = ctx.capacity
+    if cap * max(max_parts, 1) > (1 << 26):
+        raise NotImplementedError(
+            "split(): dictionary has very long splits; output pool too large"
+        )
+    cs = jnp.asarray(np.asarray(code_starts, np.int32))
+    cz = jnp.asarray(np.asarray(code_sizes, np.int32))
+    pool = jnp.asarray(np.asarray(pool_codes or [0], np.int32))
+    codes = s.values.astype(jnp.int32)
+    sizes = jnp.take(cz, codes, mode="clip")
+    if s.validity is not None:
+        sizes = jnp.where(s.validity, sizes, 0)
+    out_starts = dense_starts(sizes)
+    pool_cap = max(_next_pow2(cap * max(max_parts, 1)), 8)
+    total = out_starts[-1] + sizes[-1]
+    rowid = owner_rows(out_starts, total, pool_cap)
+    pos = jnp.arange(pool_cap, dtype=jnp.int32)
+    emask = pos < total
+    offset = pos - jnp.take(out_starts, rowid, mode="clip")
+    src = jnp.take(cs, jnp.take(codes, rowid, mode="clip"), mode="clip") + offset
+    values = jnp.take(pool, jnp.clip(src, 0, pool.shape[0] - 1), mode="clip")
+    out = SegValue(
+        out_starts,
+        sizes,
+        (Elems(values, None, expr.dtype.element, out_table),),
+        expr.dtype,
+    )
+    return _result(ctx, out, s.validity, s.errors)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _sequence(ctx, expr: Call):
+    """sequence(lo, hi) with literal bounds -> per-row constant array."""
+    from ...expr.ir import Constant
+
+    lo_e, hi_e = expr.args[0], expr.args[1]
+    if not (isinstance(lo_e, Constant) and isinstance(hi_e, Constant)):
+        raise NotImplementedError("sequence() needs literal bounds here")
+    lo, hi = int(lo_e.value), int(hi_e.value)
+    step = 1 if hi >= lo else -1
+    values = list(range(lo, hi + step, step))
+    if len(values) > 10000:
+        raise ValueError("sequence exceeds 10000 entries (Presto's cap)")
+    elems = tuple(Constant(lo_e.dtype, v) for v in values)
+    return _array_constructor(
+        ctx, Call(expr.dtype, "array_constructor", elems)
+    )
+
+
 def _row_constructor(ctx, expr: Call):
     """row(a, b, ...) -> ROW value (reference: RowConstructor.cpp)."""
     from ...expr.seg import StructValue
@@ -869,7 +954,7 @@ def _row_field(ctx, expr: Call):
     assert isinstance(expr.args[1], Constant)
     el = r.values.field(expr.args[1].value)
     validity = _and(el.validity, r.validity)
-    return _result(ctx, el.values, validity, r.errors)
+    return _result(ctx, el.values, validity, r.errors, strings=el.strings)
 
 
 def _spark_size(ctx, expr: Call):
@@ -1252,6 +1337,8 @@ COMPLEX_FNS: Dict[str, Callable] = {
     "map_concat": _map_concat,
     "row": _row_constructor,
     "row_field": _row_field,
+    "split": _split,
+    "sequence": _sequence,
     # Spark package (velox/functions/sparksql): aliases + legacy size()
     "size": _spark_size,
     "array_contains": _contains,
@@ -1262,7 +1349,7 @@ COMPLEX_FNS: Dict[str, Callable] = {
 def is_complex_call(name: str, args) -> bool:
     if name not in COMPLEX_FNS:
         return False
-    if name in ("array_constructor", "row"):
+    if name in ("array_constructor", "row", "split", "sequence"):
         return True
     return any(
         a.dtype.is_complex or isinstance(a, Lambda) for a in args
@@ -1351,8 +1438,13 @@ def _register_all():
     reg.register("array_except", [_A, _A], lambda ts: ts[0], _stub)
     reg.register("arrays_overlap", [_A, _A], BOOLEAN, _stub)
     reg.register("map_concat", [_M, _M], lambda ts: ts[0], _stub, variadic=True)
-    from ...dtypes import row as row_t
+    from ...dtypes import VARCHAR as _VC, row as row_t
+    from ...expr.registry import INTEGER as _INT, STRINGY as _STR
 
+    reg.register("split", [_STR, _STR], array_t(_VC), _stub)
+    reg.register(
+        "sequence", [_INT, _INT], lambda ts: array_t(ts[0]), _stub
+    )
     reg.register(
         "row",
         [ANY],
