@@ -217,3 +217,26 @@ def test_array_agg_after_filter():
         .reset_index(drop=True)
     )
     assert out["ax"].tolist() == [[3, 2, 2], [4]]
+
+
+def test_entropy():
+    t = Table(
+        RowType(["g", "x"], [BIGINT, BIGINT]),
+        {
+            "g": np.array([1, 1, 1, 1, 2, 2], np.int64),
+            "x": np.array([1, 1, 2, 2, 5, 5], np.int64),
+        },
+    )
+    out = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .aggregation(["g"], ["entropy(x) as e"])
+            .build()
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # group 1: two values 50/50 -> 1 bit; group 2: single value -> 0 bits
+    assert out["e"].tolist() == [1.0, 0.0]

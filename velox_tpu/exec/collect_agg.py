@@ -28,6 +28,7 @@ COLLECT_AGG_NAMES = (
     "map_union",
     "approx_percentile",
     "approx_most_frequent",
+    "entropy",
 )
 
 
@@ -65,6 +66,13 @@ def bind_collect(name: str, types: Tuple[DataType, ...]) -> CollectAggregate:
         (m,) = types
         assert m.kind == TypeKind.MAP, "map_union takes a MAP argument"
         return CollectAggregate(name, m, types, ("value",))
+    if name == "entropy":
+        # log2 entropy of the value distribution (reference:
+        # prestosql/aggregates/EntropyAggregates.cpp) — exact from counts
+        from ..dtypes import DOUBLE
+
+        (t,) = types
+        return CollectAggregate(name, DOUBLE, types, ("value",))
     if name == "approx_percentile":
         # (x, percentage) — computed EXACTLY here (the device sorts rows
         # anyway, so the KLL sketch the reference uses for memory bounds,
@@ -207,6 +215,27 @@ def compute_collect(
             seg.string_tables,
         )
         return out, None
+
+    if agg.name == "entropy":
+        v, val = args[0], validities[0]
+        live = np.ones(n, dtype=bool) if val is None else val
+        order = np.lexsort((v, gids))
+        vs, gs, lv = v[order], gids[order], live[order]
+        vs2, gs2 = vs[lv], gs[lv]
+        m = len(vs2)
+        run_starts = _runs([gs2, vs2], m)
+        counts = np.diff(np.append(run_starts, m)).astype(np.float64)
+        rg = gs2[run_starts]
+        totals = np.bincount(gs2, minlength=num_groups).astype(np.float64)
+        tot_per_run = totals[rg]
+        p = counts / np.maximum(tot_per_run, 1.0)
+        contrib = -p * np.log2(p)
+        gfirst = _runs([rg], len(rg))
+        out = np.zeros(num_groups)
+        if len(rg):
+            sums = np.add.reduceat(contrib, gfirst)
+            out[rg[gfirst]] = sums
+        return out, totals > 0
 
     if agg.name == "approx_percentile":
         v, val = args[0], validities[0]

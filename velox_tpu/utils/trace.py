@@ -49,6 +49,21 @@ def status() -> str:
     return "\n".join(lines) if lines else "(no outstanding operations)"
 
 
+@contextlib.contextmanager
+def xla_profile(log_dir: str):
+    """Capture an XLA/TPU profiler trace around a query (view in
+    TensorBoard/xprof).  The device-level analog of the reference's
+    per-operator wall/CPU timers (SURVEY §5.1: 'add XLA profiler/trace
+    integration'); host-side counters live in utils/stats + reporter."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
 def set_thread_query(query_id: str, task_id: str = "") -> None:
     """Reference: ThreadDebugInfo — stamp ids on the current thread."""
     _thread_local.query_id = query_id
