@@ -142,26 +142,34 @@ class HashJoinExec:
         key_names = list(node.right_keys)
         key_arrays = [np.asarray(build_result.columns[k]) for k in key_names]
 
-        # Drop build rows with a NULL key: they can never match (standard,
-        # non-null-aware join semantics; reference HashBuild drops them too for
-        # inner/semi joins, velox/exec/HashBuild.cpp removeInputRowsForAntiJoin).
+        # Build rows with a NULL key can never match (standard, non-null-aware
+        # join semantics; reference HashBuild drops them too for inner/semi
+        # joins).  For FULL they must survive as definitionally-unmatched rows,
+        # so they keep a sentinel key that sorts last and equals nothing.
         keep = None
         for k in key_names:
             validity = build_result.validities.get(k)
             if validity is not None and not validity.all():
                 keep = validity if keep is None else (keep & validity)
-        if keep is not None:
+        full = node.join_type == JoinType.FULL
+        if keep is not None and not full:
             key_arrays = [a[keep] for a in key_arrays]
 
         if len(key_names) == 1:
             normalizer = None
             packed = key_arrays[0].astype(np.int64)
         else:
-            normalizer = _NormalizedKey.fit(key_arrays)
+            fit_arrays = (
+                [a[keep] for a in key_arrays] if (keep is not None) else key_arrays
+            )
+            normalizer = _NormalizedKey.fit(fit_arrays)
             packed = normalizer.pack_host(key_arrays)
+        if keep is not None and full:
+            packed = packed.copy()
+            packed[~keep] = _KEY_SENTINEL
 
         order = np.argsort(packed, kind="stable")
-        if keep is not None:
+        if keep is not None and not full:
             row_order = np.flatnonzero(keep)[order]
         else:
             row_order = order
@@ -507,10 +515,14 @@ class HashJoinExec:
             [jnp.arange(B, dtype=jnp.int32), jnp.arange(cap, dtype=jnp.int32)]
         )
         k2, f2, o2 = jax.lax.sort((allk2, bflag, orig2), num_keys=2)
-        pmark = jnp.where(f2 == 0, o2, jnp.int32(-1))
-        lastp = jax.lax.cummax(pmark)
-        cand_eq = (lastp >= 0) & (
-            jnp.take(pk_masked, jnp.clip(lastp, 0, cap - 1), mode="clip") == k2
+        # cummax over SLOT positions (monotone in sort order — original probe
+        # indices are not): the most recent probe slot at/below this build
+        # slot has key <= K; equal key <=> this build key is matched
+        pos2 = jnp.arange(B + cap, dtype=jnp.int32)
+        pmark = jnp.where(f2 == 0, pos2, jnp.int32(-1))
+        lastslot = jax.lax.cummax(pmark)
+        cand_eq = (lastslot >= 0) & (
+            jnp.take(k2, jnp.clip(lastslot, 0, B + cap - 1), mode="clip") == k2
         )
         matched_s = (f2 == 1) & cand_eq & (k2 != jnp.int64(_KEY_SENTINEL))
         # route to build order: probes (flag 0) first, build rows in [cap:)
@@ -587,7 +599,8 @@ class HashJoinExec:
         unmatched = ~matched
         if self.build_valid is not None:
             unmatched = unmatched & self.build_valid
-        unmatched = unmatched & (self.build_keys != jnp.int64(_KEY_SENTINEL))
+        # sentinel-key slots here are null-key build rows (FULL keeps them;
+        # builds for FULL are host-side, so there is no padding to exclude)
         perm, count = compaction_indices(unmatched)
         left_schema = node.left.output_schema
         out_cols: List[Column] = []
