@@ -196,3 +196,43 @@ def test_json_and_url_functions():
     assert out["h"].tolist() == ["example.com", "foo.io", ""]
     assert out["p"].tolist() == ["/p/q", "/", "bad"]
     assert out["pr"].tolist() == ["https", "http", ""]
+
+
+def test_digest_codec_and_constants():
+    import hashlib
+
+    st = StringTable()
+    t = Table(
+        RowType(["s", "x"], [VARCHAR, DOUBLE]),
+        {
+            "s": st.intern_all(["abc", "", "hello"]),
+            "x": np.array([0.5, 5.5, 12.0]),
+        },
+        {"s": st},
+    )
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .project(
+            [
+                "md5(s) as m",
+                "sha256(s) as h",
+                "to_hex(s) as th",
+                "from_hex(to_hex(s)) as rt",
+                "to_base64(s) as b64",
+                "from_base64(to_base64(s)) as rb",
+                "hamming_distance(s, 'abc') as hd",
+                "pi() as p",
+                "width_bucket(x, 0.0, 10.0, 5) as wb",
+            ]
+        )
+        .build()
+    ).to_pandas()
+    assert out["m"][0] == hashlib.md5(b"abc").hexdigest()
+    assert out["h"][2] == hashlib.sha256(b"hello").hexdigest()
+    assert out["th"].tolist() == ["616263", "", "68656C6C6F"]
+    assert out["rt"].tolist() == ["abc", "", "hello"]
+    assert out["rb"].tolist() == ["abc", "", "hello"]
+    assert out["hd"].tolist() == [0, -1, -1]
+    assert abs(out["p"][0] - 3.14159265) < 1e-8
+    assert out["wb"].tolist() == [1, 3, 6]

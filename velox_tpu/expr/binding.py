@@ -346,6 +346,63 @@ _STRING_FN_BINDERS: Dict[str, Callable] = {
 }
 
 
+# ---- digest / codec families (reference: functions/prestosql/
+# BinaryFunctions.h — md5/sha/hex/base64 over VARBINARY/VARCHAR) -------------
+
+
+def _digest(alg):
+    import hashlib
+
+    def fn(v, _ci):
+        return getattr(hashlib, alg)(v.encode("utf-8")).hexdigest()
+
+    return fn
+
+
+def _hamming(a, _ci, b):
+    if len(a) != len(b):
+        return -1  # Presto raises; -1 under try() semantics here
+    return sum(x != y for x, y in zip(a, b))
+
+
+_STRING_FN_BINDERS.update(
+    {
+        "md5": _literal_args_fn(None, None, _digest("md5"), makes_strings=True),
+        "sha1": _literal_args_fn(None, None, _digest("sha1"), makes_strings=True),
+        "sha256": _literal_args_fn(
+            None, None, _digest("sha256"), makes_strings=True
+        ),
+        "sha512": _literal_args_fn(
+            None, None, _digest("sha512"), makes_strings=True
+        ),
+        "to_hex": _literal_args_fn(
+            None, None, lambda v, _ci: v.encode("utf-8").hex().upper(),
+            makes_strings=True,
+        ),
+        "from_hex": _literal_args_fn(
+            None, None,
+            lambda v, _ci: bytes.fromhex(v).decode("utf-8", "replace") if v else "",
+            makes_strings=True,
+        ),
+        "to_base64": _literal_args_fn(
+            None, None,
+            lambda v, _ci: __import__("base64").b64encode(
+                v.encode("utf-8")
+            ).decode(),
+            makes_strings=True,
+        ),
+        "from_base64": _literal_args_fn(
+            None, None,
+            lambda v, _ci: __import__("base64").b64decode(v).decode(
+                "utf-8", "replace"
+            ) if v else "",
+            makes_strings=True,
+        ),
+        "hamming_distance": _literal_args_fn(BIGINT, np.int64, _hamming),
+    }
+)
+
+
 # ---- JSON / URL families (reference: functions/prestosql/JsonFunctions.h,
 # URLFunctions.h — simdjson/folly there; host-per-distinct-value here) -------
 

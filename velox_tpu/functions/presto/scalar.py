@@ -737,6 +737,59 @@ _reg.register("date_diff", [STRINGY, TypeKind.DATE, TypeKind.DATE], BIGINT, _unb
 _reg.register("date_add", [STRINGY, INT_M, TypeKind.DATE], _DATE, _unbound_string_fn("date_add"))
 
 
+# digest / codec families (bind-time dictionary rewrites)
+for _dname in ("md5", "sha1", "sha256", "sha512", "to_hex", "from_hex",
+               "to_base64", "from_base64"):
+    _reg.register(_dname, [STRINGY], _VARCHAR, _unbound_string_fn(_dname))
+_reg.register(
+    "hamming_distance", [STRINGY, STRINGY], BIGINT,
+    _unbound_string_fn("hamming_distance"),
+)
+
+
+# zero-argument constants (reference: MathematicalConstants.h)
+def _const_impl(value):
+    def impl(ctx, result_dtype, arg_types):
+        import jax.numpy as jnp
+
+        return jnp.full((ctx.capacity,), value, jnp.float64)
+
+    return impl
+
+
+_reg.register("e", [], DOUBLE, _const_impl(2.718281828459045))
+_reg.register("pi", [], DOUBLE, _const_impl(3.141592653589793))
+_reg.register("infinity", [], DOUBLE, _const_impl(float("inf")))
+_reg.register("nan", [], DOUBLE, _const_impl(float("nan")))
+
+
+def _width_bucket(ctx, result_dtype, arg_types, x, lo, hi, n):
+    """width_bucket(x, bound1, bound2, n) (reference: WidthBucketArray.cpp's
+    scalar sibling): 0 below, n+1 above, else 1-based equal-width bucket."""
+    import jax.numpy as jnp
+
+    def f64(v, t):
+        out = v.astype(jnp.float64)
+        if t.kind == TypeKind.DECIMAL and t.scale:
+            out = out / (10.0 ** t.scale)
+        return out
+
+    xf = f64(x, arg_types[0])
+    lof = f64(lo, arg_types[1])
+    hif = f64(hi, arg_types[2])
+    nn = n.astype(jnp.int64)
+    width = (hif - lof) / jnp.maximum(nn.astype(jnp.float64), 1.0)
+    raw = jnp.floor((xf - lof) / jnp.where(width == 0, 1.0, width)).astype(jnp.int64) + 1
+    out = jnp.clip(raw, 0, nn + 1)
+    errors = (nn <= 0) | (hif == lof)
+    return out, errors
+
+
+_reg.register(
+    "width_bucket", [NUMERIC, NUMERIC, NUMERIC, INT_M], BIGINT, _width_bucket
+)
+
+
 # JSON / URL (bind-time dictionary rewrites; signatures for type resolution)
 for _jname in ("json_extract_scalar", "json_extract"):
     _reg.register(_jname, [STRINGY, STRINGY], _VARCHAR, _unbound_string_fn(_jname))
