@@ -187,3 +187,23 @@ def test_string_key_array_mode_grouping():
     out = run_plan(plan, tile_rows=4).to_pandas()
     np.testing.assert_array_equal(out["s"], ["a", "b", "c"])
     np.testing.assert_array_equal(out["total"], [10, 7, 4])
+
+
+def test_inner_join_with_filter_argument():
+    left = make_table(k=([1, 2, 3], vt.BIGINT), lx=([10, 20, 30], vt.BIGINT))
+    right = make_table(k2=([1, 2, 3], vt.BIGINT), ry=([5, 25, 10], vt.BIGINT))
+    plan = (
+        PlanBuilder()
+        .table_scan(left)
+        .hash_join(
+            PlanBuilder().table_scan(right),
+            ["k"],
+            ["k2"],
+            output=["k", "lx", "ry"],
+            filter="lx < ry",  # non-equi condition fused above the join
+        )
+        .build()
+    )
+    out = run_plan(plan).to_pandas().sort_values("k").reset_index(drop=True)
+    np.testing.assert_array_equal(out["k"].to_numpy(), [2])
+    np.testing.assert_array_equal(out["ry"].to_numpy(), [25])

@@ -203,6 +203,22 @@ def _linearize(root: PlanNode) -> _Linear:
                     node.filter,
                     id=node.id,
                 )
+            if node.filter is not None and node.join_type == JoinType.INNER:
+                # an INNER join's non-equi filter is semantically a filter
+                # above the join (the reference fuses it in HashProbe; same
+                # rows survive either way) — requires the referenced columns
+                # in the join output
+                steps_rev.append(("filter", node.filter))
+                node = HashJoinNode(
+                    node.left,
+                    node.right,
+                    node.join_type,
+                    node.left_keys,
+                    node.right_keys,
+                    node.output_columns,
+                    None,
+                    id=node.id,
+                )
             # probe continues down the left (probe) side; the right (build) side
             # is executed eagerly when the pipeline is instantiated.
             steps_rev.append(("join", node))
