@@ -240,3 +240,32 @@ def test_entropy():
     )
     # group 1: two values 50/50 -> 1 bit; group 2: single value -> 0 bits
     assert out["e"].tolist() == [1.0, 0.0]
+
+
+def test_reduce_agg():
+    t = Table(
+        RowType(["g", "x"], [BIGINT, BIGINT]),
+        {
+            "g": np.array([1, 1, 2, 2, 2], np.int64),
+            "x": np.array([3, 4, 5, 6, 7], np.int64),
+        },
+    )
+    out = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .aggregation(
+                ["g"],
+                [
+                    "reduce_agg(x, 1, (s, e) -> s * e, (a, b) -> a * b) as prod",
+                    "sum(x) as s",
+                ],
+            )
+            .build()
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["prod"].tolist() == [12, 210]
+    assert out["s"].tolist() == [7, 18]

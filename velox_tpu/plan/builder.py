@@ -236,6 +236,43 @@ class PlanBuilder:
                 args = _split_call_args(argtext)
             parsed.append((fn, args, name, distinct))
 
+        reduce_aggs = [
+            (i, args, name)
+            for i, (f, args, name, _) in enumerate(parsed)
+            if f == "reduce_agg"
+        ]
+        if reduce_aggs:
+            # reduce_agg(x, s0, input_fn, combine_fn) lowers to
+            # array_agg(x) + reduce(...) above the aggregation: a sequential
+            # fold with the input function computes the same state as the
+            # reference's pairwise combine, because reduce_agg's contract
+            # requires commutative/associative functions
+            # (reference: prestosql/aggregates/ReduceAgg.cpp).
+            rewritten = []
+            post: List[tuple] = []  # (output name, reduce expr text, tmp name)
+            for i, (f, args, name, d) in enumerate(parsed):
+                if f != "reduce_agg":
+                    rewritten.append((f, args, name, d))
+                    continue
+                assert len(args) >= 3, "reduce_agg(x, s0, input_fn[, combine_fn])"
+                tmp = f"__ra{i}"
+                rewritten.append(("array_agg", [args[0]], tmp, False))
+                post.append(
+                    (name, f"reduce({tmp}, {args[1]}, {args[2]}, s -> s)")
+                )
+            self.aggregation(
+                grouping_keys,
+                [
+                    f"{f}({', '.join(a) if a else '*'}) as {n}"
+                    for f, a, n, _ in rewritten
+                ],
+                step,
+            )
+            keep = [
+                n for n in self.schema.names if not n.startswith("__ra")
+            ]
+            exprs = list(keep) + [f"{text} as {name}" for name, text in post]
+            return self.project(exprs)
         if any(d for _, _, _, d in parsed):
             return self._aggregation_with_distinct(grouping_keys, parsed, step)
         return self._plain_aggregation(
