@@ -405,3 +405,31 @@ def test_split_and_sequence():
     ).to_pandas()
     got = dict(zip(out2["p"], out2["c"]))
     assert got == {"a": 1, "b": 1, "c": 1, "x": 1}
+
+
+def test_map_zip_with():
+    m1, _ = HostSegments.from_pylist([{"a": 1, "b": 2}, {"x": 7}, {}], MT)
+    m2, _ = HostSegments.from_pylist([{"b": 20, "c": 3}, {}, {"z": 9}], MT)
+    t = Table(RowType(["m1", "m2"], [MT, MT]), {"m1": m1, "m2": m2})
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .project(
+            [
+                "map_zip_with(m1, m2, (k, v1, v2) -> "
+                "coalesce(v1, 0) + coalesce(v2, 0)) as z",
+                "map_zip_with(m1, m2, (k, v1, v2) -> v1) as l",
+            ]
+        )
+        .build()
+    ).to_pandas()
+    assert out["z"].tolist() == [
+        {"a": 1, "b": 22, "c": 3},
+        {"x": 7},
+        {"z": 9},
+    ]
+    assert out["l"].tolist() == [
+        {"a": 1, "b": 2, "c": None},
+        {"x": 7},
+        {"z": None},
+    ]

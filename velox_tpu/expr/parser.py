@@ -576,7 +576,11 @@ def _lambda_param_types(fname: str, arg_index: int, prior: Sequence[Expr], npara
         return (state_t,)
     if fname == "zip_with":
         return (elem(0), elem(1))
-    if fname in ("map_filter", "transform_keys", "transform_values", "map_zip_with"):
+    if fname == "map_zip_with":
+        t0, t1 = prior[0].dtype, prior[1].dtype
+        assert t0.kind == TypeKind.MAP and t1.kind == TypeKind.MAP
+        return (t0.key_type, t0.value_type, t1.value_type)
+    if fname in ("map_filter", "transform_keys", "transform_values"):
         return map_kv()
     raise ValueError(f"{fname} does not take a lambda argument")
 

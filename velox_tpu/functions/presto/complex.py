@@ -957,6 +957,140 @@ def _row_field(ctx, expr: Call):
     return _result(ctx, el.values, validity, r.errors, strings=el.strings)
 
 
+def _map_zip_with(ctx, expr: Call):
+    """map_zip_with(m1, m2, (k, v1, v2) -> e): union of keys; absent side's
+    value is NULL (reference: MapZipWithFunction.cpp)."""
+    from ...ops.segmented import rank_in_segments
+
+    r1 = _seg_arg(ctx, expr.args[0])
+    r2 = _seg_arg(ctx, expr.args[1])
+    lam: Lambda = expr.args[2]
+    norms = [r1.values.normalized(), r2.values.normalized()]
+    cap = ctx.capacity
+    big = jnp.int32(_INT_MAX)
+    rid = jnp.concatenate([jnp.where(n.emask, n.rowid, big) for n in norms])
+    key_aligned, key_table = _aligned_values([n.children[0] for n in norms])
+    keyv = jnp.concatenate([k.astype(jnp.int64) for k in key_aligned])
+    src = jnp.concatenate(
+        [
+            jnp.zeros((norms[0].children[0].pool_cap,), jnp.int32),
+            jnp.ones((norms[1].children[0].pool_cap,), jnp.int32),
+        ]
+    )
+    v1_all = jnp.concatenate(
+        [
+            norms[0].children[1].values,
+            jnp.zeros(
+                (norms[1].children[1].pool_cap,),
+                norms[0].children[1].values.dtype,
+            ),
+        ]
+    )
+    v2_all = jnp.concatenate(
+        [
+            jnp.zeros(
+                (norms[0].children[1].pool_cap,),
+                norms[1].children[1].values.dtype,
+            ),
+            norms[1].children[1].values,
+        ]
+    )
+    val1_ok = jnp.concatenate(
+        [
+            norms[0].children[1].validity_or_true(),
+            jnp.zeros((norms[1].children[1].pool_cap,), jnp.bool_),
+        ]
+    )
+    val2_ok = jnp.concatenate(
+        [
+            jnp.zeros((norms[0].children[1].pool_cap,), jnp.bool_),
+            norms[1].children[1].validity_or_true(),
+        ]
+    )
+    rs, ks, ss, w1, w2, o1, o2 = jax.lax.sort(
+        [rid, keyv, src, v1_all, v2_all, val1_ok.astype(jnp.int8),
+         val2_ok.astype(jnp.int8)],
+        num_keys=3,
+    )
+    # a (row, key) run has at most 2 entries (keys unique per map; m1 first)
+    nxt_same = (
+        (rs == jnp.roll(rs, -1)) & (ks == jnp.roll(ks, -1))
+    )
+    nxt_same = nxt_same.at[-1].set(False)
+    dup = (rs == jnp.roll(rs, 1)) & (ks == jnp.roll(ks, 1))
+    dup = dup.at[0].set(False)
+    keep = ~dup & (rs != big)
+    v1 = jnp.where(ss == 0, w1, 0)
+    v1ok = jnp.where(ss == 0, o1.astype(jnp.bool_), False)
+    v2 = jnp.where(
+        ss == 1, w2, jnp.where(nxt_same, jnp.roll(w2, -1), 0)
+    )
+    v2ok = jnp.where(
+        ss == 1,
+        o2.astype(jnp.bool_),
+        jnp.where(nxt_same, jnp.roll(o2, -1).astype(jnp.bool_), False),
+    )
+    # compact kept entries to a dense row-ordered pool
+    perm = jnp.argsort(~keep, stable=True).astype(jnp.int32)
+    total = jnp.sum(keep.astype(jnp.int32))
+    pool_total = rs.shape[0]
+    take = lambda a: jnp.take(a, perm, mode="clip")  # noqa: E731
+    kk, kr = take(ks), take(rs)
+    kv1, kv1ok, kv2, kv2ok = take(v1), take(v1ok), take(v2), take(v2ok)
+    kr = jnp.where(jnp.arange(pool_total, dtype=jnp.int32) < total, kr, big)
+    upto = rank_in_segments(
+        jnp.zeros((pool_total,), jnp.int64),
+        kr.astype(jnp.int64),
+        jnp.zeros((cap,), jnp.int64),
+        jnp.arange(cap, dtype=jnp.int64),
+        inclusive=True,
+    )
+    prev = jnp.concatenate([jnp.zeros((1,), upto.dtype), upto[:-1]])
+    sizes = (upto - prev).astype(jnp.int32)
+    starts = dense_starts(sizes)
+    rowid = jnp.where(kr == big, cap, kr).astype(jnp.int32)
+    key_t = expr.dtype.key_type
+    k_el = Elems(
+        kk.astype(key_t.device_dtype), None, key_t, key_table
+    )
+    v1t = expr.args[0].dtype.value_type
+    v2t = expr.args[1].dtype.value_type
+    body = _eval_lambda(
+        ctx,
+        lam,
+        [
+            k_el,
+            Elems(kv1.astype(v1t.device_dtype), kv1ok, v1t,
+                  norms[0].children[1].strings),
+            Elems(kv2.astype(v2t.device_dtype), kv2ok, v2t,
+                  norms[1].children[1].strings),
+        ],
+        pool_total,
+        jnp.clip(rowid, 0, cap - 1),
+    )
+    row_validity = _and(r1.validity, r2.validity)
+    errors = _or(r1.errors, r2.errors)
+    emask = jnp.arange(pool_total, dtype=jnp.int32) < total
+    if body.errors is not None:
+        err_rows = segment_reduce(
+            (body.errors & emask).astype(jnp.int32),
+            starts, sizes,
+            jnp.clip(rowid, 0, cap - 1),
+            emask, "sum", init=0,
+        )
+        errors = _or(errors, err_rows > 0)
+    out = SegValue(
+        starts,
+        sizes,
+        (
+            k_el,
+            Elems(body.values, body.validity, lam.dtype, _body_strings(ctx, lam)),
+        ),
+        expr.dtype,
+    )
+    return _result(ctx, out, row_validity, errors)
+
+
 def _spark_size(ctx, expr: Call):
     """Spark legacy size(): -1 for NULL input (sparksql/Size.cpp)."""
     r = ctx.evaluate(expr.args[0])
@@ -1329,6 +1463,7 @@ COMPLEX_FNS: Dict[str, Callable] = {
     "reduce": _reduce,
     "zip_with": _zip_with,
     "map_filter": _map_filter,
+    "map_zip_with": _map_zip_with,
     "transform_keys": _transform_map("keys"),
     "transform_values": _transform_map("values"),
     "array_intersect": _array_setop("intersect"),
@@ -1422,6 +1557,12 @@ def _register_all():
         "zip_with", [_A, _A, ANY], lambda ts: array_t(ts[2]), _stub
     )
     reg.register("map_filter", [_M, ANY], lambda ts: ts[0], _stub)
+    reg.register(
+        "map_zip_with",
+        [_M, _M, ANY],
+        lambda ts: map_t(ts[0].key_type, ts[2]),
+        _stub,
+    )
     reg.register(
         "transform_keys",
         [_M, ANY],
