@@ -433,3 +433,37 @@ def test_map_zip_with():
         {"x": 7},
         {"z": None},
     ]
+
+
+def test_pool_overflow_raises_not_corrupts():
+    """Join-duplicated rows can exceed an array column's static element pool;
+    normalization must surface a query error, never truncate silently —
+    span-only functions (cardinality) keep working on the shared pool."""
+    seg, _ = HostSegments.from_pylist([[1, 2, 3], [4, 5, 6]], AT)
+    left = Table(
+        RowType(["k", "a"], [BIGINT, AT]),
+        {"k": np.array([1, 2], np.int64), "a": seg},
+    )
+    right = Table(
+        RowType(["rk"], [BIGINT]),
+        {"rk": np.array([1, 1, 1, 1, 2, 2, 2, 2], np.int64)},
+    )
+
+    def plan(exprs):
+        return (
+            PlanBuilder()
+            .table_scan(left)
+            .hash_join(
+                PlanBuilder().table_scan(right).build(),
+                ["k"],
+                ["rk"],
+                output=["k", "a"],
+            )
+            .project(exprs)
+            .build()
+        )
+
+    with pytest.raises(QueryError):
+        run_plan(plan(["k", "transform(a, e -> e * 2) as t"]))
+    out = run_plan(plan(["k", "cardinality(a) as n"])).to_pandas()
+    assert out["n"].tolist() == [3] * 8

@@ -1229,6 +1229,9 @@ class LocalExecutor:
             # round trip 1: every tile's (length, error) together
             lens_errs = fetch_tree([(o.length, e) for o, e in outs])
             err_total = sum(int(e) for _, e in lens_errs)
+            # fail BEFORE host assembly: errored rows (e.g. pool overflow)
+            # can hold data the host-side converters cannot interpret
+            _raise_on_errors(err_total + self._drain_pending_errs())
             # round trip 2: every tile's live-prefix column data together
             cut_tiles, specs = [], []
             for (out, _), (n_d, _) in zip(outs, lens_errs):
@@ -1276,7 +1279,6 @@ class LocalExecutor:
                 valid_chunks.append(vrow)
             if stats is not None:
                 stats.device_seconds = time.perf_counter() - t0
-            _raise_on_errors(err_total + self._drain_pending_errs())
             from ..vector.complex import HostSegments
 
             cols = {}

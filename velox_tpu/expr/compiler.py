@@ -129,7 +129,8 @@ class EvalContext:
         from ..functions.presto.complex import COMPLEX_FNS, is_complex_call
 
         if is_complex_call(expr.name, expr.args):
-            return COMPLEX_FNS[expr.name](self, expr)
+            result = COMPLEX_FNS[expr.name](self, expr)
+            return self._surface_pool_overflow(expr, result)
         arg_results = [self.evaluate(a) for a in expr.args]
         arg_types = [a.dtype for a in expr.args]
         sig, _, _ = self.registry.resolve(expr.name, arg_types)
@@ -156,6 +157,29 @@ class EvalContext:
             fn_errors = fn_errors & validity
         errors = _or_masks(errors, fn_errors)
         return EvalResult(values, validity, errors)
+
+    def _surface_pool_overflow(self, expr: Call, result: EvalResult) -> EvalResult:
+        """If a complex function normalized an argument whose duplicated spans
+        exceeded its static element pool, the result is truncated — surface it
+        as a row error (ops/segpool.normalize sets the flag).  The CSE cache
+        holds the argument results, including their memoized normalization."""
+        from .seg import SegValue
+
+        errors = result.errors
+        for a in expr.args:
+            r = self._cse.get(a.key())
+            if (
+                r is not None
+                and isinstance(r.values, SegValue)
+                and r.values._norm_cache is not None
+                and r.values._norm_cache.overflow is not None
+            ):
+                o = jnp.broadcast_to(
+                    r.values._norm_cache.overflow, (self.capacity,)
+                )
+                errors = _or_masks(errors, o)
+        result.errors = errors
+        return result
 
     # ---- special forms ------------------------------------------------
     def _special(self, expr: Special) -> EvalResult:

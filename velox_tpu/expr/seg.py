@@ -94,7 +94,7 @@ class SegValue:
             arrs, spec = _flatten_elems(ch)
             flat_pools.extend(arrs)
             specs.append(spec)
-        starts, sizes, new_pools, rowid, emask = normalize(
+        starts, sizes, new_pools, rowid, emask, overflow = normalize(
             self.starts, self.sizes, tuple(flat_pools), self.pool_cap
         )
         new_children = []
@@ -106,6 +106,7 @@ class SegValue:
             SegValue(starts, sizes, tuple(new_children), self.dtype),
             rowid,
             emask,
+            overflow,
         )
         self._norm_cache = norm
         return norm
@@ -203,6 +204,9 @@ class NormSeg:
     seg: SegValue
     rowid: jax.Array  # int32[pool_cap]: owning row of each pool slot
     emask: jax.Array  # bool[pool_cap]: live pool slots
+    # scalar bool: total elements exceeded the static pool (duplicated spans);
+    # consumers surface this as a query error rather than truncate silently
+    overflow: Optional[jax.Array] = None
 
     @property
     def starts(self):

@@ -79,7 +79,11 @@ def normalize(
     src = jnp.take(starts.astype(jnp.int32), rowid, mode="clip") + offset
     src = jnp.where(emask, src, 0)
     new_pools = tuple(jnp.take(p, src, axis=0, mode="clip") for p in pools)
-    return new_starts, sizes, new_pools, rowid, emask
+    # duplicated spans (join-expanded rows, shared literals) can exceed the
+    # static pool; rows past the fit are truncated — callers surface the
+    # overflow flag as a row error so this never silently corrupts
+    overflow = total > pool_cap
+    return new_starts, sizes, new_pools, rowid, emask, overflow
 
 
 def pool_boundaries(rowid: jax.Array, emask: jax.Array) -> jax.Array:

@@ -563,6 +563,11 @@ def column_to_host(col, length: int):
     spans = np.asarray(col.data)[:length]
     starts, sizes = spans[:, 0].astype(np.int64), spans[:, 1].astype(np.int64)
     validity = None if col.validity is None else np.asarray(col.validity)[:length]
+    # defensive clamp: spans beyond the pool only occur on errored batches
+    # (pool overflow), which the executor rejects before assembly
+    pool_len = col.children[0].capacity if col.children else 0
+    starts = np.clip(starts, 0, max(pool_len - 1, 0))
+    sizes = np.clip(sizes, 0, np.maximum(pool_len - starts, 0))
     order = (
         np.concatenate([np.arange(s, s + z) for s, z in zip(starts, sizes)])
         if length
