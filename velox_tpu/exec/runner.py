@@ -1199,6 +1199,16 @@ class LocalExecutor:
                     self._run_sort_agg_host(get_tile, n_tiles, stats),
                     lin.finishers,
                 )
+            topn_k = self._device_topn_k()
+            if topn_k is not None and int(count) > topn_k:
+                # TopN over agg outputs: select the top-K groups ON DEVICE and
+                # fetch only K rows — the tunnel is the bottleneck, and K is
+                # the result size (the fetch-result-sized discipline).  The
+                # host finisher re-sorts the K rows exactly afterwards.
+                keys_d, accs_d, count_d = self._device_topn_jit(
+                    keys_d, accs_d, count_d
+                )
+                count = min(int(count), topn_k)
             flat = list(keys_d) + [a for acc in accs_d for a in acc]
             fetched = fetch_prefix(flat, int(count))
             if stats is not None:
@@ -1335,6 +1345,102 @@ class LocalExecutor:
         if stats is not None:
             stats.total_seconds = time.perf_counter() - t_start
         return result
+
+    # ---- device TopN over aggregation outputs -----------------------------
+    def _device_topn_k(self) -> Optional[int]:
+        """K if the first finisher is a TopN whose every sort key maps to a
+        device-orderable operand (group key, or sum/min/max/count/arbitrary
+        accumulator limbs); else None (host path)."""
+        lin = self.lin
+        if not lin.finishers or not isinstance(lin.finishers[0], TopNNode):
+            return None
+        if getattr(self, "_topn_unsupported", False):
+            return None
+        fn = getattr(self, "_device_topn_jit", None)
+        if fn is not None:
+            return lin.finishers[0].count
+        ex = self.agg_exec
+        node = lin.finishers[0]
+        out_names = list(ex.node.output_schema.names)
+        nkeys = len(ex.key_infos)
+        plan: List[Tuple] = []  # ('key', idx, desc, ranks|None) | ('agg', idx, desc)
+        for sk in node.keys:
+            if sk.name in ex.node.grouping_keys:
+                idx = list(ex.node.grouping_keys).index(sk.name)
+                info = ex.key_infos[idx]
+                ranks = (
+                    np.asarray(info.strings.sort_permutation(), np.int32)
+                    if info.strings is not None
+                    else None
+                )
+                plan.append(("key", idx, not sk.ascending, ranks))
+            elif sk.name in out_names[nkeys:]:
+                ai = out_names[nkeys:].index(sk.name)
+                agg = ex.aggs[ai]
+                name = getattr(agg, "name", "")
+                if name not in ("sum", "min", "max", "count", "count_if", "arbitrary"):
+                    self._topn_unsupported = True
+                    return None
+                if name == "arbitrary" and ex.out_strings[ai] is not None:
+                    # arbitrary(VARCHAR) accumulates codes, not lex ranks
+                    self._topn_unsupported = True
+                    return None
+                plan.append(("agg", ai, not sk.ascending))
+            else:
+                self._topn_unsupported = True
+                return None
+        # total order: every remaining group key as a tiebreaker
+        for idx, info in enumerate(ex.key_infos):
+            ranks = (
+                np.asarray(info.strings.sort_permutation(), np.int32)
+                if info.strings is not None
+                else None
+            )
+            plan.append(("key", idx, False, ranks))
+
+        def topn(keys_d, accs_d, count_d):
+            G = keys_d[0].shape[0] if keys_d else accs_d[0][0].shape[0]
+            idxs = jnp.arange(G, dtype=jnp.int32)
+            operands: List[jax.Array] = [(idxs >= count_d).astype(jnp.int8)]
+            for item in plan:
+                if item[0] == "key":
+                    _, i, desc, ranks = item
+                    arr = keys_d[i]
+                    if ranks is not None:
+                        arr = jnp.take(
+                            jnp.asarray(ranks), arr.astype(jnp.int32), mode="clip"
+                        )
+                    limbs = [arr]
+                else:
+                    _, ai, desc = item
+                    acc = accs_d[ai]
+                    agg = ex.aggs[ai]
+                    if agg.name == "sum" and len(agg.acc_dtypes) == 3:
+                        limbs = [acc[0], acc[1]]  # wide hi, lo
+                    else:
+                        limbs = [acc[0]]
+                for limb in limbs:
+                    if desc:
+                        limb = (
+                            -limb
+                            if jnp.issubdtype(limb.dtype, jnp.floating)
+                            else -limb.astype(jnp.int64)
+                        )
+                    operands.append(limb)
+            perm_src = jnp.arange(G, dtype=jnp.int32)
+            sorted_ops = jax.lax.sort(
+                operands + [perm_src], num_keys=len(operands)
+            )
+            perm = sorted_ops[-1]
+            new_keys = tuple(jnp.take(k, perm, mode="clip") for k in keys_d)
+            new_accs = tuple(
+                tuple(jnp.take(a, perm, mode="clip") for a in acc)
+                for acc in accs_d
+            )
+            return new_keys, new_accs, jnp.minimum(count_d, node.count)
+
+        self._device_topn_jit = jax.jit(topn)
+        return node.count
 
     def _get_tile_partial(self):
         """Jitted per-tile partial-group program (built lazily: the device-merge
