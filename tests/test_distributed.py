@@ -147,3 +147,52 @@ def test_distributed_multi_tile(mesh):
     # several sharded tiles -> several exchange rounds into the carried state
     dist = DistributedExecutor(plan, mesh, per_device_rows=128).run().to_pandas()
     pd.testing.assert_frame_equal(local, dist)
+
+
+def test_skew_aware_bucket_capacity():
+    """Two-phase shuffle sizing: probe per-destination totals across the mesh,
+    pick the bucket from the worst destination (skewed keys), then the
+    exchange at that capacity loses no rows."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from velox_tpu.parallel.distributed import make_mesh
+    from velox_tpu.parallel.exchange import (
+        exchange_rows,
+        skew_aware_bucket_capacity,
+    )
+
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    per_dev = 64
+    rng = np.random.default_rng(3)
+    # heavy skew: 80% of rows share one key -> one destination is hot
+    keys = np.where(
+        rng.random(n_dev * per_dev) < 0.8, 7, rng.integers(0, 1000, n_dev * per_dev)
+    ).astype(np.int64)
+    vals = np.arange(n_dev * per_dev, dtype=np.int64)
+    mask = np.ones(n_dev * per_dev, dtype=bool)
+    sh = NamedSharding(mesh, P("data"))
+    keys_d = jax.device_put(jnp.asarray(keys), sh)
+    mask_d = jax.device_put(jnp.asarray(mask), sh)
+    vals_d = jax.device_put(jnp.asarray(vals), sh)
+
+    cap = skew_aware_bucket_capacity(mesh, "data", keys_d, mask_d, n_dev)
+    hot = int((keys == 7).sum())
+    assert cap >= hot  # the hot destination fits
+    assert cap <= 2 * max(hot, 1)
+
+    sm = jax.jit(
+        jax.shard_map(
+            lambda a, k, m: exchange_rows([a], k, m, "data", n_dev, cap),
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=P("data"),
+        )
+    )
+    (vals_r,), keys_r, live = sm(vals_d, keys_d, mask_d)
+    vals_r, keys_r, live = map(np.asarray, (vals_r, keys_r, live))
+    # no rows lost, and every surviving row landed on hash(key) % P
+    assert sorted(vals_r[live].tolist()) == sorted(vals.tolist())

@@ -100,6 +100,54 @@ def all_to_all_exchange(
     return received, recv_counts
 
 
+def skew_probe(
+    keys: jax.Array, mask: jax.Array, axis_name: str, num_partitions: int
+):
+    """Phase 1 of the skew-aware shuffle: per-destination RECEIVE totals.
+
+    Returns [P] — for each destination p, the number of rows the whole mesh
+    will send it.  Runs inside shard_map; the host fetches the max to pick a
+    power-of-two bucket capacity, then compiles the real exchange at that
+    shape (SURVEY.md §7 hard parts: the two-phase count-then-exchange
+    protocol; the reference's skew handling lives in its coordinator).
+    """
+    from ..ops.segmented import direct_group_reduce
+
+    dest = partition_destinations(keys, num_partitions)
+    dest_eff = jnp.where(mask, dest, num_partitions)
+    local = direct_group_reduce(
+        mask.astype(jnp.int32), mask, dest_eff, num_partitions + 1, "sum"
+    )[:num_partitions]
+    return jax.lax.psum(local, axis_name)
+
+
+def skew_aware_bucket_capacity(
+    mesh, axis_name: str, keys_sharded, mask_sharded, num_partitions: int
+) -> int:
+    """Host-level phase 1: run the probe and bucket the worst destination."""
+    from jax.sharding import PartitionSpec as P
+
+    probe = jax.jit(
+        jax.shard_map(
+            lambda k, m: skew_probe(k, m, axis_name, num_partitions),
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name)),
+            out_specs=P(),
+        )
+    )
+    totals = probe(keys_sharded, mask_sharded)
+    import numpy as np
+
+    worst = int(np.asarray(totals).max())
+    # each destination receives up to `worst` rows split across P source
+    # buckets; per-source bucket must fit the worst single-source share,
+    # bounded by the whole destination total
+    cap = 8
+    while cap < max(worst, 1):
+        cap *= 2
+    return cap
+
+
 def exchange_rows(
     arrays: Sequence[jax.Array],
     keys: jax.Array,
