@@ -191,3 +191,37 @@ def test_null_handling():
     df = pd.DataFrame({"k": K, "v": np.where(valid, V, np.nan)})
     np.testing.assert_array_equal(out["c"], df.groupby("k")["v"].count().values)
     np.testing.assert_array_equal(out["mb"], df.groupby("k")["v"].min().values)
+
+
+def test_bitwise_aggregates():
+    import numpy as np
+
+    from velox_tpu.dtypes import BIGINT, RowType
+    from velox_tpu.exec import run_plan
+    from velox_tpu.io.table import Table
+    from velox_tpu.plan import PlanBuilder
+
+    t = Table(
+        RowType(["g", "x"], [BIGINT, BIGINT]),
+        {
+            "g": np.array([1, 1, 1, 2, 2], np.int64),
+            "x": np.array([0b1101, 0b1011, 0b1111, 0b0101, 0b0110], np.int64),
+        },
+    )
+    out = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .aggregation(
+                ["g"],
+                ["bitwise_and_agg(x) as a", "bitwise_or_agg(x) as o"],
+            )
+            .build(),
+            tile_rows=2,  # multi-tile merge exercises the carry combine
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["a"].tolist() == [0b1001, 0b0100]
+    assert out["o"].tolist() == [0b1111, 0b0111]

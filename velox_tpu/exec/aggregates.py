@@ -44,7 +44,13 @@ from ..ops.segmented import (
     masked_reduce_pair,
 )
 
-_COMBINE = {"sum": jnp.add, "min": jnp.minimum, "max": jnp.maximum}
+_COMBINE = {
+    "sum": jnp.add,
+    "min": jnp.minimum,
+    "max": jnp.maximum,
+    "band": jnp.bitwise_and,
+    "bor": jnp.bitwise_or,
+}
 
 
 def _grouped_reduce(arr, mask, group_ids, num_groups, op):
@@ -229,6 +235,10 @@ class BoundAggregate:
                 out[i] = np.add.reduceat(arr, starts)
             elif op == "min":
                 out[i] = np.minimum.reduceat(acc_arrays[i], starts)
+            elif op == "band":
+                out[i] = np.bitwise_and.reduceat(acc_arrays[i], starts)
+            elif op == "bor":
+                out[i] = np.bitwise_or.reduceat(acc_arrays[i], starts)
             else:
                 out[i] = np.maximum.reduceat(acc_arrays[i], starts)
         return tuple(out)
@@ -520,6 +530,19 @@ def bind_aggregate(
             raw, extract, input_index, arg_roles=("plain",),
         )
 
+    if name in ("bitwise_and_agg", "bitwise_or_agg"):
+        # reference: prestosql/aggregates/BitwiseAggregates.cpp
+        op = "band" if name == "bitwise_and_agg" else "bor"
+        return BoundAggregate(
+            name, t0, (jnp.int64, jnp.int64), (op, "sum"),
+            lambda values, mask: (
+                values[0].astype(jnp.int64),
+                jnp.ones_like(mask, dtype=jnp.int64),
+            ),
+            lambda accs: (accs[0], accs[1] > 0),
+            input_index, arg_roles=("plain",),
+        )
+
     if name == "checksum":
         # order-independent content hash: wrapping int64 sum of per-row
         # splitmix64 hashes (reference: ChecksumAggregate.h uses xxhash64 the
@@ -614,4 +637,5 @@ AGGREGATE_NAMES = (
     "bool_and", "bool_or", "every", "min_by", "max_by",
     "variance", "var_samp", "var_pop", "stddev", "stddev_samp", "stddev_pop",
     "geometric_mean", "checksum", "covar_pop", "covar_samp", "corr",
+    "skewness", "kurtosis", "bitwise_and_agg", "bitwise_or_agg",
 )

@@ -29,12 +29,18 @@ _COMBINE = {
     "sum": jnp.add,
     "min": jnp.minimum,
     "max": jnp.maximum,
+    "band": jnp.bitwise_and,
+    "bor": jnp.bitwise_or,
     "first": lambda a, b: a,  # keep the earlier value within the segment
 }
 
 
 def identity_for(op: str, dtype):
     if op == "sum":
+        return 0
+    if op == "band":
+        return -1  # all ones in two's complement
+    if op == "bor":
         return 0
     if jnp.issubdtype(dtype, jnp.floating):
         return jnp.inf if op == "min" else -jnp.inf
@@ -49,6 +55,10 @@ def masked_reduce(values: jax.Array, mask: jax.Array, op: str) -> jax.Array:
         return jnp.sum(v)
     if op == "min":
         return jnp.min(v)
+    if op in ("band", "bor"):
+        return jax.lax.reduce(
+            v, jnp.asarray(ident, v.dtype), _COMBINE[op], [0]
+        )
     return jnp.max(v)
 
 
@@ -65,9 +75,14 @@ def direct_group_reduce(
     for g in range(num_groups):
         sel = mask & (gids == g)
         v = jnp.where(sel, values, ident)
-        outs.append(
-            jnp.sum(v) if op == "sum" else (jnp.min(v) if op == "min" else jnp.max(v))
-        )
+        if op == "sum":
+            outs.append(jnp.sum(v))
+        elif op == "min":
+            outs.append(jnp.min(v))
+        elif op in ("band", "bor"):
+            outs.append(jax.lax.reduce(v, ident, _COMBINE[op], [0]))
+        else:
+            outs.append(jnp.max(v))
     return jnp.stack(outs)
 
 
