@@ -269,3 +269,31 @@ def test_reduce_agg():
     )
     assert out["prod"].tolist() == [12, 210]
     assert out["s"].tolist() == [7, 18]
+
+
+def test_multimap_agg():
+    st = StringTable()
+    t = Table(
+        RowType(["g", "k", "v"], [BIGINT, VARCHAR, BIGINT]),
+        {
+            "g": np.array([1, 1, 1, 2], np.int64),
+            "k": st.intern_all(["a", "a", "b", "c"]),
+            "v": np.array([10, 11, 20, 30], np.int64),
+        },
+        {"k": st},
+    )
+    out = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .aggregation(["g"], ["multimap_agg(k, v) as mm"])
+            .build()
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["mm"].tolist() == [
+        {"a": [10, 11], "b": [20]},
+        {"c": [30]},
+    ]

@@ -29,6 +29,7 @@ COLLECT_AGG_NAMES = (
     "approx_percentile",
     "approx_most_frequent",
     "entropy",
+    "multimap_agg",
 )
 
 
@@ -73,6 +74,12 @@ def bind_collect(name: str, types: Tuple[DataType, ...]) -> CollectAggregate:
 
         (t,) = types
         return CollectAggregate(name, DOUBLE, types, ("value",))
+    if name == "multimap_agg":
+        # (k, v) -> map(k, array(v)) (reference: MultiMapAggAggregate.cpp)
+        k, v = types
+        return CollectAggregate(
+            name, map_t(k, array_t(v)), types, ("value", "value")
+        )
     if name == "approx_percentile":
         # (x, percentage) — computed EXACTLY here (the device sorts rows
         # anyway, so the KLL sketch the reference uses for memory bounds,
@@ -236,6 +243,36 @@ def compute_collect(
             sums = np.add.reduceat(contrib, gfirst)
             out[rg[gfirst]] = sums
         return out, totals > 0
+
+    if agg.name == "multimap_agg":
+        k, v = args[0], args[1]
+        kval = validities[0]
+        vval = validities[1]
+        live = np.ones(n, dtype=bool) if kval is None else kval
+        order = np.lexsort((k, gids))  # stable: value order preserved per key
+        ks, vs, gs, lv = k[order], v[order], gids[order], live[order]
+        vv = None if vval is None else vval[order]
+        ks2, vs2, gs2 = ks[lv], vs[lv], gs[lv]
+        vv2 = None if vv is None else vv[lv]
+        m = len(ks2)
+        entry_starts = _runs([gs2, ks2], m)  # one entry per (group, key)
+        entry_sizes = np.diff(np.append(entry_starts, m)).astype(np.int32)
+        sizes = np.bincount(gs2[entry_starts], minlength=num_groups)
+        inner = HostSegments(
+            agg.result_type.value_type,
+            entry_sizes,
+            (vs2,),
+            (vv2,),
+            (tables[1],),
+        )
+        seg = HostSegments(
+            agg.result_type,
+            sizes.astype(np.int32),
+            (ks2[entry_starts], inner),
+            (None, None),
+            (tables[0], None),
+        )
+        return seg, None
 
     if agg.name == "approx_percentile":
         v, val = args[0], validities[0]
