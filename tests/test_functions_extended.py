@@ -236,3 +236,36 @@ def test_digest_codec_and_constants():
     assert out["hd"].tolist() == [0, -1, -1]
     assert abs(out["p"][0] - 3.14159265) < 1e-8
     assert out["wb"].tolist() == [1, 3, 6]
+
+
+def test_two_column_string_functions():
+    s1, s2 = StringTable(), StringTable()
+    t = Table(
+        RowType(["a", "b"], [VARCHAR, VARCHAR]),
+        {
+            "a": s1.intern_all(["hello", "foo", ""]),
+            "b": s2.intern_all(["world", "oo", "x"]),
+        },
+        {"a": s1, "b": s2},
+    )
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .project(
+            [
+                "concat(a, b) as c",
+                "concat(a, '-', 'post') as lit",
+                "strpos(a, b) as p",
+                "levenshtein(a, b) as lv",
+                "starts_with(a, b) as sw",
+                "ends_with(concat(a, b), b) as ew",
+            ]
+        )
+        .build()
+    ).to_pandas()
+    assert out["c"].tolist() == ["helloworld", "foooo", "x"]
+    assert out["lit"].tolist() == ["hello-post", "foo-post", "-post"]
+    assert out["p"].tolist() == [0, 2, 0]
+    assert out["lv"].tolist() == [4, 1, 1]
+    assert out["sw"].tolist() == [False, False, False]
+    assert out["ew"].tolist() == [True, True, True]

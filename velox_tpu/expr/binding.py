@@ -98,6 +98,14 @@ def _rewrite(expr: Expr, tables, context_table: Optional[StringTable]) -> Expr:
     ):
         # names like reverse/concat/contains are shared with the array family;
         # the dictionary rewrites only apply to string-typed arguments
+        non_lit = [
+            a for a in expr.args
+            if not isinstance(a, Constant) and a.dtype.is_string
+        ]
+        if len(non_lit) == 2 and expr.name in _PAIR_IMPLS:
+            bound = _bind_pair(expr, tables, context_table)
+            if bound is not None:
+                return bound
         bound = _STRING_FN_BINDERS[expr.name](expr, tables, context_table)
         if bound is not None:
             return bound
@@ -344,6 +352,66 @@ _STRING_FN_BINDERS: Dict[str, Callable] = {
     "date_diff": _bind_date_unit("date_diff"),
     "date_add": _bind_date_unit("date_add"),
 }
+
+
+# ---- two-column string functions -----------------------------------------
+#
+# Exactly two dictionary-backed columns: the lookup table covers the CROSS
+# PRODUCT of both dictionaries (guarded by size), and the device index is
+# c1 * |dict2| + c2 (ir.DictLookup pair form).  This is still the
+# evaluate-per-distinct-value strategy — the distinct domain is just 2-D.
+
+_PAIR_LIMIT = 1 << 22
+
+_PAIR_IMPLS = {
+    # name -> (fn(v1, v2) -> value, result kind|None, np dtype|None, makes_strings)
+    "concat": (lambda a, b: a + b, None, None, True),
+    "levenshtein": (None, BIGINT, np.int64, False),  # fn filled in _bind_pair
+    "hamming_distance": (None, BIGINT, np.int64, False),
+    "strpos": (lambda a, b: a.find(b) + 1, BIGINT, np.int64, False),
+    "instr": (lambda a, b: a.find(b) + 1, BIGINT, np.int64, False),
+    "starts_with": (lambda a, b: a.startswith(b), BOOLEAN, np.bool_, False),
+    "ends_with": (lambda a, b: a.endswith(b), BOOLEAN, np.bool_, False),
+}
+
+
+def _bind_pair(expr: Call, tables, ctx) -> Optional[Expr]:
+    fn, result_kind, np_dtype, makes_strings = _PAIR_IMPLS[expr.name]
+    if fn is None:
+        from ..functions.spark.scalar import _levenshtein
+
+        if expr.name == "levenshtein":
+            fn = lambda a, b: _levenshtein(a, None, b)  # noqa: E731
+        else:
+            fn = lambda a, b: (  # hamming
+                sum(x != y for x, y in zip(a, b)) if len(a) == len(b) else -1
+            )  # noqa: E731
+    a = _rewrite(expr.args[0], tables, ctx)
+    b = _rewrite(expr.args[1], tables, ctx)
+    t1, t2 = _table_of(a, tables), _table_of(b, tables)
+    if t1 is None or t2 is None:
+        return None
+    if len(t1) * len(t2) > _PAIR_LIMIT:
+        raise ValueError(
+            f"{expr.name}(col, col): dictionary cross product "
+            f"{len(t1)}x{len(t2)} exceeds the bind limit"
+        )
+    v2s = t2.values()
+    if makes_strings:
+        out_table = StringTable()
+        codes = np.asarray(
+            [out_table.intern(fn(v1, v2)) for v1 in t1.values() for v2 in v2s],
+            np.int32,
+        )
+        return DictLookup(
+            VARCHAR, a, HostArray(codes), out_table, child2=b, width=len(t2)
+        )
+    arr = np.asarray(
+        [fn(v1, v2) for v1 in t1.values() for v2 in v2s], np_dtype
+    )
+    return DictLookup(
+        result_kind, a, HostArray(arr), None, child2=b, width=len(t2)
+    )
 
 
 # ---- digest / codec families (reference: functions/prestosql/

@@ -110,8 +110,15 @@ class EvalContext:
         if isinstance(expr, DictLookup):
             child = self.evaluate(expr.child)
             lookup = jnp.asarray(expr.values.array)
-            out = jnp.take(lookup, child.values.astype(jnp.int32), mode="clip")
-            return EvalResult(out, child.validity, child.errors)
+            idx = child.values.astype(jnp.int32)
+            validity, errors = child.validity, child.errors
+            if expr.child2 is not None:
+                c2 = self.evaluate(expr.child2)
+                idx = idx * expr.width + c2.values.astype(jnp.int32)
+                validity = _and_masks(validity, c2.validity)
+                errors = _or_masks(errors, c2.errors)
+            out = jnp.take(lookup, idx, mode="clip")
+            return EvalResult(out, validity, errors)
         raise TypeError(f"cannot evaluate {type(expr).__name__}")
 
     def _constant(self, expr: Constant) -> EvalResult:

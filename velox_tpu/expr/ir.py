@@ -155,17 +155,26 @@ class DictLookup(Expr):
     peeling (velox/expression/PeeledEncoding.h): a string function is evaluated
     once per *distinct* string on the host, and the device does a single gather.
     ``strings`` carries the result dictionary when the output is itself VARCHAR.
+
+    Two-input form (``child2`` set): the table covers the cross product of
+    both dictionaries and the device index is ``c1 * width + c2`` — how
+    binary string functions (concat of two columns, levenshtein) bind.
     """
 
     child: Optional[Expr] = None
     values: Optional[HostArray] = None
     strings: Optional[object] = None  # StringTable of the result, if VARCHAR
+    child2: Optional[Expr] = None
+    width: int = 0  # second dictionary's size (pair form only)
 
     def key(self) -> str:
-        return f"@dictlookup[{id(self.values)}]({self.child.key()})"
+        tail = f",{self.child2.key()}" if self.child2 is not None else ""
+        return f"@dictlookup[{id(self.values)}]({self.child.key()}{tail})"
 
     @property
     def children(self):
+        if self.child2 is not None:
+            return (self.child, self.child2)
         return (self.child,)
 
     def to_json(self):
