@@ -209,3 +209,43 @@ def test_k_bounded_frames_rows_and_range():
     assert out["rs"].tolist() == [30, 30, 70, 70, 7, 9]
     assert out["rm"].tolist() == [10, 10, 20, 30, 7, 9]
     assert out["rc"].tolist() == [1, 2, 3, 4, 1, 2]
+
+
+def test_ignore_nulls_lead_lag_first_last():
+    import numpy as np
+    import pandas as pd
+
+    from velox_tpu.dtypes import BIGINT, RowType
+    from velox_tpu.exec import run_plan
+    from velox_tpu.io.table import Table
+    from velox_tpu.plan import PlanBuilder
+
+    t = Table(
+        RowType(["g", "o", "x"], [BIGINT, BIGINT, BIGINT]),
+        {
+            "g": np.array([1, 1, 1, 1, 1, 2, 2], np.int64),
+            "o": np.array([1, 2, 3, 4, 5, 1, 2], np.int64),
+            "x": np.array([10, 0, 0, 40, 0, 0, 70], np.int64),
+        },
+        validities={"x": np.array([1, 0, 0, 1, 0, 0, 1], bool)},
+    )
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .window(
+            ["g"],
+            ["o"],
+            [
+                "lag(x) ignore nulls as lg",
+                "lead(x) ignore nulls as ld",
+                "first_value(x) ignore nulls as fv",
+                "last_value(x) ignore nulls as lv",
+            ],
+        )
+        .build()
+    ).to_pandas()
+    norm = lambda c: [None if pd.isna(v) else v for v in c]  # noqa: E731
+    assert norm(out["lg"]) == [None, 10, 10, 10, 40, None, None]
+    assert norm(out["ld"]) == [40, 40, 40, None, None, 70, None]
+    assert norm(out["fv"]) == [10] * 5 + [70] * 2
+    assert norm(out["lv"]) == [40] * 5 + [70] * 2

@@ -48,6 +48,8 @@ class WindowCall:
     # 'rows' (positional offsets) or 'range' (order-key value offsets,
     # PlanNode.h:1989 WindowFrame kRange with k bounds)
     frame_unit: str = "rows"
+    # lead/lag/first/last IGNORE NULLS (reference: WindowFunction.h kIgnoreNulls)
+    ignore_nulls: bool = False
 
     def result_type(self, input_type: Optional[DataType]) -> DataType:
         if self.name in ("row_number", "rank", "dense_rank", "ntile", "count"):
@@ -86,6 +88,7 @@ class WindowNode(PlanNode):
 
 _CALL_RE = re.compile(
     r"^\s*(?P<fn>[a-z_]+)\s*\(\s*(?P<args>[^)]*)\)\s*"
+    r"(?P<ignore>(ignore|respect)\s+nulls\s*)?"
     r"(?P<frame>(rows|range)\s+between\s+.*)?$",
     re.IGNORECASE,
 )
@@ -127,10 +130,16 @@ def parse_window_call(text: str) -> WindowCall:
         )
         start_s, end_s = re.split(r"\s+and\s+", body, flags=re.IGNORECASE)
         frame = (_parse_bound(start_s, True), _parse_bound(end_s, False))
+    ignore = bool(m.group("ignore")) and m.group("ignore").lower().startswith(
+        "ignore"
+    )
     if fn in ("lead", "lag"):
-        return WindowCall(fn, args[0], int(args[1]) if len(args) > 1 else 1)
+        return WindowCall(
+            fn, args[0], int(args[1]) if len(args) > 1 else 1,
+            ignore_nulls=ignore,
+        )
     if fn in ("first_value", "last_value"):
-        return WindowCall(fn, args[0], full_frame=True)
+        return WindowCall(fn, args[0], full_frame=True, ignore_nulls=ignore)
     if fn == "nth_value":
         return WindowCall(fn, args[0], offset=int(args[1]))
     if fn in ("sum", "avg", "count", "min", "max"):
@@ -268,6 +277,52 @@ class WindowExec:
                 )
                 out_cols.append((tile_id + 1).astype(jnp.int64))
                 out_validity.append(None)
+            elif name in ("lead", "lag") and call.ignore_nulls:
+                # k-th non-null before/after: rank rows among VALID rows and
+                # gather from the stable-partitioned valid prefix
+                valid_row = s_mask & (
+                    validity if validity is not None else jnp.ones_like(s_mask)
+                )
+                perm = jnp.argsort(~valid_row, stable=True).astype(jnp.int32)
+                cnt = jnp.cumsum(valid_row.astype(jnp.int32))  # valids <= idx
+                total_valid = cnt[-1]
+                if name == "lag":
+                    # valids strictly before idx = cnt - valid(idx)
+                    target = cnt - valid_row.astype(jnp.int32) - call.offset
+                else:
+                    target = cnt + call.offset - 1
+                ok = (target >= 0) & (target < total_valid)
+                pos = jnp.take(perm, jnp.clip(target, 0, cap - 1), mode="clip")
+                same_part = (
+                    jnp.take(part_id, pos, mode="clip") == part_id
+                )
+                ok = ok & same_part & s_mask
+                out_cols.append(jnp.take(values, pos, mode="clip"))
+                out_validity.append(ok)
+            elif name == "first_value" and call.ignore_nulls:
+                valid_row = s_mask & (
+                    validity if validity is not None else jnp.ones_like(s_mask)
+                )
+                cand = jnp.where(valid_row, idx, jnp.int32(cap))
+                first_valid = part_runs.reduce(cand, s_mask, "min")
+                fv = jnp.take(
+                    first_valid, jnp.clip(part_id, 0, cap - 1), mode="clip"
+                )
+                ok = fv < cap
+                out_cols.append(jnp.take(values, jnp.clip(fv, 0, cap - 1), mode="clip"))
+                out_validity.append(ok)
+            elif name == "last_value" and call.ignore_nulls:
+                valid_row = s_mask & (
+                    validity if validity is not None else jnp.ones_like(s_mask)
+                )
+                cand = jnp.where(valid_row, idx, jnp.int32(-1))
+                last_valid = part_runs.reduce(cand, s_mask, "max")
+                lv = jnp.take(
+                    last_valid, jnp.clip(part_id, 0, cap - 1), mode="clip"
+                )
+                ok = lv >= 0
+                out_cols.append(jnp.take(values, jnp.clip(lv, 0, cap - 1), mode="clip"))
+                out_validity.append(ok)
             elif name in ("lead", "lag"):
                 k = call.offset if name == "lag" else -call.offset
                 shifted = jnp.roll(values, k, axis=0)
