@@ -249,3 +249,40 @@ def test_ignore_nulls_lead_lag_first_last():
     assert norm(out["ld"]) == [40, 40, 40, None, None, 70, None]
     assert norm(out["fv"]) == [10] * 5 + [70] * 2
     assert norm(out["lv"]) == [40] * 5 + [70] * 2
+
+
+def test_variance_window_aggregates():
+    import numpy as np
+    import pandas as pd
+
+    from velox_tpu.dtypes import BIGINT, DOUBLE, RowType
+    from velox_tpu.exec import run_plan
+    from velox_tpu.io.table import Table
+    from velox_tpu.plan import PlanBuilder
+
+    t = Table(
+        RowType(["g", "o", "x"], [BIGINT, BIGINT, DOUBLE]),
+        {
+            "g": np.array([1, 1, 1, 2, 2], np.int64),
+            "o": np.array([1, 2, 3, 1, 2], np.int64),
+            "x": np.array([1.0, 3.0, 5.0, 2.0, 2.0]),
+        },
+    )
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .window(
+            ["g"],
+            ["o"],
+            [
+                "variance(x) as v",
+                "stddev_pop(x) as sp",
+                "var_pop(x) rows between 1 preceding and current row as vr",
+            ],
+        )
+        .build()
+    ).to_pandas()
+    norm = lambda c: [None if pd.isna(v) else round(v, 6) for v in c]  # noqa: E731
+    assert norm(out["v"]) == [None, 2.0, 4.0, None, 0.0]
+    assert norm(out["sp"]) == [0.0, 1.0, round((8 / 3) ** 0.5, 6), 0.0, 0.0]
+    assert norm(out["vr"]) == [0.0, 1.0, 1.0, 0.0, 0.0]

@@ -54,7 +54,11 @@ class WindowCall:
     def result_type(self, input_type: Optional[DataType]) -> DataType:
         if self.name in ("row_number", "rank", "dense_rank", "ntile", "count"):
             return BIGINT
-        if self.name in ("percent_rank", "cume_dist", "avg"):
+        if self.name in (
+            "percent_rank", "cume_dist", "avg",
+            "variance", "var_samp", "var_pop",
+            "stddev", "stddev_samp", "stddev_pop",
+        ):
             return DOUBLE
         if self.name == "nth_value":
             return input_type
@@ -142,6 +146,14 @@ def parse_window_call(text: str) -> WindowCall:
         return WindowCall(fn, args[0], full_frame=True, ignore_nulls=ignore)
     if fn == "nth_value":
         return WindowCall(fn, args[0], offset=int(args[1]))
+    if fn in (
+        "variance", "var_samp", "var_pop",
+        "stddev", "stddev_samp", "stddev_pop",
+    ):
+        if frame is None:
+            # SQL default frame, peer-inclusive (RANGE ... CURRENT ROW)
+            frame, unit = (None, 0), "range"
+        return WindowCall(fn, args[0], frame=frame, frame_unit=unit)
     if fn in ("sum", "avg", "count", "min", "max"):
         return WindowCall(
             fn, args[0] if args else None, frame=frame, frame_unit=unit
@@ -380,7 +392,12 @@ class WindowExec:
                     v = v & jnp.take(validity, jnp.clip(pos, 0, cap - 1), mode="clip")
                 out_validity.append(v)
             elif (
-                name in ("sum", "avg", "count", "min", "max")
+                name
+                in (
+                    "sum", "avg", "count", "min", "max",
+                    "variance", "var_samp", "var_pop",
+                    "stddev", "stddev_samp", "stddev_pop",
+                )
                 and call.frame is not None
             ):
                 # k-bounded frames.  ROWS: positional offsets clamped to the
@@ -443,7 +460,45 @@ class WindowExec:
                 lo = jnp.clip(jnp.maximum(lo, part_start), 0, cap - 1)
                 hi = jnp.clip(jnp.minimum(hi, part_last), 0, cap - 1)
                 empty = hi < lo
-                if name in ("min", "max"):
+                if name not in ("sum", "avg", "count", "min", "max"):
+                    # variance family over the frame via prefix sums of x, x^2
+                    scale = 0
+                    if call.arg is not None:
+                        t = in_schema.type_of(call.arg)
+                        if t.kind == TypeKind.DECIMAL:
+                            scale = t.scale
+                    vf = base_vals.astype(jnp.float64) / (10.0**scale)
+                    vf = jnp.where(v_mask, vf, 0.0)
+                    pref_s = segmented_scan(vf, part_boundary, "sum")
+                    pref_ss = segmented_scan(vf * vf, part_boundary, "sum")
+                    prefc = segmented_scan(
+                        v_mask.astype(jnp.int64), part_boundary, "sum"
+                    )
+                    lo_prev = jnp.clip(lo - 1, 0, cap - 1)
+                    has_prev = lo > part_start
+
+                    def fdiff(pref, zero=0.0):
+                        at_hi = jnp.take(pref, hi, mode="clip")
+                        at_lo = jnp.where(
+                            has_prev,
+                            jnp.take(pref, lo_prev, mode="clip"),
+                            jnp.asarray(zero, pref.dtype),
+                        )
+                        return at_hi - at_lo
+
+                    ws = fdiff(pref_s)
+                    wss = fdiff(pref_ss)
+                    wn = fdiff(prefc, 0).astype(jnp.float64)
+                    m2 = jnp.maximum(wss - ws * ws / jnp.maximum(wn, 1.0), 0.0)
+                    pop = name.endswith("_pop")
+                    denom = wn if pop else jnp.maximum(wn - 1.0, 1.0)
+                    out = m2 / jnp.maximum(denom, 1.0)
+                    if name.startswith("stddev"):
+                        out = jnp.sqrt(out)
+                    ok = (~empty) & (wn >= (1 if pop else 2))
+                    out_cols.append(out)
+                    out_validity.append(ok)
+                elif name in ("min", "max"):
                     from ..ops.segmented import (
                         identity_for,
                         sparse_table,
