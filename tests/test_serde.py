@@ -111,3 +111,39 @@ def test_vector_saver_roundtrip(tmp_path):
     assert s.strings.decode(np.asarray(s.data)[:n]).tolist() == [
         "a", "bb", "a", "ccc",
     ]
+
+
+def test_page_roundtrip_complex_columns():
+    import numpy as np
+
+    from velox_tpu.dtypes import BIGINT, RowType, VARCHAR, array, map_, row
+    from velox_tpu.io.table import Table
+    from velox_tpu.serde.page import deserialize_page, serialize_page
+    from velox_tpu.vector.complex import HostSegments, HostStruct
+
+    at, mt = array(BIGINT), map_(VARCHAR, BIGINT)
+    rt = row(["a", "b"], [BIGINT, VARCHAR])
+    seg, sv = HostSegments.from_pylist([[1, 2], None, [3, None]], at)
+    mseg, _ = HostSegments.from_pylist([{"x": 1}, {}, {"y": 2, "z": 3}], mt)
+    st, rv = HostStruct.from_pylist(
+        [{"a": 1, "b": "p"}, None, {"a": 3, "b": "q"}], rt
+    )
+    t = Table(
+        RowType(["k", "arr", "m", "r"], [BIGINT, at, mt, rt]),
+        {
+            "k": np.array([10, 20, 30], np.int64),
+            "arr": seg,
+            "m": mseg,
+            "r": st,
+        },
+        validities={"arr": sv, "r": rv},
+    )
+    back = deserialize_page(serialize_page(t))
+    assert back.columns["k"].tolist() == [10, 20, 30]
+    assert back.columns["arr"].to_pylist(back.validities["arr"]) == [
+        [1, 2], None, [3, None]
+    ]
+    assert back.columns["m"].to_pylist() == [{"x": 1}, {}, {"y": 2, "z": 3}]
+    assert back.columns["r"].to_pylist(back.validities["r"]) == [
+        {"a": 1, "b": "p"}, None, {"a": 3, "b": "q"}
+    ]

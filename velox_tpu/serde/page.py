@@ -73,6 +73,63 @@ def _encode_column(arr: np.ndarray) -> tuple:
     return best_enc, best
 
 
+def _write_leaf(body, dtype, arr, validity, strings) -> None:
+    """[has_validity][bitmap][enc u8][len u64][data][dict_len u64][dict]."""
+    if validity is None:
+        body.write(struct.pack("<B", 0))
+    else:
+        body.write(struct.pack("<B", 1))
+        body.write(_pack_bitmap(validity))
+    arr = np.ascontiguousarray(arr)
+    encoding, data = _encode_column(arr)
+    body.write(struct.pack("<BQ", encoding, len(data)))
+    body.write(data)
+    if dtype.is_string and strings is not None:
+        blob = "\x00".join(strings.values()).encode("utf-8")
+        body.write(struct.pack("<Q", len(blob)))
+        body.write(blob)
+    else:
+        body.write(struct.pack("<Q", 0))
+
+
+def _write_block(body, dtype, value, validity, strings) -> None:
+    """One value block: leaf column bytes, or recursive complex layout
+    (ARRAY/MAP: sizes block + [pool_len u64] + child blocks; ROW: child
+    blocks row-aligned)."""
+    from ..vector.complex import HostSegments, HostStruct
+
+    if not dtype.is_complex:
+        _write_leaf(body, dtype, value, validity, strings)
+        return
+    if validity is None:
+        body.write(struct.pack("<B", 0))
+    else:
+        body.write(struct.pack("<B", 1))
+        body.write(_pack_bitmap(validity))
+    if dtype.kind == TypeKind.ROW:
+        assert isinstance(value, HostStruct)
+        for child, cv, tab, ft in zip(
+            value.children, value.child_validities, value.string_tables,
+            dtype.children,
+        ):
+            _write_block(body, ft, child, cv, tab)
+        return
+    assert isinstance(value, HostSegments)
+    encoding, data = _encode_column(value.sizes.astype(np.int64))
+    body.write(struct.pack("<BQ", encoding, len(data)))
+    body.write(data)
+    body.write(struct.pack("<Q", value.pool_len))
+    child_types = (
+        (dtype.element,)
+        if dtype.kind == TypeKind.ARRAY
+        else (dtype.key_type, dtype.value_type)
+    )
+    for child, cv, tab, ft in zip(
+        value.children, value.child_validities, value.string_tables, child_types
+    ):
+        _write_block(body, ft, child, cv, tab)
+
+
 def serialize_page(table: Table, compress: bool = True) -> bytes:
     """Serialize a host Table chunk to one page."""
     n = table.num_rows
@@ -89,22 +146,20 @@ def serialize_page(table: Table, compress: bool = True) -> bytes:
                 dtype.scale or 0,
             )
         )
-        validity = table.validities.get(name)
-        if validity is None:
-            body.write(struct.pack("<B", 0))
-        else:
-            body.write(struct.pack("<B", 1))
-            body.write(_pack_bitmap(validity))
-        arr = np.ascontiguousarray(table.columns[name])
-        encoding, data = _encode_column(arr)
-        body.write(struct.pack("<BQ", encoding, len(data)))
-        body.write(data)
-        if dtype.is_string and name in table.string_tables:
-            blob = "\x00".join(table.string_tables[name].values()).encode("utf-8")
-            body.write(struct.pack("<Q", len(blob)))
-            body.write(blob)
-        else:
-            body.write(struct.pack("<Q", 0))
+        if dtype.is_complex:
+            # nested children types ride as a JSON blob (DataType serde)
+            import json
+
+            tj = json.dumps(dtype.to_json()).encode("utf-8")
+            body.write(struct.pack("<I", len(tj)))
+            body.write(tj)
+        _write_block(
+            body,
+            dtype,
+            table.columns[name],
+            table.validities.get(name),
+            table.string_tables.get(name),
+        )
     payload = body.getvalue()
     flags = 0
     if compress:
@@ -157,36 +212,107 @@ def deserialize_page(buf: bytes) -> Table:
         kind = _KINDS[tag]
         if kind == TypeKind.DECIMAL:
             dtype = DataType(kind, precision=precision, scale=scale)
+        elif kind in (TypeKind.ARRAY, TypeKind.MAP, TypeKind.ROW):
+            import json
+
+            (tlen,) = struct.unpack_from("<I", payload, off)
+            off += 4
+            dtype = DataType.from_json(
+                json.loads(payload[off : off + tlen].decode("utf-8"))
+            )
+            off += tlen
         else:
             dtype = DataType(kind)
-        (has_validity,) = struct.unpack_from("<B", payload, off)
-        off += 1
-        if has_validity:
-            nbytes = (nrows + 7) // 8
-            validities[name] = _unpack_bitmap(payload[off : off + nbytes], nrows)
-            off += nbytes
-        encoding, data_len = struct.unpack_from("<BQ", payload, off)
-        off += 9
-        raw = payload[off : off + data_len]
-        off += data_len
-        np_dtype = _NP_DTYPES[kind]
-        if encoding == _RAW:
-            arr = np.frombuffer(raw, dtype=np_dtype).copy()
-        else:
-            arr = native.decode_i64(
-                raw, nrows, delta=(encoding == _RLE_DELTA)
-            ).astype(np_dtype)
-        (dict_len,) = struct.unpack_from("<Q", payload, off)
-        off += 8
-        if dict_len:
-            blob = payload[off : off + dict_len].decode("utf-8")
-            off += dict_len
-            values = blob.split("\x00")
-            table = StringTable()
-            remap = table.intern_all(values)
-            arr = remap[arr]
-            tables[name] = table
+        value, validity, strings, off = _read_block(payload, off, dtype, nrows)
+        if validity is not None:
+            validities[name] = validity
+        if strings is not None:
+            tables[name] = strings
         names.append(name)
         types.append(dtype)
-        cols[name] = arr
+        cols[name] = value
     return Table(RowType(names, types), cols, tables, validities)
+
+
+def _read_values(payload, off, n):
+    """[enc u8][len u64][data] -> (int64 array, off)."""
+    encoding, data_len = struct.unpack_from("<BQ", payload, off)
+    off += 9
+    raw = payload[off : off + data_len]
+    off += data_len
+    return encoding, raw, off
+
+
+def _read_block(payload, off, dtype: DataType, n: int):
+    """Inverse of _write_block -> (value, validity|None, strings|None, off)."""
+    from ..vector.complex import HostSegments, HostStruct
+
+    (has_validity,) = struct.unpack_from("<B", payload, off)
+    off += 1
+    validity = None
+    if has_validity:
+        nbytes = (n + 7) // 8
+        validity = _unpack_bitmap(payload[off : off + nbytes], n)
+        off += nbytes
+    if dtype.kind == TypeKind.ROW:
+        children, cvs, tabs = [], [], []
+        for ft in dtype.children:
+            cv_value, cv, tab, off = _read_block(payload, off, ft, n)
+            children.append(cv_value)
+            cvs.append(cv)
+            tabs.append(tab)
+        return (
+            HostStruct(dtype, tuple(children), tuple(cvs), tuple(tabs)),
+            validity,
+            None,
+            off,
+        )
+    if dtype.kind in (TypeKind.ARRAY, TypeKind.MAP):
+        encoding, raw, off = _read_values(payload, off, n)
+        if encoding == _RAW:
+            sizes = np.frombuffer(raw, dtype=np.int64).copy()
+        else:
+            sizes = native.decode_i64(raw, n, delta=(encoding == _RLE_DELTA))
+        (pool_len,) = struct.unpack_from("<Q", payload, off)
+        off += 8
+        child_types = (
+            (dtype.element,)
+            if dtype.kind == TypeKind.ARRAY
+            else (dtype.key_type, dtype.value_type)
+        )
+        children, cvs, tabs = [], [], []
+        for ft in child_types:
+            cv_value, cv, tab, off = _read_block(payload, off, ft, pool_len)
+            children.append(cv_value)
+            cvs.append(cv)
+            tabs.append(tab)
+        return (
+            HostSegments(
+                dtype,
+                sizes.astype(np.int32),
+                tuple(children),
+                tuple(cvs),
+                tuple(tabs),
+            ),
+            validity,
+            None,
+            off,
+        )
+    encoding, raw, off = _read_values(payload, off, n)
+    np_dtype = _NP_DTYPES[dtype.kind]
+    if encoding == _RAW:
+        arr = np.frombuffer(raw, dtype=np_dtype).copy()
+    else:
+        arr = native.decode_i64(raw, n, delta=(encoding == _RLE_DELTA)).astype(
+            np_dtype
+        )
+    (dict_len,) = struct.unpack_from("<Q", payload, off)
+    off += 8
+    strings = None
+    if dict_len:
+        blob = payload[off : off + dict_len].decode("utf-8")
+        off += dict_len
+        strings = StringTable()
+        remap = strings.intern_all(blob.split("\x00"))
+        arr = remap[arr]
+    return arr, validity, strings, off
