@@ -111,3 +111,35 @@ def test_connector_registry_and_splits(tmp_path):
         src.add_split(s)
     merged = src.to_table()
     assert merged.num_rows == 50
+
+
+def test_bucketed_partitioned_writes(tmp_path):
+    import os
+
+    import numpy as np
+
+    from velox_tpu.connectors.hive import HiveDataSink, read_table
+    from velox_tpu.dtypes import BIGINT, RowType, VARCHAR
+    from velox_tpu.io.table import Table
+    from velox_tpu.vector.string_table import StringTable
+
+    st = StringTable()
+    t = Table(
+        RowType(["region", "k", "v"], [VARCHAR, BIGINT, BIGINT]),
+        {
+            "region": st.intern_all(["eu", "eu", "us", "us"]),
+            "k": np.array([1, 2, 3, 4], np.int64),
+            "v": np.array([10, 20, 30, 40], np.int64),
+        },
+        {"region": st},
+    )
+    root = str(tmp_path / "bp")
+    sink = HiveDataSink(
+        root, partition_by=["region"], bucket_by=["k"], bucket_count=2
+    )
+    sink.append(t)
+    files = sink.finish()
+    assert all(os.sep + "region=" in f for f in files)
+    assert any("00000_0_" in os.path.basename(f) or "00001_0_" in os.path.basename(f) for f in files)
+    back = read_table(root)
+    assert sorted(np.asarray(back.columns["v"]).tolist()) == [10, 20, 30, 40]

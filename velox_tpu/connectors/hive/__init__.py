@@ -108,16 +108,44 @@ class HiveDataSink(DataSink):
         root: str,
         partition_by: Sequence[str] = (),
         rows_per_file: int = 1 << 22,
+        bucket_by: Sequence[str] = (),
+        bucket_count: int = 0,
     ):
         self.root = root
         self.partition_by = list(partition_by)
         self.rows_per_file = rows_per_file
+        self.bucket_by = list(bucket_by)
+        self.bucket_count = bucket_count
         self._written: List[str] = []
         self._seq = 0
 
+    def _bucket_split(self, table: Table):
+        """Rows -> (bucket id, sub-table) by key hash (reference:
+        HiveDataSink bucketed writes + HivePartitionFunction)."""
+        from ...parallel.exchange import hash64
+
+        import jax.numpy as jnp
+
+        keys = np.zeros(table.num_rows, np.uint64)
+        for col in self.bucket_by:
+            keys ^= np.asarray(
+                hash64(jnp.asarray(np.asarray(table.columns[col], np.int64)))
+            )
+        buckets = (keys % np.uint64(self.bucket_count)).astype(np.int64)
+        for b in range(self.bucket_count):
+            mask = buckets == b
+            if not mask.any():
+                continue
+            yield b, Table(
+                table.schema,
+                {n: v[mask] for n, v in table.columns.items()},
+                table.string_tables,
+                {n: v[mask] for n, v in table.validities.items()},
+            )
+
     def append(self, table: Table) -> None:
         if not self.partition_by:
-            self._write_file(self.root, table)
+            self._append_to_dir(self.root, table)
             return
         # split rows by partition values; one directory per combination
         keys = []
@@ -141,11 +169,25 @@ class HiveDataSink(DataSink):
                 self.root,
                 *[f"{c}={v}" for c, v in zip(self.partition_by, values)],
             )
-            self._write_file(d, sub)
+            self._append_to_dir(d, sub)
 
-    def _write_file(self, directory: str, table: Table) -> None:
+    def _append_to_dir(self, directory: str, table: Table) -> None:
+        if self.bucket_by and self.bucket_count:
+            for b, sub in self._bucket_split(table):
+                self._write_file(directory, sub, bucket=b)
+        else:
+            self._write_file(directory, table)
+
+    def _write_file(
+        self, directory: str, table: Table, bucket: Optional[int] = None
+    ) -> None:
         os.makedirs(directory, exist_ok=True)
-        path = os.path.join(directory, f"part-{self._seq:05d}.parquet")
+        if bucket is None:
+            fname = f"part-{self._seq:05d}.parquet"
+        else:
+            # Hive bucket-file naming convention: fixed bucket prefix
+            fname = f"{bucket:05d}_0_part-{self._seq:05d}.parquet"
+        path = os.path.join(directory, fname)
         self._seq += 1
         table.save_parquet(path)
         self._written.append(path)
