@@ -263,3 +263,38 @@ class TestDecimalTyping:
             tile_rows=512,
         ).to_pandas()
         assert int(out["s"][0]) == n * ((1 << 53) + 1)  # fits int64, bit-exact
+
+
+def test_is_distinct_from():
+    import numpy as np
+
+    from velox_tpu.dtypes import BIGINT, RowType
+    from velox_tpu.exec import run_plan
+    from velox_tpu.io.table import Table
+    from velox_tpu.plan import PlanBuilder
+
+    t = Table(
+        RowType(["a", "b"], [BIGINT, BIGINT]),
+        {
+            "a": np.array([1, 1, 0, 0], np.int64),
+            "b": np.array([1, 2, 0, 0], np.int64),
+        },
+        validities={
+            "a": np.array([1, 1, 0, 0], bool),
+            "b": np.array([1, 1, 1, 0], bool),
+        },
+    )
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(t)
+        .project(
+            [
+                "a is distinct from b as d",
+                "a is not distinct from b as nd",
+            ]
+        )
+        .build()
+    ).to_pandas()
+    # rows: (1,1) same; (1,2) differ; (NULL,0) distinct; (NULL,NULL) same
+    assert out["d"].tolist() == [False, True, True, False]
+    assert out["nd"].tolist() == [True, False, False, True]

@@ -215,12 +215,22 @@ class ExprParser:
                 left = in_(left, options)
             elif t.kind == "is":
                 self._next()
-                if self._accept("not"):
-                    self._expect("null")
-                    left = make_call("is_not_null", [left], self.registry)
+                negate = bool(self._accept("not"))
+                if self._accept("distinct"):
+                    self._expect("name", "from")
+                    right = self._parse_additive()
+                    left = make_call(
+                        "is_distinct_from", [left, right], self.registry
+                    )
+                    if negate:
+                        left = make_call("not", [left], self.registry)
                 else:
                     self._expect("null")
-                    left = make_call("is_null", [left], self.registry)
+                    left = make_call(
+                        "is_not_null" if negate else "is_null",
+                        [left],
+                        self.registry,
+                    )
             elif t.kind == "not" and self.tokens[self.pos + 1].kind in ("between", "in", "like"):
                 self._next()
                 inner = self._parse_comparison_tail(left)

@@ -737,6 +737,33 @@ _reg.register("date_diff", [STRINGY, TypeKind.DATE, TypeKind.DATE], BIGINT, _unb
 _reg.register("date_add", [STRINGY, INT_M, TypeKind.DATE], _DATE, _unbound_string_fn("date_add"))
 
 
+def _is_distinct_from(ctx, result_dtype, arg_types, a, b):
+    """NULL-safe inequality (reference: prestosql IS DISTINCT FROM special
+    form): two NULLs are not distinct; NULL vs value is distinct."""
+    import jax.numpy as jnp
+
+    av, avalid = a
+    bv, bvalid = b
+    cap = ctx.capacity
+    a_null = (
+        ~avalid if avalid is not None else jnp.zeros((cap,), jnp.bool_)
+    )
+    b_null = (
+        ~bvalid if bvalid is not None else jnp.zeros((cap,), jnp.bool_)
+    )
+    differ = av != bv
+    out = jnp.where(
+        a_null & b_null, False, jnp.where(a_null ^ b_null, True, differ)
+    )
+    return out, None  # never NULL
+
+
+_reg.register(
+    "is_distinct_from", [ANY, ANY], BOOLEAN, _is_distinct_from,
+    null_aware=True, coerce_common_numeric=True,
+)
+
+
 # digest / codec families (bind-time dictionary rewrites)
 for _dname in ("md5", "sha1", "sha256", "sha512", "to_hex", "from_hex",
                "to_base64", "from_base64"):
