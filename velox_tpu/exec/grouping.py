@@ -42,14 +42,25 @@ class KeyInfo:
     dtype: DataType
     strings: Optional[StringTable]
     radix: Optional[int]  # static value-id range, None if unbounded
+    # inclusive (lo, hi) value bounds in the device representation, when the
+    # planner can resolve them (runner.resolve_column_bounds) — feeds the
+    # normalized-key packed sort (ops/sortkey.py); None = multi-operand sort
+    bounds: Optional[Tuple[int, int]] = None
 
 
-def key_info(name: str, dtype: DataType, strings: Optional[StringTable]) -> KeyInfo:
+def key_info(
+    name: str,
+    dtype: DataType,
+    strings: Optional[StringTable],
+    bounds: Optional[Tuple[int, int]] = None,
+) -> KeyInfo:
     if dtype.kind == TypeKind.BOOLEAN:
-        return KeyInfo(name, dtype, None, 2)
+        return KeyInfo(name, dtype, None, 2, (0, 1))
     if dtype.is_string and strings is not None:
-        return KeyInfo(name, dtype, strings, len(strings))
-    return KeyInfo(name, dtype, strings, None)
+        return KeyInfo(
+            name, dtype, strings, len(strings), (0, max(len(strings) - 1, 0))
+        )
+    return KeyInfo(name, dtype, strings, None, bounds)
 
 
 class ArrayGrouping:
@@ -97,6 +108,21 @@ class SortGrouping:
         self.keys = list(keys)
         self.presorted = presorted
 
+    def pack_plan(self, capacity: int):
+        """PackPlan for (keys..., row-id) if every key has resolvable bounds
+        and the total fits 63 bits; None -> multi-operand sort fallback
+        (the kNormalizedKey -> kHash degradation, HashTable.cpp:1376)."""
+        from ..ops.sortkey import PackPlan, index_bits
+
+        bounds = []
+        for k in self.keys:
+            if k.bounds is None:
+                return None
+            bounds.append(k.bounds)
+        return PackPlan.fit(
+            bounds, extra_bits=index_bits(capacity), sentinel_fields=(0,)
+        )
+
     def sort_and_group(
         self, batch: Batch, payload: Sequence[jax.Array], mask: jax.Array
     ):
@@ -121,9 +147,28 @@ class SortGrouping:
             boundary = sorted_mask & ((idx == 0) | diff)
             runs = SortedRuns(boundary, sorted_mask)
             return sorted_keys, sorted_payload, sorted_mask, runs
-        # Sort only (liveness, keys, row-id) and gather payloads through the
-        # permutation: TPU sort compile time grows ~linearly with operand
-        # count (measured ~10 s/operand at 4M rows), gathers are cheap.
+        plan = self.pack_plan(cap)
+        if plan is not None:
+            # One-operand packed sort (ops/sortkey.py): liveness sentinel +
+            # every key + the payload row-id ride in a single int64.
+            from ..ops.sortkey import packed_sort_with_index
+
+            s, codes, perm = packed_sort_with_index(plan, key_vals, ~mask, cap)
+            sorted_keys = [
+                plan.unpack(s, i).astype(kv.dtype)
+                for i, kv in enumerate(key_vals)
+            ]
+            sorted_payload = [jnp.take(p, perm, mode="clip") for p in payload]
+            sorted_mask = jnp.take(mask, perm, mode="clip")
+            idx = jnp.arange(cap, dtype=jnp.int32)
+            diff = codes != jnp.roll(codes, 1)
+            boundary = sorted_mask & ((idx == 0) | diff)
+            runs = SortedRuns(boundary, sorted_mask)
+            return sorted_keys, sorted_payload, sorted_mask, runs
+        # Multi-operand fallback: sort only (liveness, keys, row-id) and gather
+        # payloads through the permutation — TPU sort compile time grows
+        # ~linearly with operand count (measured ~10 s/operand at 4M rows),
+        # gathers are cheap.
         perm_src = jnp.arange(cap, dtype=jnp.int32)
         sorted_ops = jax.lax.sort(
             [~mask] + key_vals + [perm_src], num_keys=1 + len(key_vals)

@@ -106,6 +106,34 @@ def resolve_column_strings(node: PlanNode, name: str) -> Optional[StringTable]:
     return None
 
 
+def resolve_column_bounds(node: PlanNode, name: str):
+    """Walk provenance of a column down to its scan for (lo, hi) value bounds.
+
+    Feeds the normalized-key sort packing (ops/sortkey.py) — the analog of the
+    reference's VectorHasher range mode computed from column stats
+    (velox/exec/VectorHasher.h:118).  Conservative: any step that can produce
+    values outside the source column's range returns None (multi-operand sort
+    fallback)."""
+    from ..plan.nodes import ArrowStreamNode
+
+    if isinstance(node, (TableScanNode, ValuesNode, ArrowStreamNode)):
+        return node.table.column_bounds(name)
+    if isinstance(node, ProjectNode):
+        expr = node.exprs[node.names.index(name)]
+        if isinstance(expr, FieldAccess):
+            return resolve_column_bounds(node.source, expr.name)
+        return None
+    if isinstance(node, (FilterNode, LimitNode, TopNNode, OrderByNode)):
+        return resolve_column_bounds(node.sources[0], name)
+    if isinstance(node, HashJoinNode):
+        # join output columns pass through from one side unchanged
+        for s in (node.left, node.right):
+            if name in s.output_schema:
+                return resolve_column_bounds(s, name)
+        return None
+    return None
+
+
 def _element_strings(node: PlanNode, name: str, child_idx: int):
     """Dictionary of an ARRAY/MAP column's child (for unnested elements)."""
     from ..expr.ir import StringsCall
@@ -382,6 +410,7 @@ class AggExecutor:
                 k,
                 in_schema.type_of(k),
                 resolve_column_strings(node.source, k),
+                resolve_column_bounds(node.source, k),
             )
             for k in node.grouping_keys
         ]
@@ -537,8 +566,40 @@ class AggExecutor:
             for a_c, a_t in zip(acc_c, acc_t):
                 flat_accs.append(jnp.concatenate([a_c, a_t.astype(a_c.dtype)]))
         # sort (liveness, keys, row-id) only; gather accumulators through the
-        # permutation (sort compile cost grows with operand count)
+        # permutation (sort compile cost grows with operand count).  With
+        # resolvable key bounds the whole tuple packs into ONE int64 operand
+        # (ops/sortkey.py) — the dominant cost of the per-tile merge.
         n = G + cap
+        plan = (
+            self.grouping.pack_plan(n)
+            if isinstance(self.grouping, SortGrouping)
+            else None
+        )
+        if plan is not None:
+            from ..ops.sortkey import packed_sort_with_index
+
+            s, codes, perm = packed_sort_with_index(plan, keys_all, ~valid, n)
+            keys_s = [
+                plan.unpack(s, i).astype(kv.dtype)
+                for i, kv in enumerate(keys_all)
+            ]
+            accs_s = [jnp.take(a, perm, mode="clip") for a in flat_accs]
+            valid_s = jnp.take(valid, perm, mode="clip")
+            pos = jnp.arange(n, dtype=jnp.int32)
+            diff = codes != jnp.roll(codes, 1)
+            boundary = valid_s & ((pos == 0) | diff)
+            runs = SortedRuns(boundary, valid_s)
+            new_keys = tuple(runs.first(kv)[:G] for kv in keys_s)
+            new_accs = []
+            i = 0
+            for agg in self.aggs:
+                k = len(agg.acc_ops)
+                merged = agg.merge_runs(accs_s[i : i + k], valid_s, runs)
+                i += k
+                new_accs.append(tuple(m[:G] for m in merged))
+            new_count = jnp.minimum(runs.num_runs, G).astype(jnp.int32)
+            overflow = overflow + (runs.num_runs > G).astype(jnp.int32)
+            return (new_keys, tuple(new_accs), new_count, overflow)
         perm_src = jnp.arange(n, dtype=jnp.int32)
         sorted_ops = jax.lax.sort(
             [~valid] + keys_all + [perm_src], num_keys=1 + len(keys_all)

@@ -35,6 +35,31 @@ class Table:
     columns: Dict[str, np.ndarray]
     string_tables: Dict[str, StringTable] = dataclasses.field(default_factory=dict)
     validities: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    # lazily-computed per-column (min, max) over the raw device representation
+    # (reference: dwio/common/Statistics.h column stats; here they feed the
+    # normalized-key packing, ops/sortkey.py)
+    _bounds: Dict[str, Optional[tuple]] = dataclasses.field(
+        default_factory=dict, repr=False, compare=False
+    )
+
+    def column_bounds(self, name: str) -> Optional[tuple]:
+        """Inclusive (lo, hi) int bounds of an integer-representation column,
+        computed once and cached; None for float/complex columns."""
+        if name in self._bounds:
+            return self._bounds[name]
+        out = None
+        dtype = self.schema.type_of(name)
+        if not dtype.is_complex:
+            arr = self.columns.get(name)
+            if (
+                arr is not None
+                and len(arr)
+                and np.issubdtype(np.asarray(arr).dtype, np.integer)
+            ):
+                a = np.asarray(arr)
+                out = (int(a.min()), int(a.max()))
+        self._bounds[name] = out
+        return out
 
     @property
     def num_rows(self) -> int:
