@@ -821,7 +821,18 @@ def _sort_indices(table: Table, keys: Sequence[SortKey]) -> np.ndarray:
                 arr = -arr.astype(np.int64)
             else:
                 arr = -arr
-        arrays.append(arr)
+        validity = table.validities.get(key.name)
+        if validity is not None and not validity.all():
+            # NULL ordering: a flag more significant than the value (matches
+            # the device sort's sentinel encoding, exec/sort.py)
+            arrays.append(np.where(validity, arr, np.zeros_like(arr)))
+            arrays.append(
+                np.where(validity, 1, 0)
+                if key.nulls_first
+                else np.where(validity, 0, 1)
+            )
+        else:
+            arrays.append(arr)
     return np.lexsort(tuple(arrays))
 
 
@@ -1118,6 +1129,36 @@ class LocalExecutor:
                 elif step[0] == "expand":
                     out_schema = step[1].output_schema
             self.out_schema = out_schema
+            self._plan_device_sort()
+
+    def _plan_device_sort(self):
+        """Decide whether the leading OrderBy/TopN finisher runs on device
+        (exec/sort.py); host finishers remain the fallback for complex types
+        and unresolvable VARCHAR keys."""
+        from .sort import SortSpec
+
+        self._device_sort = None
+        lin = self.lin
+        if not lin.finishers or not isinstance(
+            lin.finishers[0], (OrderByNode, TopNNode)
+        ):
+            return
+        node0 = lin.finishers[0]
+        below = node0.sources[0]
+        strings_of = {
+            k.name: resolve_column_strings(below, k.name) for k in node0.keys
+        }
+        spec = SortSpec.plan(node0.keys, self.out_schema, strings_of)
+        if spec is None:
+            return
+        if isinstance(node0, TopNNode):
+            keep = node0.count
+        elif len(lin.finishers) > 1 and isinstance(lin.finishers[1], LimitNode):
+            # ORDER BY + LIMIT: a sorted prefix of offset+count rows suffices
+            keep = lin.finishers[1].offset + lin.finishers[1].count
+        else:
+            keep = None  # full device OrderBy
+        self._device_sort = (spec, keep)
 
     # ------------------------------------------------------------------
     def _expand_tile(self, batch: Batch, start: int = 0) -> Batch:
@@ -1199,6 +1240,7 @@ class LocalExecutor:
 
         from ..utils.transfer import fetch_prefix, fetch_tree
 
+        skip_finishers = 0
         if self.kind == "direct_agg":
             ex = self.agg_exec
             carry = (ex.init_carry(), jnp.zeros((), dtype=jnp.int64))
@@ -1287,6 +1329,11 @@ class LocalExecutor:
             result = self._run_sort_agg_host(get_tile, n_tiles, stats)
         elif self.kind == "collect_agg":
             result = self._run_collect_agg(get_tile, n_tiles, stats)
+        elif getattr(self, "_device_sort", None) is not None:
+            # OrderBy/TopN executes on device (exec/sort.py); the finisher it
+            # implements is consumed here
+            result = self._run_collect_sorted(get_tile, n_tiles, stats)
+            skip_finishers = 1
         else:
             from ..utils.transfer import _prefix_slicer, bucket_of
 
@@ -1373,7 +1420,7 @@ class LocalExecutor:
                     )
             result = Table(self.out_schema, cols, tables, validities)
 
-        result = apply_finishers(result, lin.finishers)
+        result = apply_finishers(result, lin.finishers[skip_finishers:])
         if self._write_sink_factory is not None:
             from ..dtypes import BIGINT as _BIGINT
 
@@ -1704,6 +1751,96 @@ class LocalExecutor:
                 if validity is not None and not validity.all():
                     out_valid[name] = validity
         return Table(node.output_schema, out_cols, out_tables, out_valid)
+
+    def _run_collect_sorted(self, get_tile, n_tiles: int, stats) -> Table:
+        """Collect pipeline whose leading OrderBy/TopN runs on device.
+
+        TopN fetches exactly K rows over the host link (bytes scale with the
+        result, not the input); OrderBy fetches the live prefix already
+        globally sorted, so the host lexsort finisher disappears.  Reference:
+        velox/exec/OrderBy.h:35 / TopN.h:23; design notes in exec/sort.py.
+        """
+        from ..utils.transfer import bucket_of, fetch_prefix, fetch_tree
+        from .sort import merge_sorted_chunks, tile_sorted_prefix
+
+        spec, keep = self._device_sort
+        lin = self.lin
+        tile_keep = None if keep is None else bucket_of(max(keep, 1))
+        if not hasattr(self, "_sort_info"):
+            self._sort_info = {}
+            steps = lin.steps
+            info = self._sort_info
+
+            @jax.jit
+            def tile_sorted(batch):
+                batch2, err = apply_streaming(batch, steps)
+                arrays, layout, count = tile_sorted_prefix(
+                    spec, batch2, tile_keep
+                )
+                # static per-program facts, captured at trace time
+                info["layout"] = layout
+                info["strings"] = {
+                    name: col.strings
+                    for name, col in zip(batch2.schema.names, batch2.columns)
+                    if col.strings is not None
+                }
+                return arrays, count, err
+
+            self._tile_sorted_jit = tile_sorted
+            self._merge_jits = {}
+        t0 = time.perf_counter()
+        outs = [self._tile_sorted_jit(get_tile(i)) for i in range(n_tiles)]
+        chunks = [o[0] for o in outs]
+        counts = [o[1] for o in outs]
+        errs = [o[2] for o in outs]
+        layout = self._sort_info["layout"]
+        if len(chunks) == 1:
+            flat, live_d = chunks[0], counts[0]
+        else:
+            mkey = tuple(c[0].shape[0] for c in chunks)
+            fn = self._merge_jits.get(mkey)
+            if fn is None:
+                fn = jax.jit(
+                    lambda ch, cn: merge_sorted_chunks(
+                        spec, ch, cn, layout, keep
+                    )
+                )
+                self._merge_jits[mkey] = fn
+            flat, live_d = fn(chunks, counts)
+        if keep is not None:
+            # K is small: the rows, live count, and error totals ride ONE
+            # round trip; the host trims to the live count afterwards
+            live, errs_np, arrays = fetch_tree((live_d, errs, list(flat)))
+            n = min(int(live), keep)
+            arrays = [a[:n] for a in arrays]
+        else:
+            counts_np, errs_np = fetch_tree(
+                (counts if len(chunks) > 1 else [live_d], errs)
+            )
+            n = sum(int(c) for c in counts_np)
+            arrays = fetch_prefix(list(flat), n)
+        if stats is not None:
+            stats.device_seconds = time.perf_counter() - t0
+        _raise_on_errors(
+            sum(int(e) for e in errs_np) + self._drain_pending_errs()
+        )
+        cols: Dict[str, np.ndarray] = {}
+        validities: Dict[str, np.ndarray] = {}
+        k = 0
+        for name, has_validity in zip(self.out_schema.names, layout):
+            cols[name] = arrays[k]
+            k += 1
+            if has_validity:
+                v = arrays[k]
+                k += 1
+                if not v.all():
+                    validities[name] = v
+        return Table(
+            self.out_schema,
+            cols,
+            dict(self._sort_info["strings"]),
+            validities,
+        )
 
     def run_device(self):
         """Execute a collect-kind pipeline keeping results device-resident.

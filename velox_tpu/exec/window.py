@@ -13,10 +13,11 @@ runs per-partition function loops.  Here the whole input is one device program:
 No scatters; ranks and frame sums come from the same SortedRuns machinery as
 sort-mode aggregation (ops/segmented.py).
 
-Scope: ROWS/RANGE UNBOUNDED PRECEDING .. CURRENT ROW (the SQL default, with
-correct RANGE peer semantics) and full-partition frames; k-bounded frames land
-later.  Input must fit one device tile (the reference's spill path is future
-work here).
+Scope: ROWS and RANGE frames — UNBOUNDED PRECEDING .. CURRENT ROW (the SQL
+default, with correct RANGE peer semantics), full-partition frames, and
+k-bounded ROWS/RANGE frames (positional offsets / RMQ sparse tables; see
+_framed_agg below).  Input is materialized into one device program sized to the
+input (the reference's spill path is future work here).
 """
 
 from __future__ import annotations
