@@ -39,6 +39,15 @@ class QueryConfig:
     strict_errors: bool = True
     # Exchange: per-destination bucket capacity override (None = tile size).
     exchange_bucket_rows: Optional[int] = None
+    # Distributed joins: build sides up to this many rows replicate to every
+    # device (kBroadcast); larger builds hash-partition and probe rows shuffle
+    # (kPartitioned).  Reference: core/PlanNode.h:1107 PartitionedOutput modes.
+    broadcast_join_max_rows: int = 1 << 16
+    # Distributed grouped aggregation: initial per-device carry slots (doubles
+    # on overflow and the query retries — the backpressure analog of
+    # OutputBuffer limits, velox/exec/OutputBuffer.h:131).  None = per-device
+    # tile rows.
+    distributed_carry_rows: Optional[int] = None
     # Timezone for timestamp functions (reference: kSessionTimezone).
     session_timezone: str = "UTC"
 

@@ -23,13 +23,15 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-# Knuth multiplicative constant — cheap device-side integer hash.
-_HASH_MULT = jnp.uint64(0x9E3779B97F4A7C15)
+# Knuth multiplicative constant — cheap device-side integer hash.  Kept as a
+# HOST int: a module-level jnp scalar would be created inside whatever trace
+# first imports this module and leak that trace's tracer into every later one.
+_HASH_MULT = 0x9E3779B97F4A7C15
 
 
 def hash64(keys: jax.Array) -> jax.Array:
     """Vectorized 64-bit mix (splitmix-style finalizer) of integer keys."""
-    x = keys.astype(jnp.uint64) * _HASH_MULT
+    x = keys.astype(jnp.uint64) * jnp.uint64(_HASH_MULT)
     x = x ^ (x >> 31)
     x = x * jnp.uint64(0xBF58476D1CE4E5B9)
     x = x ^ (x >> 27)

@@ -2,26 +2,37 @@
 
 Reference re-orientation: the reference scales out via N identical Drivers per
 pipeline (intra-host, velox/exec/LocalPlanner.cpp:174) plus a partitioned
-exchange between hosts (§5.8).  Here:
+exchange between hosts (PartitionedOutput.h:139, kPartitioned/kBroadcast modes
+core/PlanNode.h:1107).  Here:
 
 * intra-pipeline data parallelism -> the scan's tiles are sharded over the
   mesh's ``data`` axis; the SAME traced tile program as the single-chip path
-  runs under jit with sharding annotations, and XLA inserts the cross-device
-  ``psum`` for the (replicated) accumulator reduction automatically — the
-  compiler is the exchange planner for aggregation states;
-* explicit row exchange (joins / high-cardinality shuffles) uses
-  velox_tpu.parallel.exchange inside shard_map (see distributed.py) — wired in
-  for grouped sort-mode aggregation, where each device reduces its shard's key
-  runs and the exact merge happens once at the end.
+  runs per device shard;
+* broadcast joins -> small build sides execute locally and replicate to every
+  device via jit closure (the kBroadcast mode);
+* shuffle joins -> large build sides hash-partition across the mesh
+  (parallel/shuffle_join.py) and probe rows reach their partition through an
+  ``all_to_all`` row exchange inside the per-tile program (kPartitioned);
+  the choice is by build cardinality (config.broadcast_join_max_rows);
+* grouped aggregation -> per-device partial groups, hash all_to_all of the
+  groups so each device owns its key space, device-local sorted-carry merge;
+  carry overflow (a skewed key distribution concentrating groups on one
+  device) grows the carry and retries instead of failing — the backpressure
+  analog of OutputBuffer limits (velox/exec/OutputBuffer.h:131);
+* collect pipelines -> per-device compaction, then one batched host gather of
+  the live prefixes.
 
-The executor validates against LocalExecutor bit-for-bit: accumulators are
-integer-exact, so device count cannot change results.
+Scope notes: ungrouped/array-mode aggregations keep broadcast joins (their
+replicated-carry reduction is compiled by GSPMD, which has no seam for an
+explicit row exchange); sort-mode aggregations and collects support both join
+modes.  The executor validates against LocalExecutor bit-for-bit: accumulators
+are integer-exact, so device count cannot change results.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,11 +46,13 @@ from ..exec.runner import (
     _linearize,
     _pick_capacity,
     _raise_on_errors,
+    apply_finishers,
     apply_streaming,
 )
 from ..io.table import Table
-from ..plan.nodes import PlanNode, ValuesNode
+from ..plan.nodes import PlanNode
 from ..vector.column import Batch, Column
+from ..vector.string_table import StringTable
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -49,11 +62,15 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+class GroupOverflow(RuntimeError):
+    """Per-device carry ran out of slots (skewed group ownership)."""
+
+
 class DistributedExecutor:
     """Executes a single-pipeline plan with tiles sharded over a mesh axis.
 
-    The per-tile capacity is ``n_devices * per_device_rows`` so each device owns
-    an equal contiguous shard of every tile.
+    The per-tile capacity is ``n_devices * per_device_rows`` so each device
+    owns an equal contiguous shard of every tile.
     """
 
     def __init__(
@@ -62,116 +79,148 @@ class DistributedExecutor:
         mesh: Mesh,
         per_device_rows: int = 1 << 18,
         axis: str = "data",
+        config=None,
     ):
+        from ..config import DEFAULT_CONFIG
+        from ..exec.joins import HashJoinExec, JoinBuildError
+        from .shuffle_join import partition_build
+
         self.mesh = mesh
         self.axis = axis
         self.n = mesh.devices.size
+        self.config = config or DEFAULT_CONFIG
         lin = _linearize(root)
-        from ..exec.joins import HashJoinExec
-
-        resolved: List[Tuple] = []
-        for step in lin.steps:
-            if step[0] == "join":
-                # build sides are small by design (broadcast build): run locally,
-                # replicate the built table to every device via jit closure
-                build = LocalExecutor(step[1].right).run()
-                resolved.append(("join", HashJoinExec.build(step[1], build)))
-            else:
-                resolved.append(step)
-        lin.steps = resolved
         self.lin = lin
+
         self.source_table = lin.source.table.select(
             list(lin.source.output_schema.names)
         )
         per_device = _pick_capacity(
             max(-(-self.source_table.num_rows // self.n), 1), per_device_rows
         )
+        self.per_dev = per_device
         self.capacity = per_device * self.n
         self.row_sharding = NamedSharding(mesh, P(axis))
         self.replicated = NamedSharding(mesh, P())
 
+        # pipeline kind first: it decides whether shuffle joins are available
         if lin.agg is not None:
             ex = AggExecutor(lin.agg, self.capacity)
             self.agg_exec = ex
-            if ex.mode in ("ungrouped", "array"):
-                self.kind = "direct_agg"
-
-                def tile_step(carry, batch):
-                    (accs_rc, errs) = carry
-                    batch2, err = apply_streaming(batch, lin.steps)
-                    return (ex.update_carry(accs_rc, batch2), errs + err)
-
-                # accumulators replicated; rows sharded — XLA inserts the psum
-                self._tile_step = jax.jit(
-                    tile_step, out_shardings=self.replicated, donate_argnums=(0,)
-                )
-            else:
-                self.kind = "sort_agg_exchange"
-                # per-DEVICE executor: partial groups, exchange, local merge
-                self.per_dev = self.capacity // self.n
-                self.local_agg = AggExecutor(lin.agg, self.per_dev)
-                self._build_exchange_step()
-        else:
-            raise NotImplementedError(
-                "distributed collect pipelines land with the distributed join work"
+            self.kind = (
+                "direct_agg" if ex.mode in ("ungrouped", "array") else "sort_agg_exchange"
             )
+        else:
+            self.kind = "collect"
+        allow_shuffle = self.kind in ("sort_agg_exchange", "collect")
+
+        # ---- joins: broadcast vs shuffle by build cardinality ------------
+        # Broadcast joins stay inline in the step list (their device-resident
+        # state replicates to every device via the jit closure); each shuffle
+        # join splits the pipeline at its probe-row exchange.
+        resolved: List[Tuple] = []
+        for step in lin.steps:
+            if step[0] == "join":
+                node = step[1]
+                build = LocalExecutor(node.right).run()
+                if (
+                    allow_shuffle
+                    and build.num_rows > self.config.broadcast_join_max_rows
+                ):
+                    try:
+                        state = partition_build(node, build, self.n, mesh, axis)
+                        resolved.append(("sjoin", state))
+                        continue
+                    except JoinBuildError:
+                        pass  # duplicate keys / join type: broadcast instead
+                resolved.append(("join", HashJoinExec.build(node, build)))
+            else:
+                resolved.append(step)
+        self._segments: List[Tuple[Tuple, object]] = []
+        cur: List[Tuple] = []
+        for step in resolved:
+            if step[0] == "sjoin":
+                self._segments.append((tuple(cur), step[1]))
+                cur = []
+            else:
+                cur.append(step)
+        self._tail_steps = tuple(cur)
+        lin.steps = [s for s in resolved if s[0] != "sjoin"]
+
+        # capacity of the per-device batch after each shuffle-join exchange:
+        # a source can send at most its whole shard to one destination, so a
+        # per-destination bucket of the current capacity can never overflow
+        pipe_cap = per_device
+        for _ in self._segments:
+            bucket = min(self.config.exchange_bucket_rows or pipe_cap, pipe_cap)
+            pipe_cap = self.n * bucket
+        self.pipe_cap = pipe_cap
+
+        if self.kind == "direct_agg":
+            ex = self.agg_exec
+            steps = self._tail_steps
+
+            def tile_step(carry, batch):
+                (accs_rc, errs) = carry
+                batch2, err = apply_streaming(batch, steps)
+                return (ex.update_carry(accs_rc, batch2), errs + err)
+
+            # accumulators replicated; rows sharded — GSPMD inserts the
+            # cross-device reduction for the replicated output sharding
+            self._tile_step = jax.jit(
+                tile_step, out_shardings=self.replicated, donate_argnums=(0,)
+            )
+        elif self.kind == "sort_agg_exchange":
+            self.local_agg = AggExecutor(lin.agg, self.pipe_cap)
+            self._carry_rows = self.config.distributed_carry_rows or per_device
+        else:
+            self._collect_info: Dict = {}
 
     # ------------------------------------------------------------------
-    def _build_exchange_step(self):
-        """Jitted distributed tile step: per-device pipeline + partial groups,
-        hash all_to_all of the groups so each device owns its key space, then
-        device-local carry merge (SURVEY.md §5.8: the partitioned exchange as
-        collectives; reference seam PartitionedOutput -> ExchangeSource)."""
-        from .exchange import all_to_all_exchange, bucketize, hash64, partition_destinations
+    # traced helpers (run inside shard_map)
+    def _run_segments_local(self, arrays, active) -> Tuple[Batch, jax.Array]:
+        """Per-device pipeline: segment steps, a shuffle-join probe exchange
+        after each, then the tail steps.  ``arrays`` holds the device-local
+        scan shard followed by each shuffle join's build-partition shard."""
+        from .exchange import exchange_rows
+        from .shuffle_join import probe_pack
 
-        ex = self.local_agg
-        lin = self.lin
-        n, axis, per_dev = self.n, self.axis, self.per_dev
-        mesh = self.mesh
-        nkeys = len(ex.key_infos)
-        acc_widths = [len(a.acc_ops) for a in ex.aggs]
-
-        def local_shard_step(carry_flat, arrays, active, errs):
-            # rebuild the local batch shard and run the pipeline
-            batch = self._local_batch(arrays, active)
-            batch2, err = apply_streaming(batch, lin.steps)
-            keys, accs, nruns = ex.tile_partial(batch2)
-            flat = list(keys) + [a for acc in accs for a in acc]
-            live = jnp.arange(per_dev, dtype=jnp.int32) < nruns
-            # partition groups by combined key hash
-            h = jnp.zeros((per_dev,), dtype=jnp.uint64)
-            for k in keys:
-                h = h * jnp.uint64(31) + hash64(k.astype(jnp.int64))
-            dest = (h % jnp.uint64(n)).astype(jnp.int32)
-            bucketed, counts, _ = bucketize(flat, dest, live, n, per_dev)
-            overflow_x = jnp.sum((counts > per_dev).astype(jnp.int32))
-            received, recv_counts = all_to_all_exchange(bucketed, counts, axis)
-            offs = jnp.arange(per_dev, dtype=jnp.int32)[None, :]
-            recv_live = (offs < recv_counts[:, None]).reshape(-1)
-            recv_flat = [r.reshape((n * per_dev,) + r.shape[2:]) for r in received]
-            keys_r = tuple(recv_flat[:nkeys])
-            accs_r = []
-            i = nkeys
-            for w in acc_widths:
-                accs_r.append(tuple(recv_flat[i : i + w]))
-                i += w
-            state, cerrs = carry_flat
-            keys_c, accs_c, count, overflow = state
-            new_state = ex.merge_partial_into_carry(
-                (keys_c, accs_c, count, overflow + overflow_x),
-                (keys_r, tuple(accs_r), recv_live),
+        n, axis = self.n, self.axis
+        pos = self._n_scan_arrays
+        batch = self._local_batch(arrays[:pos], active)
+        err = jnp.zeros((), dtype=jnp.int64)
+        cap = self.per_dev
+        for seg_steps, state in self._segments:
+            batch, e = apply_streaming(batch, seg_steps)
+            err = err + e
+            # hash-partition the probe rows to the build's partitioning
+            packed = probe_pack(state, batch)
+            flat_arrays, layout, strings = _flatten_batch_columns(batch)
+            bucket = min(self.config.exchange_bucket_rows or cap, cap)
+            recv, _keys, live = exchange_rows(
+                flat_arrays, packed, batch.active_mask(), axis, n, bucket
             )
-            return (new_state, cerrs + err + errs * 0)
+            cap = n * bucket
+            batch = _rebuild_batch(
+                batch.schema, layout, strings, recv, live, cap
+            )
+            n_state = self._sjoin_counts[id(state)]
+            ex = self._sjoin_rebuild[id(state)](arrays[pos : pos + n_state])
+            pos += n_state
+            batch = ex.probe(batch)
+        batch, e = apply_streaming(batch, self._tail_steps)
+        return batch, err + e
 
-        self._exchange_step_builder = local_shard_step
-
-    def _local_batch(self, arrays, active):
+    # ------------------------------------------------------------------
+    def _local_batch(self, arrays, active) -> Batch:
         """Rebuild a per-device Batch from flattened shard arrays."""
         per_dev = self.per_dev
         schema = self._batch_schema
         local_cols = []
         pos = 0
-        for (has_validity, strings), dtype in zip(self._batch_layout, schema.types):
+        for (has_validity, strings), dtype in zip(
+            self._batch_layout, schema.types
+        ):
             values = arrays[pos]
             pos += 1
             validity = None
@@ -194,53 +243,22 @@ class DistributedExecutor:
                 layout.append((False, c.strings))
         self._batch_schema = batch.schema
         self._batch_layout = layout
+        self._n_scan_arrays = len(arrays)
         return arrays, batch.active_mask()
 
-    def _sharded_partial(self, batch: Batch):
-        """Per-device sort-mode partials via shard_map: each device sorts and
-        run-reduces its own shard; results are [n, per_device_cap] stacked."""
-        ex = self.agg_exec
-        lin = self.lin
-        per_dev = self.capacity // self.n
-        mesh, axis = self.mesh, self.axis
+    def _sjoin_flat(self):
+        """Flatten every shuffle-join build state into shard_map operands."""
+        from .shuffle_join import flatten_state
 
-        cols = [c.flatten(batch.capacity) for c in batch.columns]
-        arrays = []
-        layout: List[Tuple[int, bool]] = []
-        for c in cols:
-            arrays.append(c.data)
-            if c.validity is not None:
-                arrays.append(c.validity)
-                layout.append((1, True))
-            else:
-                layout.append((1, False))
-        active = batch.active_mask()
-
-        schema = batch.schema
-
-        def local(arrs, mask):
-            # rebuild a local per-device Batch from the shard
-            local_cols = []
-            pos = 0
-            for (_, has_validity), dtype, col in zip(layout, schema.types, cols):
-                values = arrs[pos]
-                pos += 1
-                validity = None
-                if has_validity:
-                    validity = arrs[pos]
-                    pos += 1
-                local_cols.append(Column.flat(values, dtype, validity, col.strings))
-            lb = Batch.make(schema, local_cols, length=per_dev, capacity=per_dev)
-            lb = dataclasses.replace(lb, selection=mask)
-            return ex.tile_partial(lb)
-
-        sm = jax.shard_map(
-            lambda arrs, m: _stack_partial(local(arrs, m)),
-            mesh=mesh,
-            in_specs=(tuple(P(axis) for _ in arrays), P(axis)),
-            out_specs=P(axis),
-        )
-        return sm(tuple(arrays), active)
+        self._sjoin_rebuild = {}
+        self._sjoin_counts = {}
+        ops: List[jax.Array] = []
+        for _, state in self._segments:
+            arrays, rebuild = flatten_state(state)
+            self._sjoin_rebuild[id(state)] = rebuild
+            self._sjoin_counts[id(state)] = len(arrays)
+            ops.extend(arrays)
+        return ops
 
     def device_tiles(self) -> List[Batch]:
         tiles = []
@@ -249,146 +267,290 @@ class DistributedExecutor:
             host = self.source_table.tile(i, self.capacity)
 
             def place(x):
-                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == self.capacity:
+                if (
+                    hasattr(x, "ndim")
+                    and x.ndim >= 1
+                    and x.shape[0] == self.capacity
+                ):
                     return jax.device_put(x, self.row_sharding)
                 return jax.device_put(x, self.replicated)
 
             tiles.append(jax.tree_util.tree_map(place, host))
         return tiles
 
-    def run(self, prefetched_tiles=None, stats: Optional[RunStats] = None) -> Table:
-        tiles = prefetched_tiles if prefetched_tiles is not None else self.device_tiles()
+    # ------------------------------------------------------------------
+    def run(
+        self, prefetched_tiles=None, stats: Optional[RunStats] = None
+    ) -> Table:
+        tiles = (
+            prefetched_tiles
+            if prefetched_tiles is not None
+            else self.device_tiles()
+        )
         if stats is not None:
             stats.tiles = len(tiles)
             stats.rows_in = self.source_table.num_rows
-        lin = self.lin
         if self.kind == "direct_agg":
-            ex = self.agg_exec
-            carry = (ex.init_carry(), jnp.zeros((), dtype=jnp.int64))
-            carry = jax.device_put(carry, self.replicated)
-            for t in tiles:
-                carry = self._tile_step(carry, t)
-            (accs, rowcounts), errs = carry
-            accs_np = [tuple(np.asarray(a) for a in acc) for acc in accs]
-            _raise_on_errors(int(errs))
-            result = ex.extract(None, accs_np, np.asarray(rowcounts))
+            result = self._run_direct(tiles)
+        elif self.kind == "collect":
+            result = self._run_collect(tiles)
         else:
-            ex = self.local_agg
-            n, per_dev, axis = self.n, self.per_dev, self.axis
-            step_fn = self._exchange_step_builder
-
-            jit_step = None
-            carry = None
-            err_total = 0
-            for t in tiles:
-                arrays, active = self._flatten_batch(t)
-                if jit_step is None:
-                    # carry: per-device sorted-carry state, sharded over the mesh
-                    def init_global():
-                        keys = tuple(
-                            jnp.zeros((n * per_dev,), dtype=i.dtype.device_dtype)
-                            for i in ex.key_infos
-                        )
-                        accs = tuple(agg.acc_init(n * per_dev) for agg in ex.aggs)
-                        count = jnp.zeros((n,), dtype=jnp.int32)
-                        overflow = jnp.zeros((n,), dtype=jnp.int32)
-                        errs = jnp.zeros((n,), dtype=jnp.int64)
-                        return ((keys, accs, count, overflow), errs)
-
-                    def shard_body(state_errs, arrs, mask):
-                        (keys_c, accs_c, count, overflow), errs = state_errs
-                        state = (
-                            keys_c,
-                            accs_c,
-                            count.reshape(()),
-                            overflow.reshape(()),
-                        )
-                        new_state, new_errs = step_fn(
-                            (state, errs.reshape(())), arrs, mask,
-                            jnp.zeros((), jnp.int64),
-                        )
-                        ks, acs, cnt, ovf = new_state
-                        return (
-                            (ks, acs, cnt.reshape(1), ovf.reshape(1)),
-                            new_errs.reshape(1),
-                        )
-
-                    from jax.sharding import PartitionSpec as P2
-
-                    jit_step = jax.jit(
-                        jax.shard_map(
-                            shard_body,
-                            mesh=self.mesh,
-                            in_specs=(
-                                (
-                                    (
-                                        tuple(P2(axis) for _ in ex.key_infos),
-                                        tuple(
-                                            tuple(P2(axis) for _ in agg.acc_ops)
-                                            for agg in ex.aggs
-                                        ),
-                                        P2(axis),
-                                        P2(axis),
-                                    ),
-                                    P2(axis),
-                                ),
-                                tuple(P2(axis) for _ in arrays),
-                                P2(axis),
-                            ),
-                            out_specs=(
-                                (
-                                    tuple(P2(axis) for _ in ex.key_infos),
-                                    tuple(
-                                        tuple(P2(axis) for _ in agg.acc_ops)
-                                        for agg in ex.aggs
-                                    ),
-                                    P2(axis),
-                                    P2(axis),
-                                ),
-                                P2(axis),
-                            ),
-                            check_vma=False,
-                        ),
-                        donate_argnums=(0,),
+            # grouped aggregation: grow the carry and retry on overflow
+            while True:
+                try:
+                    result = self._run_grouped(tiles)
+                    break
+                except GroupOverflow:
+                    if self._carry_rows >= self.n * self.pipe_cap:
+                        raise
+                    self._carry_rows = min(
+                        self._carry_rows * 4, self.n * self.pipe_cap
                     )
-                    carry = jax.device_put(
-                        init_global(),
-                        jax.tree_util.tree_map(
-                            lambda _: self.row_sharding, init_global()
+        return apply_finishers(result, self.lin.finishers)
+
+    # ---- ungrouped / array-mode aggregation ---------------------------
+    def _run_direct(self, tiles) -> Table:
+        ex = self.agg_exec
+        carry = (ex.init_carry(), jnp.zeros((), dtype=jnp.int64))
+        carry = jax.device_put(carry, self.replicated)
+        for t in tiles:
+            carry = self._tile_step(carry, t)
+        (accs, rowcounts), errs = carry
+        accs_np = [tuple(np.asarray(a) for a in acc) for acc in accs]
+        _raise_on_errors(int(errs))
+        return ex.extract(None, accs_np, np.asarray(rowcounts))
+
+    # ---- grouped sort-mode aggregation ---------------------------------
+    def _run_grouped(self, tiles) -> Table:
+        from .exchange import all_to_all_exchange, bucketize, hash64
+
+        ex = self.local_agg
+        n, axis = self.n, self.axis
+        pipe_cap = self.pipe_cap
+        G = self._carry_rows
+        nkeys = len(ex.key_infos)
+        acc_widths = [len(a.acc_ops) for a in ex.aggs]
+
+        def local_shard_step(state_errs, arrs, mask, sj):
+            batch, err = self._run_segments_local(tuple(arrs) + tuple(sj), mask)
+            keys, accs, nruns = ex.tile_partial(batch)
+            flat = list(keys) + [a for acc in accs for a in acc]
+            live = jnp.arange(pipe_cap, dtype=jnp.int32) < nruns
+            h = jnp.zeros((pipe_cap,), dtype=jnp.uint64)
+            for k in keys:
+                h = h * jnp.uint64(31) + hash64(k.astype(jnp.int64))
+            dest = (h % jnp.uint64(n)).astype(jnp.int32)
+            bucketed, counts, _ = bucketize(flat, dest, live, n, pipe_cap)
+            received, recv_counts = all_to_all_exchange(bucketed, counts, axis)
+            offs = jnp.arange(pipe_cap, dtype=jnp.int32)[None, :]
+            recv_live = (offs < recv_counts[:, None]).reshape(-1)
+            recv_flat = [
+                r.reshape((n * pipe_cap,) + r.shape[2:]) for r in received
+            ]
+            keys_r = tuple(recv_flat[:nkeys])
+            accs_r = []
+            i = nkeys
+            for w in acc_widths:
+                accs_r.append(tuple(recv_flat[i : i + w]))
+                i += w
+            state, cerrs = state_errs
+            keys_c, accs_c, count, overflow = state
+            new_state = ex.merge_partial_into_carry(
+                (keys_c, accs_c, count.reshape(()), overflow.reshape(())),
+                (keys_r, tuple(accs_r), recv_live),
+            )
+            ks, acs, cnt, ovf = new_state
+            return (
+                (ks, acs, cnt.reshape(1), ovf.reshape(1)),
+                (cerrs.reshape(()) + err).reshape(1),
+            )
+
+        def init_global():
+            keys = tuple(
+                jnp.zeros((n * G,), dtype=i.dtype.device_dtype)
+                for i in ex.key_infos
+            )
+            accs = tuple(agg.acc_init(n * G) for agg in ex.aggs)
+            count = jnp.zeros((n,), dtype=jnp.int32)
+            overflow = jnp.zeros((n,), dtype=jnp.int32)
+            errs = jnp.zeros((n,), dtype=jnp.int64)
+            return ((keys, accs, count, overflow), errs)
+
+        jit_step = None
+        carry = None
+        for t in tiles:
+            arrays, active = self._flatten_batch(t)
+            sops = self._sjoin_flat()
+            if jit_step is None:
+                state_spec = (
+                    (
+                        tuple(P(axis) for _ in ex.key_infos),
+                        tuple(
+                            tuple(P(axis) for _ in agg.acc_ops)
+                            for agg in ex.aggs
                         ),
-                    )
-                carry = jit_step(carry, tuple(arrays), active)
-            (keys_g, accs_g, counts_g, overflow_g), errs_g = carry
-            counts = np.asarray(counts_g)
-            overflow = np.asarray(overflow_g)
-            err_total = int(np.asarray(errs_g).sum())
-            _raise_on_errors(err_total)
-            if overflow.sum():
-                raise RuntimeError(
-                    "distributed group exchange overflowed its buckets; "
-                    "raise per_device_rows"
+                        P(axis),
+                        P(axis),
+                    ),
+                    P(axis),
                 )
-            # every key lives on exactly one device: concat per-device prefixes
-            keys_np = [np.asarray(k) for k in keys_g]
-            accs_np = [[np.asarray(a) for a in acc] for acc in accs_g]
-            key_chunks, acc_chunks = [], []
+                jit_step = jax.jit(
+                    jax.shard_map(
+                        local_shard_step,
+                        mesh=self.mesh,
+                        in_specs=(
+                            state_spec,
+                            tuple(P(axis) for _ in arrays),
+                            P(axis),
+                            tuple(P(axis) for _ in sops),
+                        ),
+                        out_specs=state_spec,
+                        check_vma=False,
+                    ),
+                    donate_argnums=(0,),
+                )
+                carry = jax.device_put(
+                    init_global(),
+                    jax.tree_util.tree_map(
+                        lambda _: self.row_sharding, init_global()
+                    ),
+                )
+            carry = jit_step(carry, tuple(arrays), active, tuple(sops))
+        (keys_g, accs_g, counts_g, overflow_g), errs_g = carry
+        counts = np.asarray(counts_g)
+        overflow = np.asarray(overflow_g)
+        _raise_on_errors(int(np.asarray(errs_g).sum()))
+        if overflow.sum():
+            raise GroupOverflow(
+                f"distributed carry ({G} slots/device) overflowed"
+            )
+        keys_np = [np.asarray(k) for k in keys_g]
+        accs_np = [[np.asarray(a) for a in acc] for acc in accs_g]
+        key_chunks, acc_chunks = [], []
+        for d in range(n):
+            cnt = int(counts[d])
+            sl = slice(d * G, d * G + cnt)
+            key_chunks.append([k[sl] for k in keys_np])
+            acc_chunks.append([tuple(a[sl] for a in acc) for acc in accs_np])
+        group_keys, merged = ex.merge_partials_host(key_chunks, acc_chunks)
+        return ex.extract(group_keys, merged)
+
+    # ---- collect pipelines ---------------------------------------------
+    def _run_collect(self, tiles) -> Table:
+        """Filter/project/join pipelines: per-device compaction, then one
+        batched host gather of each shard's live prefix (the distributed
+        analog of LocalExecutor's collect path; kills the round-1
+        NotImplementedError)."""
+        from ..ops.compact import compact as compact_batch
+        from ..utils.transfer import fetch_tree
+
+        n, axis = self.n, self.axis
+        info = self._collect_info
+        jit_step = getattr(self, "_collect_jit", None)
+        outs = []
+        for t in tiles:
+            arrays, active = self._flatten_batch(t)
+            sops = self._sjoin_flat()
+            if jit_step is None:
+
+                def shard_body(arrs, mask, sj):
+                    batch, err = self._run_segments_local(
+                        tuple(arrs) + tuple(sj), mask
+                    )
+                    batch = compact_batch(batch)
+                    flat, layout = [], []
+                    for c in batch.columns:
+                        fc = c.flatten(batch.capacity)
+                        flat.append(fc.data[None])
+                        layout.append(fc.validity is not None)
+                        if fc.validity is not None:
+                            flat.append(fc.validity[None])
+                    info["layout"] = layout
+                    info["schema"] = batch.schema
+                    info["strings"] = {
+                        name: col.strings
+                        for name, col in zip(batch.schema.names, batch.columns)
+                        if col.strings is not None
+                    }
+                    return tuple(flat), batch.length.reshape(1), err.reshape(1)
+
+                jit_step = jax.jit(
+                    jax.shard_map(
+                        shard_body,
+                        mesh=self.mesh,
+                        in_specs=(
+                            tuple(P(axis) for _ in arrays),
+                            P(axis),
+                            tuple(P(axis) for _ in sops),
+                        ),
+                        out_specs=P(axis),
+                        check_vma=False,
+                    )
+                )
+                self._collect_jit = jit_step
+            outs.append(jit_step(tuple(arrays), active, tuple(sops)))
+        # one round trip: every tile's per-device counts + errors
+        lens_errs = fetch_tree([(o[1], o[2]) for o in outs])
+        _raise_on_errors(sum(int(e.sum()) for _, e in lens_errs))
+        layout = info["layout"]
+        schema = info["schema"]
+        # second round trip: the column data (device-major within each tile)
+        fetched = fetch_tree([o[0] for o in outs])
+        chunks: List[Dict[str, np.ndarray]] = []
+        vchunks: List[Dict[str, np.ndarray]] = []
+        for arrays_np, (lens, _) in zip(fetched, lens_errs):
             for d in range(n):
-                cnt = int(counts[d])
-                sl = slice(d * per_dev, d * per_dev + cnt)
-                key_chunks.append([k[sl] for k in keys_np])
-                acc_chunks.append([tuple(a[sl] for a in acc) for acc in accs_np])
-            group_keys, merged = ex.merge_partials_host(key_chunks, acc_chunks)
-            result = ex.extract(group_keys, merged)
-        from ..exec.runner import apply_finishers
+                cnt = int(lens[d])
+                row, vrow = {}, {}
+                k = 0
+                for name, has_validity in zip(schema.names, layout):
+                    row[name] = arrays_np[k][d, :cnt]
+                    k += 1
+                    if has_validity:
+                        vrow[name] = arrays_np[k][d, :cnt]
+                        k += 1
+                chunks.append(row)
+                vchunks.append(vrow)
+        cols = {
+            nm: np.concatenate([c[nm] for c in chunks]) for nm in schema.names
+        }
+        validities = {}
+        for nm in schema.names:
+            if any(nm in vc for vc in vchunks):
+                validities[nm] = np.concatenate(
+                    [
+                        vc.get(nm, np.ones(len(c[nm]), dtype=bool))
+                        for vc, c in zip(vchunks, chunks)
+                    ]
+                )
+        return Table(schema, cols, dict(info["strings"]), validities)
 
-        return apply_finishers(result, lin.finishers)
+
+def _flatten_batch_columns(batch: Batch):
+    """Traced flatten of a batch's columns for a row exchange."""
+    arrays: List[jax.Array] = []
+    layout: List[bool] = []
+    strings: List[Optional[StringTable]] = []
+    for c in batch.columns:
+        fc = c.flatten(batch.capacity)
+        arrays.append(fc.data)
+        layout.append(fc.validity is not None)
+        strings.append(fc.strings)
+        if fc.validity is not None:
+            arrays.append(fc.validity)
+    return arrays, layout, strings
 
 
-def _stack_partial(partial):
-    """Flatten a tile_partial result for shard_map output stacking."""
-    key_arrays, accs, num_groups = partial
-    return (
-        tuple(key_arrays),
-        tuple(tuple(a for a in acc) for acc in accs),
-        num_groups.reshape(1),
-    )
+def _rebuild_batch(schema, layout, strings, arrays, live, capacity) -> Batch:
+    cols = []
+    pos = 0
+    for has_validity, tab, dtype in zip(layout, strings, schema.types):
+        data = arrays[pos]
+        pos += 1
+        validity = None
+        if has_validity:
+            validity = arrays[pos]
+            pos += 1
+        cols.append(Column.flat(data, dtype, validity, tab))
+    b = Batch.make(schema, cols, length=capacity, capacity=capacity)
+    return dataclasses.replace(b, selection=live)

@@ -1,0 +1,229 @@
+"""Partitioned (shuffle) hash joins over a device mesh.
+
+Reference: velox/exec/HashJoinBridge.h + core/PlanNode.h:1107 — the reference
+partitions BOTH join sides by key hash (PartitionedOutput kPartitioned mode) so
+each worker joins only its key range; small build sides broadcast instead
+(kBroadcast).  The choice is made by build cardinality.
+
+TPU re-design: the build side is partitioned by the SAME splitmix64 hash the
+device exchange uses (parallel/exchange.py hash64) and uploaded as stacked
+``[n_devices, part_capacity]`` arrays sharded over the mesh axis — device d
+holds exactly the build rows with ``hash64(key) % n == d``.  Probe rows reach
+their partition through ``exchange_rows`` (hash partition + all_to_all over
+ICI) inside the per-tile shard_map program, then the standard sort-merge-lookup
+probe (exec/joins.py) runs device-locally.
+
+Scope: unique-key builds (N:1 joins) for INNER/LEFT, plus LEFT_SEMI/ANTI whose
+build deduplicates per partition (uniqueness is hash-stable, so partitioning
+preserves it).  Duplicate-key (expansion) builds produce data-dependent output
+sizes per device and stay on the broadcast path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..exec.joins import HashJoinExec, JoinBuildError, _KEY_SENTINEL, _NormalizedKey
+from ..io.table import Table
+from ..plan.nodes import HashJoinNode, JoinType
+
+
+def hash64_np(keys: np.ndarray) -> np.ndarray:
+    """numpy twin of parallel.exchange.hash64 — MUST stay bit-identical so
+    host-partitioned build rows land on the device their probes shuffle to."""
+    x = keys.astype(np.uint64)
+    x = x * np.uint64(0x9E3779B97F4A7C15)
+    x = x ^ (x >> np.uint64(31))
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> np.uint64(27))
+    return x
+
+
+@dataclasses.dataclass
+class ShuffleJoinState:
+    """Host-partitioned build side, uploaded mesh-sharded.
+
+    ``keys``/``cols`` are stacked [n, cap] device arrays with a NamedSharding
+    over the mesh axis; ``counts`` [n] gives each partition's live prefix.
+    """
+
+    node: HashJoinNode
+    keys: jax.Array  # [n, cap] int64, sentinel beyond counts[d]
+    cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]]  # [n, cap] payloads
+    counts: jax.Array  # [n] int32
+    part_capacity: int
+    normalizer: Optional[_NormalizedKey]
+    build_tables: Dict[str, object]
+
+    def local_exec(self, d_keys, d_cols, d_count) -> HashJoinExec:
+        """Build the device-local HashJoinExec view inside a shard_map trace:
+        the [1, cap] shard reshapes to [cap] and becomes ordinary join state."""
+        cap = self.part_capacity
+        keys = d_keys.reshape((cap,))
+        valid = jnp.arange(cap, dtype=jnp.int32) < d_count.reshape(())
+        keys = jnp.where(valid, keys, jnp.int64(_KEY_SENTINEL))
+        cols = {}
+        for name, (g, gv) in d_cols.items():
+            cols[name] = (
+                g.reshape((cap,) + g.shape[2:]),
+                None if gv is None else gv.reshape((cap,)),
+            )
+        return HashJoinExec(
+            self.node,
+            keys,
+            cols,
+            cap,
+            self.build_tables,
+            self.normalizer,
+            valid,
+        )
+
+
+def partition_build(
+    node: HashJoinNode,
+    build_result: Table,
+    n: int,
+    mesh,
+    axis: str,
+) -> ShuffleJoinState:
+    """Partition an executed build-side Table by key hash and upload sharded.
+
+    Raises JoinBuildError for duplicate-key builds outside SEMI/ANTI (callers
+    fall back to broadcast).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key_names = list(node.right_keys)
+    key_arrays = [np.asarray(build_result.columns[k]) for k in key_names]
+    jt = node.join_type
+    if jt not in (JoinType.INNER, JoinType.LEFT, JoinType.LEFT_SEMI, JoinType.ANTI):
+        raise JoinBuildError(f"shuffle join does not support {jt}")
+
+    # NULL build keys never match (see HashJoinExec.build)
+    keep = None
+    for k in key_names:
+        validity = build_result.validities.get(k)
+        if validity is not None and not validity.all():
+            keep = validity if keep is None else (keep & validity)
+    if keep is not None:
+        key_arrays = [a[keep] for a in key_arrays]
+
+    if len(key_names) == 1:
+        normalizer = None
+        packed = key_arrays[0].astype(np.int64)
+    else:
+        normalizer = _NormalizedKey.fit(key_arrays)
+        packed = normalizer.pack_host(key_arrays)
+
+    semi = jt in (JoinType.LEFT_SEMI, JoinType.ANTI)
+    if semi:
+        packed = np.unique(packed)
+        row_src = None
+    else:
+        order = np.argsort(packed, kind="stable")
+        packed = packed[order]
+        if len(packed) > 1 and (packed[1:] == packed[:-1]).any():
+            raise JoinBuildError(
+                "shuffle join needs a unique-key build side; duplicate keys "
+                "take the broadcast expansion path"
+            )
+        row_src = (np.flatnonzero(keep)[order] if keep is not None else order)
+
+    dest = (hash64_np(packed) % np.uint64(n)).astype(np.int64)
+    # stable partition: rows stay key-sorted within each partition
+    part_order = np.argsort(dest, kind="stable")
+    dest_sorted = dest[part_order]
+    counts = np.bincount(dest_sorted, minlength=n).astype(np.int32)
+    cap = 8
+    while cap < max(int(counts.max()) if len(counts) else 1, 1):
+        cap *= 2
+
+    def stack(arr: np.ndarray, fill) -> np.ndarray:
+        out = np.full((n, cap) + arr.shape[1:], fill, dtype=arr.dtype)
+        start = 0
+        for d in range(n):
+            c = int(counts[d])
+            out[d, :c] = arr[start : start + c]
+            start += c
+        return out
+
+    shard = NamedSharding(mesh, P(axis))
+    keys_stacked = jax.device_put(
+        stack(packed[part_order], _KEY_SENTINEL), shard
+    )
+    cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]] = {}
+    right_schema = node.right.output_schema
+    if not semi:
+        src_sorted = row_src[part_order]
+        for name in node.output_columns:
+            if name in right_schema and name not in key_names:
+                arr = np.asarray(build_result.columns[name])[src_sorted]
+                g = jax.device_put(stack(arr, 0), shard)
+                validity = build_result.validities.get(name)
+                gv = None
+                if validity is not None:
+                    gv = jax.device_put(
+                        stack(validity[src_sorted], False), shard
+                    )
+                cols[name] = (g, gv)
+    counts_d = jax.device_put(counts, shard)
+    return ShuffleJoinState(
+        node,
+        keys_stacked,
+        cols,
+        counts_d,
+        cap,
+        normalizer,
+        dict(build_result.string_tables),
+    )
+
+
+def probe_pack(state: ShuffleJoinState, batch) -> jax.Array:
+    """Traced: the probe rows' normalized int64 keys (for the exchange's
+    destination hash).  Out-of-range / NULL multi-key probes pack to -1 —
+    they hash somewhere consistent and can never equal a build key there
+    (packed build keys are non-negative)."""
+    cap = batch.capacity
+    vals, key_ok = [], jnp.ones((cap,), jnp.bool_)
+    for k in state.node.left_keys:
+        v, val = batch.column(k).decode(cap)
+        vals.append(v)
+        if val is not None:
+            key_ok = key_ok & val
+    if state.normalizer is None:
+        return vals[0].astype(jnp.int64)
+    packed, _ = state.normalizer.pack_device(vals, key_ok)
+    return packed
+
+
+def flatten_state(state: ShuffleJoinState):
+    """(arrays, rebuild): the sharded arrays as shard_map operands + a
+    function mapping the per-device views back to a local HashJoinExec."""
+    arrays: List[jax.Array] = [state.keys, state.counts]
+    layout: List[Tuple[str, bool]] = []
+    for name, (g, gv) in state.cols.items():
+        arrays.append(g)
+        layout.append((name, gv is not None))
+        if gv is not None:
+            arrays.append(gv)
+
+    def rebuild(local_arrays) -> HashJoinExec:
+        keys, counts = local_arrays[0], local_arrays[1]
+        cols = {}
+        i = 2
+        for name, has_validity in layout:
+            g = local_arrays[i]
+            i += 1
+            gv = None
+            if has_validity:
+                gv = local_arrays[i]
+                i += 1
+            cols[name] = (g, gv)
+        return state.local_exec(keys, cols, counts)
+
+    return arrays, rebuild
