@@ -120,6 +120,20 @@ class _NormalizedKey:
 _KEY_SENTINEL = np.iinfo(np.int64).max
 
 
+def _index_bits(n: int) -> int:
+    return max(1, int(n - 1).bit_length()) if n > 1 else 1
+
+
+def _key_codes(keys: jax.Array, lo: int, span: int) -> jax.Array:
+    """Order- and equality-preserving map of keys into [0, span]: valid build
+    keys in [lo, hi] land on [1, span-1]; anything below-range lands on 0 and
+    anything above-range (incl. the int64-max sentinel) on span.  Out-of-range
+    collisions are harmless — the match test compares the RAW keys.  Clip
+    BEFORE subtracting: ``sentinel - (lo-1)`` would wrap around int64."""
+    lo1 = jnp.int64(lo - 1)
+    return jnp.clip(keys, lo1, jnp.int64(lo - 1 + span)) - lo1
+
+
 @dataclasses.dataclass
 class HashJoinExec:
     """Device-resident build state + trace-time probe application."""
@@ -135,6 +149,9 @@ class HashJoinExec:
     expansion: bool = False
     run_start: Optional[jax.Array] = None  # [B] first slot of this key's run
     run_count: Optional[jax.Array] = None  # [B] length of this key's run
+    # host-known (min, max) of the VALID build keys: enables the packed
+    # single-operand probe sorts (_pack_probe_sort below); None = unknown
+    key_range: Optional[Tuple[int, int]] = None
 
     @staticmethod
     def build(node: HashJoinNode, build_result: Table) -> "HashJoinExec":
@@ -213,6 +230,16 @@ class HashJoinExec:
                 validity = build_result.validities.get(name)
                 v = None if validity is None else jnp.asarray(validity[row_order])
                 cols[name] = (jnp.asarray(arr), v)
+        # (min, max) over the valid keys — keys are sorted ascending with the
+        # int64-max sentinels (FULL null-key rows) last
+        n_valid_keys = len(keys_sorted) - int(
+            np.sum(keys_sorted == _KEY_SENTINEL)
+        )
+        key_range = (
+            (int(keys_sorted[0]), int(keys_sorted[n_valid_keys - 1]))
+            if n_valid_keys
+            else None
+        )
         return HashJoinExec(
             node,
             jnp.asarray(keys_sorted),
@@ -223,6 +250,7 @@ class HashJoinExec:
             expansion=expansion,
             run_start=run_start,
             run_count=run_count,
+            key_range=key_range,
         )
 
     @staticmethod
@@ -319,12 +347,18 @@ class HashJoinExec:
                 & jnp.roll(s_valid, 1)
                 & (s_key == jnp.roll(s_key, 1))
             )
+            big = jnp.int64(1) << 62
+            kmin = jnp.min(jnp.where(s_valid, s_key, big))
+            kmax = jnp.max(jnp.where(s_valid, s_key, -big))
             if semi:
                 keep = s_valid & ~prev_eq
                 u_key = jnp.where(keep, s_key, jnp.int64(_KEY_SENTINEL))
                 u_sorted = jnp.sort(u_key)
                 n_valid = jnp.sum(keep.astype(jnp.int32))
-                return (u_sorted, {}, n_valid, jnp.zeros((), jnp.int32), err)
+                return (
+                    u_sorted, {}, n_valid, jnp.zeros((), jnp.int32), err,
+                    kmin, kmax,
+                )
             n_valid = jnp.sum(s_valid.astype(jnp.int32))
             dup = jnp.sum(prev_eq.astype(jnp.int32))
             cols = {}
@@ -337,10 +371,14 @@ class HashJoinExec:
                     else jnp.take(validity, s_orig, mode="clip")
                 )
                 cols[name] = (g, gv)
-            return (s_key, cols, n_valid, dup, err)
+            return (s_key, cols, n_valid, dup, err, kmin, kmax)
 
-        s_key, cols, n_valid_d, dup_d, err_d = prepare(batches, err_scalar)
-        n_valid, dup, err = fetch_tree((n_valid_d, dup_d, err_d))  # round trip
+        s_key, cols, n_valid_d, dup_d, err_d, kmin_d, kmax_d = prepare(
+            batches, err_scalar
+        )
+        n_valid, dup, err, kmin, kmax = fetch_tree(
+            (n_valid_d, dup_d, err_d, kmin_d, kmax_d)
+        )  # round trip
         if int(err):
             from .runner import _raise_on_errors
 
@@ -367,7 +405,8 @@ class HashJoinExec:
         valid = jnp.arange(bucket, dtype=jnp.int32) < n
         keys_cut = jnp.where(valid, keys_cut, jnp.int64(_KEY_SENTINEL))
         return HashJoinExec(
-            node, keys_cut, out_cols, bucket, strings, normalizer, valid
+            node, keys_cut, out_cols, bucket, strings, normalizer, valid,
+            key_range=(int(kmin), int(kmax)) if n else None,
         )
 
     # ---- sort-merge lookup --------------------------------------------
@@ -396,25 +435,66 @@ class HashJoinExec:
             )
         kt = self.build_keys.dtype
         all_keys = jnp.concatenate([self.build_keys, probe_keys.astype(kt)])
-        is_probe = jnp.concatenate(
-            [jnp.zeros((B,), jnp.int8), jnp.ones((cap,), jnp.int8)]
-        )
-        orig = jnp.concatenate(
-            [
-                jnp.arange(B, dtype=jnp.int32),
-                jnp.arange(cap, dtype=jnp.int32),
-            ]
-        )
-        # sort by (key, is_probe): build rows precede equal probe keys
-        k_s, p_s, o_s = jax.lax.sort((all_keys, is_probe, orig), num_keys=2)
-        bidx = jnp.where(p_s == 0, o_s, jnp.int32(-1))
-        last_build = jax.lax.cummax(bidx)
-        cand = jnp.clip(last_build, 0, B - 1)
-        hit = (
-            (p_s == 1)
-            & (last_build >= 0)
-            & (jnp.take(self.build_keys, cand, mode="clip") == k_s)
-        )
+        n_all = B + cap
+        idxb = _index_bits(max(B, cap))
+        packed = None
+        if self.key_range is not None:
+            # ---- packed fast path: ONE single-operand sort instead of a
+            # 3-operand sort.  Key codes (bounded by the build key range),
+            # the probe flag, and the per-class row index share one int64;
+            # TPU sort cost grows with operand count (ops/sortkey.py).
+            lo, hi = self.key_range
+            span = hi - lo + 2
+            kb = int(span).bit_length()
+            if kb + 1 + idxb <= 63:
+                packed = True
+        if packed:
+            code = _key_codes(all_keys, lo, span)
+            is_probe64 = jnp.concatenate(
+                [jnp.zeros((B,), jnp.int64), jnp.ones((cap,), jnp.int64)]
+            )
+            orig64 = jnp.concatenate(
+                [
+                    jnp.arange(B, dtype=jnp.int64),
+                    jnp.arange(cap, dtype=jnp.int64),
+                ]
+            )
+            merged = (code << (1 + idxb)) | (is_probe64 << idxb) | orig64
+            s = jax.lax.sort([merged], num_keys=1)[0]
+            o_s = (s & ((1 << idxb) - 1)).astype(jnp.int32)
+            p_s = ((s >> idxb) & 1).astype(jnp.int8)
+            bidx = jnp.where(p_s == 0, o_s, jnp.int32(-1))
+            last_build = jax.lax.cummax(bidx)
+            cand = jnp.clip(last_build, 0, B - 1)
+            # RAW-key equality: immune to out-of-range code collisions
+            probe_raw = jnp.take(
+                probe_keys.astype(kt), jnp.clip(o_s, 0, cap - 1), mode="clip"
+            )
+            hit = (
+                (p_s == 1)
+                & (last_build >= 0)
+                & (jnp.take(self.build_keys, cand, mode="clip") == probe_raw)
+            )
+        else:
+            is_probe = jnp.concatenate(
+                [jnp.zeros((B,), jnp.int8), jnp.ones((cap,), jnp.int8)]
+            )
+            orig = jnp.concatenate(
+                [
+                    jnp.arange(B, dtype=jnp.int32),
+                    jnp.arange(cap, dtype=jnp.int32),
+                ]
+            )
+            # sort by (key, is_probe): build rows precede equal probe keys
+            k_s, p_s, o_s = jax.lax.sort((all_keys, is_probe, orig), num_keys=2)
+            bidx = jnp.where(p_s == 0, o_s, jnp.int32(-1))
+            last_build = jax.lax.cummax(bidx)
+            cand = jnp.clip(last_build, 0, B - 1)
+            hit = (
+                (p_s == 1)
+                & (last_build >= 0)
+                & (jnp.take(self.build_keys, cand, mode="clip") == k_s)
+            )
         if self.build_valid is not None:
             # device builds pad to a bucket; sentinel tail slots never match
             hit = hit & jnp.take(self.build_valid, cand, mode="clip")
@@ -431,6 +511,31 @@ class HashJoinExec:
         elif jt == JoinType.ANTI:
             live_s = live_s & ~hit
         # LEFT: probe-preserving — every live probe row stays live
+        cb = _index_bits(B)
+        if idxb + cb + 2 <= 63:
+            # packed classification: a unique (flag, slot) key + one packed
+            # payload — 2 sort operands instead of 5.  Key uniqueness makes
+            # the order total, which subsumes the stable sort's determinism.
+            posb = _index_bits(n_all)
+            flag64 = jnp.where(
+                p_s == 0,
+                jnp.int64(2),
+                jnp.where(live_s, jnp.int64(0), jnp.int64(1)),
+            )
+            pos = jnp.arange(n_all, dtype=jnp.int64)
+            key2 = (flag64 << posb) | pos
+            payload = (
+                (o_s.astype(jnp.int64) << (cb + 2))
+                | (cand.astype(jnp.int64) << 2)
+                | (hit.astype(jnp.int64) << 1)
+                | live_s.astype(jnp.int64)
+            )
+            _, pay = jax.lax.sort([key2, payload], num_keys=1)
+            o2 = (pay >> (cb + 2)).astype(jnp.int32)
+            pos2 = ((pay >> 2) & ((1 << cb) - 1)).astype(jnp.int32)
+            hit2 = ((pay >> 1) & 1)[:cap].astype(jnp.bool_)
+            live2 = (pay & 1)[:cap].astype(jnp.bool_)
+            return o2[:cap], pos2[:cap], hit2, live2
         flag = jnp.where(
             p_s == 0, jnp.int8(2), jnp.where(live_s, jnp.int8(0), jnp.int8(1))
         )
@@ -472,29 +577,72 @@ class HashJoinExec:
         probe_keys, key_ok = self._probe_keys(batch)
         live = batch.active_mask()
         all_keys = jnp.concatenate([self.build_keys, probe_keys])
-        is_probe = jnp.concatenate(
-            [jnp.zeros((B,), jnp.int8), jnp.ones((cap,), jnp.int8)]
-        )
-        orig = jnp.concatenate(
-            [jnp.arange(B, dtype=jnp.int32), jnp.arange(cap, dtype=jnp.int32)]
-        )
-        k_s, p_s, o_s = jax.lax.sort((all_keys, is_probe, orig), num_keys=2)
-        bidx = jnp.where(p_s == 0, o_s, jnp.int32(-1))
-        last_build = jax.lax.cummax(bidx)
-        cand = jnp.clip(last_build, 0, B - 1)
-        hit_s = (
-            (p_s == 1)
-            & (last_build >= 0)
-            & (jnp.take(self.build_keys, cand, mode="clip") == k_s)
-        )
-        # restore original probe order: probe markers sort first (flag 0),
-        # ordered by row id, so they occupy slots [0, cap)
-        _, _, cand_o, hit_o = jax.lax.sort(
-            (1 - p_s.astype(jnp.int32), o_s, cand, hit_s.astype(jnp.int8)),
-            num_keys=2,
-        )
-        cand_p = cand_o[:cap]
-        hit = hit_o[:cap].astype(jnp.bool_) & key_ok & live
+        idxb = _index_bits(max(B, cap))
+        cb = _index_bits(B)
+        packed = False
+        if self.key_range is not None:
+            lo, hi = self.key_range
+            span = hi - lo + 2
+            kb = int(span).bit_length()
+            packed = kb + 1 + idxb <= 63 and idxb + cb + 1 <= 63
+        if packed:
+            # single-operand merge sort + single-operand reorder sort (the
+            # packing rationale of _lookup_sorted applies; see ops/sortkey.py)
+            code = _key_codes(all_keys, lo, span)
+            is_probe64 = jnp.concatenate(
+                [jnp.zeros((B,), jnp.int64), jnp.ones((cap,), jnp.int64)]
+            )
+            orig64 = jnp.concatenate(
+                [jnp.arange(B, dtype=jnp.int64), jnp.arange(cap, dtype=jnp.int64)]
+            )
+            merged = (code << (1 + idxb)) | (is_probe64 << idxb) | orig64
+            s = jax.lax.sort([merged], num_keys=1)[0]
+            o_s = (s & ((1 << idxb) - 1)).astype(jnp.int32)
+            p_s = ((s >> idxb) & 1).astype(jnp.int8)
+            bidx = jnp.where(p_s == 0, o_s, jnp.int32(-1))
+            last_build = jax.lax.cummax(bidx)
+            cand = jnp.clip(last_build, 0, B - 1)
+            probe_raw = jnp.take(
+                probe_keys, jnp.clip(o_s, 0, cap - 1), mode="clip"
+            )
+            hit_s = (
+                (p_s == 1)
+                & (last_build >= 0)
+                & (jnp.take(self.build_keys, cand, mode="clip") == probe_raw)
+            )
+            # restore original probe order: probe rows get flag 0 and their
+            # row id as a unique key; they occupy slots [0, cap)
+            key2 = (
+                ((1 - p_s.astype(jnp.int64)) << idxb) | o_s.astype(jnp.int64)
+            )
+            pay = (cand.astype(jnp.int64) << 1) | hit_s.astype(jnp.int64)
+            _, pay_o = jax.lax.sort([key2, pay], num_keys=1)
+            cand_p = (pay_o[:cap] >> 1).astype(jnp.int32)
+            hit = (pay_o[:cap] & 1).astype(jnp.bool_) & key_ok & live
+        else:
+            is_probe = jnp.concatenate(
+                [jnp.zeros((B,), jnp.int8), jnp.ones((cap,), jnp.int8)]
+            )
+            orig = jnp.concatenate(
+                [jnp.arange(B, dtype=jnp.int32), jnp.arange(cap, dtype=jnp.int32)]
+            )
+            k_s, p_s, o_s = jax.lax.sort((all_keys, is_probe, orig), num_keys=2)
+            bidx = jnp.where(p_s == 0, o_s, jnp.int32(-1))
+            last_build = jax.lax.cummax(bidx)
+            cand = jnp.clip(last_build, 0, B - 1)
+            hit_s = (
+                (p_s == 1)
+                & (last_build >= 0)
+                & (jnp.take(self.build_keys, cand, mode="clip") == k_s)
+            )
+            # restore original probe order: probe markers sort first (flag 0),
+            # ordered by row id, so they occupy slots [0, cap)
+            _, _, cand_o, hit_o = jax.lax.sort(
+                (1 - p_s.astype(jnp.int32), o_s, cand, hit_s.astype(jnp.int8)),
+                num_keys=2,
+            )
+            cand_p = cand_o[:cap]
+            hit = hit_o[:cap].astype(jnp.bool_) & key_ok & live
         starts = jnp.take(self.run_start, cand_p, mode="clip")
         counts = jnp.take(self.run_count, cand_p, mode="clip")
         if jt in (JoinType.LEFT, JoinType.FULL):
@@ -508,13 +656,33 @@ class HashJoinExec:
         # with probes sorted BEFORE equal build keys
         pk_masked = jnp.where(live & key_ok, probe_keys, jnp.int64(_KEY_SENTINEL))
         allk2 = jnp.concatenate([self.build_keys, pk_masked])
-        bflag = jnp.concatenate(
-            [jnp.ones((B,), jnp.int32), jnp.zeros((cap,), jnp.int32)]
-        )
-        orig2 = jnp.concatenate(
-            [jnp.arange(B, dtype=jnp.int32), jnp.arange(cap, dtype=jnp.int32)]
-        )
-        k2, f2, o2 = jax.lax.sort((allk2, bflag, orig2), num_keys=2)
+        if packed:
+            code2 = _key_codes(allk2, lo, span)
+            bflag64 = jnp.concatenate(
+                [jnp.ones((B,), jnp.int64), jnp.zeros((cap,), jnp.int64)]
+            )
+            orig64b = jnp.concatenate(
+                [jnp.arange(B, dtype=jnp.int64), jnp.arange(cap, dtype=jnp.int64)]
+            )
+            s2 = jax.lax.sort(
+                [(code2 << (1 + idxb)) | (bflag64 << idxb) | orig64b],
+                num_keys=1,
+            )[0]
+            o2 = (s2 & ((1 << idxb) - 1)).astype(jnp.int32)
+            f2 = ((s2 >> idxb) & 1).astype(jnp.int32)
+            k2 = jnp.where(
+                f2 == 1,
+                jnp.take(self.build_keys, jnp.clip(o2, 0, B - 1), mode="clip"),
+                jnp.take(pk_masked, jnp.clip(o2, 0, cap - 1), mode="clip"),
+            )
+        else:
+            bflag = jnp.concatenate(
+                [jnp.ones((B,), jnp.int32), jnp.zeros((cap,), jnp.int32)]
+            )
+            orig2 = jnp.concatenate(
+                [jnp.arange(B, dtype=jnp.int32), jnp.arange(cap, dtype=jnp.int32)]
+            )
+            k2, f2, o2 = jax.lax.sort((allk2, bflag, orig2), num_keys=2)
         # cummax over SLOT positions (monotone in sort order — original probe
         # indices are not): the most recent probe slot at/below this build
         # slot has key <= K; equal key <=> this build key is matched
@@ -526,9 +694,15 @@ class HashJoinExec:
         )
         matched_s = (f2 == 1) & cand_eq & (k2 != jnp.int64(_KEY_SENTINEL))
         # route to build order: probes (flag 0) first, build rows in [cap:)
-        _, _, m_r = jax.lax.sort(
-            (f2, o2, matched_s.astype(jnp.int8)), num_keys=2
-        )
+        if packed:
+            keyd = (f2.astype(jnp.int64) << idxb) | o2.astype(jnp.int64)
+            _, m_r = jax.lax.sort(
+                [keyd, matched_s.astype(jnp.int64)], num_keys=1
+            )
+        else:
+            _, _, m_r = jax.lax.sort(
+                (f2, o2, matched_s.astype(jnp.int8)), num_keys=2
+            )
         matched_b = m_r[cap:].astype(jnp.bool_)
         return sizes.astype(jnp.int32), starts, hit, total, matched_b
 
