@@ -105,3 +105,132 @@ def test_query_with_forced_spill_matches_no_spill():
         plan2, tile_rows=1024, config=QueryConfig(device_agg_merge=False)
     ).run().to_pandas()
     pd.testing.assert_frame_equal(via_device_fallback, host_only)
+
+
+def test_executor_reserves_join_build_and_tiles():
+    """LocalExecutor reserves HBM for join builds and uploaded scan tiles
+    against its query pool (round-1 gap: pools were a library, not wired)."""
+    import velox_tpu as vt
+    from velox_tpu.dtypes import RowType
+    from velox_tpu.exec.runner import LocalExecutor
+    from velox_tpu.io.table import Table as VTable
+    from velox_tpu.plan import PlanBuilder
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    probe = VTable(
+        RowType(["k", "v"], [vt.BIGINT, vt.BIGINT]),
+        {
+            "k": rng.integers(0, 200, n).astype(np.int64),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        },
+    )
+    build = VTable(
+        RowType(["bk", "w"], [vt.BIGINT, vt.BIGINT]),
+        {
+            "bk": np.arange(200, dtype=np.int64),
+            "w": np.arange(200, dtype=np.int64),
+        },
+    )
+    plan = (
+        PlanBuilder()
+        .table_scan(probe)
+        .hash_join(PlanBuilder().table_scan(build), ["k"], ["bk"], output=["k", "v", "w"])
+        .aggregation(["k"], ["sum(v) as sv"])
+        .build()
+    )
+    ex = LocalExecutor(plan, tile_rows=1 << 12)
+    assert ex.pool.reserved > 0, "join build must be reserved"
+    before = ex.pool.reserved
+    tiles = ex.device_tiles()
+    assert ex.pool.reserved > before, "scan tiles must be reserved"
+    ex.run(prefetched_tiles=tiles)
+    root_before = ex.pool.parent.reserved
+    ex.__del__()
+    assert ex.pool.parent is None  # detached, root released
+
+
+def test_tight_limit_degrades_to_host_merge():
+    """A join+agg query under a tight pool limit completes via the spilling
+    host-merge path instead of erroring (MemoryReclaimer contract)."""
+    import velox_tpu as vt
+    from velox_tpu.config import QueryConfig
+    from velox_tpu.dtypes import RowType
+    from velox_tpu.exec.runner import LocalExecutor, run_plan
+    from velox_tpu.io.table import Table as VTable
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.utils import testvalue
+
+    rng = np.random.default_rng(1)
+    n = 6000
+    probe = VTable(
+        RowType(["k", "v"], [vt.BIGINT, vt.BIGINT]),
+        {
+            "k": rng.integers(0, 3000, n).astype(np.int64),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        },
+    )
+    build = VTable(
+        RowType(["bk", "w"], [vt.BIGINT, vt.BIGINT]),
+        {
+            "bk": np.arange(3000, dtype=np.int64),
+            "w": np.arange(3000, dtype=np.int64),
+        },
+    )
+    plan = (
+        PlanBuilder()
+        .table_scan(probe)
+        .hash_join(PlanBuilder().table_scan(build), ["k"], ["bk"], output=["k", "v", "w"])
+        .aggregation(["k", "w"], ["sum(v) as sv", "count() as c"])
+        .build()
+    )
+    expect = run_plan(plan).to_pandas()
+
+    hits = []
+    testvalue.register(
+        "LocalExecutor::carryMemoryFallback", lambda s: hits.append(1)
+    )
+    try:
+        # enough for the build + tiles, too little for the device carry
+        base = LocalExecutor(plan, tile_rows=1 << 11)
+        need = base.pool.reserved
+        del base
+        cfg = QueryConfig(query_memory_limit_bytes=need + (1 << 16))
+        ex = LocalExecutor(plan, tile_rows=1 << 11, config=cfg)
+        out = ex.run().to_pandas()
+    finally:
+        testvalue.unregister("LocalExecutor::carryMemoryFallback")
+    assert hits, "expected the carry reservation to fall back"
+    key = list(expect.columns)
+    pd_sorted = lambda df: df.sort_values(key).reset_index(drop=True)  # noqa: E731
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(pd_sorted(expect), pd_sorted(out))
+
+
+def test_cache_reclaimer_frees_bytes(tmp_path):
+    """Under pool pressure the arbitrator shrinks the data cache first."""
+    import velox_tpu as vt
+    from velox_tpu.dtypes import RowType
+    from velox_tpu.exec.memory import ROOT_POOL
+    from velox_tpu.io.cache import DEFAULT_CACHE
+    from velox_tpu.io.table import Table as VTable
+
+    t = VTable(
+        RowType(["x"], [vt.BIGINT]),
+        {"x": np.arange(200000, dtype=np.int64)},
+    )
+    path = str(tmp_path / "t.parquet")
+    t.save_parquet(path)
+    DEFAULT_CACHE.clear()
+    DEFAULT_CACHE.get_or_load(path)
+    assert DEFAULT_CACHE.cached_bytes > 0
+    limit_pool = ROOT_POOL.add_child("tight", limit=None)
+    try:
+        old_limit = ROOT_POOL.limit
+        ROOT_POOL.limit = ROOT_POOL.reserved + (1 << 10)
+        limit_pool.reserve(1 << 20)  # exceeds root limit -> arbitration
+        assert DEFAULT_CACHE.cached_bytes == 0, "cache must be evicted"
+    finally:
+        ROOT_POOL.limit = old_limit
+        limit_pool.detach()

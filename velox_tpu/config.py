@@ -31,6 +31,12 @@ class QueryConfig:
     # Spill: host-offload accumulated partial batches beyond this many bytes.
     spill_bytes_threshold: int = 4 << 30
     spill_enabled: bool = True
+    # HBM budget for one query's device-resident state (scan tiles, join
+    # builds, aggregation carries); None = untracked.  On pressure the
+    # arbitrator reclaims (data cache first), and the grouped-aggregation
+    # carry degrades to the spilling host-merge path.  Reference:
+    # QueryConfig kQueryMaxMemoryPerNode + MemoryArbitrator.h:43.
+    query_memory_limit_bytes: Optional[int] = None
     # Grouped aggregation: merge per-tile partial groups on device (sorted-
     # carry state, no per-tile host fetches).  False = legacy host merge,
     # which supports spilling when partials exceed spill_bytes_threshold.

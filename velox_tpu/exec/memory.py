@@ -81,6 +81,21 @@ class MemoryPool:
             pool.reserved = max(0, pool.reserved - nbytes)
             pool = pool.parent
 
+    def detach(self) -> None:
+        """Remove this pool from its parent, releasing whatever the subtree
+        still holds (reference: MemoryPool destruction releasing to parent)."""
+        if self.parent is None:
+            return
+        try:
+            self.parent.children.remove(self)
+        except ValueError:
+            pass
+        pool = self.parent
+        while pool is not None:
+            pool.reserved = max(0, pool.reserved - self.reserved)
+            pool = pool.parent
+        self.parent = None
+
     def _arbitrate(self, target: int) -> int:
         """Run reclaimers bottom-up, largest child first (SharedArbitrator)."""
         freed = 0
@@ -107,6 +122,18 @@ class MemoryPool:
 
 # The process root pool (reference: MemoryManager singleton).
 ROOT_POOL = MemoryPool("root")
+
+
+def device_tree_bytes(tree) -> int:
+    """Total bytes of every device array in a pytree (HBM accounting unit)."""
+    import jax
+
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        nbytes = getattr(leaf, "nbytes", None)
+        if nbytes is not None:
+            total += int(nbytes)
+    return total
 
 
 def table_nbytes(table: Table) -> int:

@@ -907,10 +907,31 @@ class LocalExecutor:
     on-device and checked once at the end (no per-tile host sync).
     """
 
-    def __init__(self, root: PlanNode, tile_rows: int = 1 << 20, config=None):
+    def __init__(
+        self,
+        root: PlanNode,
+        tile_rows: int = 1 << 20,
+        config=None,
+        pool=None,
+    ):
         from ..config import DEFAULT_CONFIG
         from ..plan.nodes import TableWriteMergeNode, TableWriteNode
+        from .memory import ROOT_POOL
 
+        # HBM accounting: every executor reserves its device-resident state
+        # (scan tiles, join builds, aggregation carries) against a per-query
+        # pool; sub-executors share the parent's pool.  Reference:
+        # velox/common/memory/MemoryPool.h:109 + MemoryArbitrator.h:43.
+        cfg = config or None
+        self._own_pool = pool is None
+        if pool is None:
+            from ..config import DEFAULT_CONFIG as _DC
+
+            limit = (cfg or _DC).query_memory_limit_bytes
+            pool = ROOT_POOL.add_child(
+                f"query.{getattr(root, 'id', 'plan')}", limit=limit
+            )
+        self.pool = pool
         self._write_sink_factory = None
         self._tw_merge = False
         if isinstance(root, TableWriteMergeNode):
@@ -934,7 +955,7 @@ class LocalExecutor:
             if step[0] == "join":
                 from ..plan.nodes import JoinType as _JT
 
-                sub = LocalExecutor(step[1].right, tile_rows, config)
+                sub = LocalExecutor(step[1].right, tile_rows, config, pool=self.pool)
                 device = (
                     None
                     if step[1].join_type == _JT.FULL  # host build keeps keys
@@ -952,6 +973,19 @@ class LocalExecutor:
                         pass  # N:M build: host path constructs run spans
                 if exec_ is None:
                     exec_ = HashJoinExec.build(step[1], sub.run())
+                from .memory import device_tree_bytes
+
+                self.pool.reserve(
+                    device_tree_bytes(
+                        (
+                            exec_.build_keys,
+                            exec_.build_cols,
+                            exec_.build_valid,
+                            exec_.run_start,
+                            exec_.run_count,
+                        )
+                    )
+                )
                 resolved.append(
                     ("xjoin", exec_) if exec_.expansion else ("join", exec_)
                 )
@@ -1007,7 +1041,8 @@ class LocalExecutor:
             # to the reference's TreeOfLosers k-way merge
             node = lin.source
             parts = [
-                LocalExecutor(s, tile_rows, config).run() for s in node.inputs
+                LocalExecutor(s, tile_rows, config, pool=self.pool).run()
+                for s in node.inputs
             ]
             from .grouped import concat_tables
 
@@ -1023,7 +1058,7 @@ class LocalExecutor:
         elif not isinstance(lin.source, (TableScanNode, ValuesNode)):
             # Generic pipeline barrier: materialize the subtree (e.g. an
             # aggregation feeding a join probe side) and scan its result.
-            sub = LocalExecutor(lin.source, tile_rows, config).run()
+            sub = LocalExecutor(lin.source, tile_rows, config, pool=self.pool).run()
             lin.source = ValuesNode(sub, id=lin.source.id)
         self.lin = lin
         self.source_table = lin.source.table.select(
@@ -1270,6 +1305,30 @@ class LocalExecutor:
                 # undersized carries are detected on device and fall back
                 (nruns0,) = fetch_tree((partial0[2],))
                 G = min(self.capacity, bucket_of(max(int(nruns0), 1) * 4))
+                # HBM reservation for the carry (x2: donation keeps the
+                # previous state alive while the merge builds the next);
+                # on pressure after arbitration, degrade to the spilling
+                # host-merge path (MemoryReclaimer's spill contract).
+                from .memory import MemoryPoolError
+
+                per_row = sum(
+                    np.dtype(info.dtype.device_dtype).itemsize
+                    for info in ex.key_infos
+                ) + sum(
+                    np.dtype(dt).itemsize
+                    for agg in ex.aggs
+                    for dt in agg.acc_dtypes
+                )
+                try:
+                    self.pool.reserve(2 * G * per_row)
+                except MemoryPoolError:
+                    from ..utils.testvalue import adjust
+
+                    adjust("LocalExecutor::carryMemoryFallback", self)
+                    return apply_finishers(
+                        self._run_sort_agg_host(get_tile, n_tiles, stats),
+                        lin.finishers,
+                    )
 
                 def shrink(partial):
                     keys, accs, nruns = partial
@@ -1549,6 +1608,11 @@ class LocalExecutor:
 
         self._device_topn_jit = jax.jit(topn)
         return node.count
+
+    def __del__(self):
+        pool = getattr(self, "pool", None)
+        if pool is not None and getattr(self, "_own_pool", False):
+            pool.detach()
 
     def _get_tile_partial(self):
         """Jitted per-tile partial-group program (built lazily: the device-merge
@@ -1867,7 +1931,11 @@ class LocalExecutor:
 
     def device_tiles(self) -> List[Batch]:
         """Upload the source scan HBM-resident (steady-state benchmarking)."""
-        return self.source_table.device_tiles(self.capacity)
+        from .memory import device_tree_bytes
+
+        tiles = self.source_table.device_tiles(self.capacity)
+        self.pool.reserve(device_tree_bytes([t.columns for t in tiles]))
+        return tiles
 
 
 def _materialize_window(wnode, tile_rows: int) -> Table:

@@ -30,15 +30,20 @@ def _table_bytes(t: Table) -> int:
 class DataCache:
     """Byte-budgeted LRU of host Tables (reference: AsyncDataCache + CacheShard)."""
 
-    def __init__(self, max_bytes: int = 4 << 30):
+    def __init__(self, max_bytes: int = 4 << 30, pool=None):
         self.max_bytes = max_bytes
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()
         self._entries: "collections.OrderedDict[Tuple, Table]" = (
             collections.OrderedDict()
         )
         self._bytes = 0
         self.hits = 0
         self.misses = 0
+        if pool is None:
+            from ..exec.memory import ROOT_POOL
+
+            pool = ROOT_POOL.add_child("data-cache")
+        self.pool = pool
 
     def _key(self, path: str, columns: Optional[Sequence[str]]):
         try:
@@ -66,17 +71,43 @@ class DataCache:
         nbytes = _table_bytes(table)
         with self._lock:
             if key not in self._entries and nbytes <= self.max_bytes:
+                from ..exec.memory import MemoryPoolError
+
+                try:
+                    # a real reservation: arbitration (which may re-enter
+                    # evict_bytes — hence the RLock) sees cache bytes and can
+                    # reclaim them
+                    self.pool.reserve(nbytes)
+                except MemoryPoolError:
+                    return table  # memory pressure: serve uncached
                 self._entries[key] = table
                 self._bytes += nbytes
                 while self._bytes > self.max_bytes and self._entries:
                     _, evicted = self._entries.popitem(last=False)
-                    self._bytes -= _table_bytes(evicted)
+                    freed = _table_bytes(evicted)
+                    self._bytes -= freed
+                    self.pool.release(freed)
         return table
 
     def clear(self) -> None:
         with self._lock:
             self._entries.clear()
+            self.pool.release(self._bytes)
             self._bytes = 0
+
+    def evict_bytes(self, target: int) -> int:
+        """LRU-evict at least ``target`` bytes; returns bytes freed.  This is
+        the cache's MemoryReclaimer hook (reference: AsyncDataCache::shrink,
+        called by the arbitrator under memory pressure)."""
+        freed = 0
+        with self._lock:
+            while freed < target and self._entries:
+                _, evicted = self._entries.popitem(last=False)
+                n = _table_bytes(evicted)
+                self._bytes -= n
+                freed += n
+            self.pool.release(freed)
+        return freed
 
     @property
     def cached_bytes(self) -> int:
@@ -86,6 +117,13 @@ class DataCache:
 DEFAULT_CACHE = DataCache(
     max_bytes=int(os.environ.get("VELOX_TPU_DATA_CACHE_BYTES", 4 << 30))
 )
+
+# Under memory pressure the root arbitrator shrinks the data cache first —
+# the cheapest state to drop (reference: SharedArbitrator evicting cache
+# before spilling operators).
+from ..exec.memory import ROOT_POOL as _ROOT_POOL  # noqa: E402
+
+_ROOT_POOL.add_reclaimer(DEFAULT_CACHE.evict_bytes)
 
 
 def cached_load_parquet(
