@@ -286,3 +286,73 @@ def test_variance_window_aggregates():
     assert norm(out["v"]) == [None, 2.0, 4.0, None, 0.0]
     assert norm(out["sp"]) == [0.0, 1.0, round((8 / 3) ** 0.5, 6), 0.0, 0.0]
     assert norm(out["vr"]) == [0.0, 1.0, 1.0, 0.0, 0.0]
+
+
+def test_multi_tile_window_chunked_partitions():
+    """Window input spanning many tiles: whole partitions pack into chunks
+    (round 1 raised NotImplementedError past one tile; exec/runner.py
+    _materialize_window).  Exactness must not depend on tile size."""
+    rng = np.random.default_rng(11)
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 500, n),
+            # unique order keys: RANGE frames treat peers jointly, so a
+            # pandas-cumsum oracle needs tie-free ordering
+            "o": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(-50, 50, n),
+        }
+    )
+    calls = [
+        "row_number() as rn",
+        "sum(v) as sv",
+        "rank() as rk",
+    ]
+    plan_small = (
+        PlanBuilder()
+        .table_scan(table_of(df))
+        .window(["g"], ["o", "v"], calls)
+        .orderby(["g", "o", "v"])
+        .build()
+    )
+    from velox_tpu.exec.runner import LocalExecutor
+
+    small = LocalExecutor(plan_small, tile_rows=4096).run().to_pandas()
+    big = LocalExecutor(plan_small, tile_rows=1 << 20).run().to_pandas()
+    pd.testing.assert_frame_equal(small, big)
+    # oracle spot check: running sum within each partition
+    expect = (
+        df.sort_values(["g", "o", "v"])
+        .assign(sv=lambda d: d.groupby("g")["v"].cumsum())
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(
+        small["sv"].to_numpy(), expect["sv"].to_numpy()
+    )
+
+
+def test_multi_tile_window_oversized_partition():
+    """One partition larger than the tile gets its own sized program."""
+    rng = np.random.default_rng(13)
+    n = 20_000
+    g = rng.integers(0, 20, n)
+    g[: n // 2] = 3  # one partition holds half the input
+    df = pd.DataFrame(
+        {"g": g, "o": rng.integers(0, 10**6, n), "v": rng.integers(0, 9, n)}
+    )
+    from velox_tpu.exec.runner import LocalExecutor
+
+    plan = (
+        PlanBuilder()
+        .table_scan(table_of(df))
+        .window(["g"], ["o"], ["row_number() as rn"])
+        .orderby(["g", "o"])
+        .build()
+    )
+    out = LocalExecutor(plan, tile_rows=4096).run().to_pandas()
+    expect = (
+        df.sort_values(["g", "o"])
+        .assign(rn=lambda d: d.groupby("g").cumcount() + 1)
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(out["rn"].to_numpy(), expect["rn"].to_numpy())

@@ -1031,7 +1031,8 @@ class LocalExecutor:
             # accumulates all input before emitting) — execute it now into a
             # host Table and treat the result as the pipeline's source.
             lin.source = ValuesNode(
-                _materialize_window(lin.source, tile_rows), id=lin.source.id
+                _materialize_window(lin.source, tile_rows, pool=self.pool),
+                id=lin.source.id,
             )
         elif isinstance(lin.source, _arrow_stream_cls()):
             pass  # has .table / .output_schema: scan-like source
@@ -1938,20 +1939,18 @@ class LocalExecutor:
         return tiles
 
 
-def _materialize_window(wnode, tile_rows: int) -> Table:
-    """Execute a WindowNode into a host Table (single-tile device program)."""
+def _window_one_tile(wnode, child: Table, capacity: int) -> Table:
+    """Run a WindowNode over one host Table slice as a single device program."""
     from .window import WindowExec
 
-    child = LocalExecutor(wnode.source, tile_rows).run()
-    rows = child.num_rows
-    capacity = _pick_capacity(max(rows, 1), 1 << 62)
     batch = child.tile(0, capacity)
-    if rows > capacity:
-        raise NotImplementedError(
-            "window input exceeds a single device tile; spill path not built yet"
-        )
-    ex = WindowExec(wnode, capacity)
-    out = jax.jit(lambda b: compact(ex.apply(b)))(batch)
+    cache = wnode.__dict__.setdefault("_window_jits", {})
+    fn = cache.get(capacity)
+    if fn is None:
+        ex = WindowExec(wnode, capacity)
+        fn = jax.jit(lambda b: compact(ex.apply(b)))
+        cache[capacity] = fn
+    out = fn(batch)
     from ..utils.transfer import fetch_prefix, fetch_tree
 
     n = int(fetch_tree(out.length))
@@ -1975,6 +1974,64 @@ def _materialize_window(wnode, tile_rows: int) -> Table:
             validities[name] = fetched[k]
             k += 1
     return Table(wnode.output_schema, cols, tables, validities)
+
+
+def _table_rows(table: Table, idx) -> Table:
+    """Host row-subset of a Table (gather by index array or slice)."""
+    return Table(
+        table.schema,
+        {n: np.asarray(v)[idx] for n, v in table.columns.items()},
+        table.string_tables,
+        {n: np.asarray(v)[idx] for n, v in table.validities.items()},
+    )
+
+
+def _materialize_window(wnode, tile_rows: int, pool=None) -> Table:
+    """Execute a WindowNode into a host Table.
+
+    Window functions never cross partitions, so inputs larger than one tile
+    split into chunks of WHOLE partitions (greedy packing after a host
+    partition-key sort) and the same compiled per-chunk program runs over
+    each — the TPU analog of the reference's SortWindowBuild emitting one
+    partition batch at a time (velox/exec/WindowBuild.h).  A single partition
+    larger than the tile gets its own program sized to fit (memory then
+    scales with the largest partition, not the whole input).
+    """
+    child = LocalExecutor(wnode.source, tile_rows, pool=pool).run()
+    rows = child.num_rows
+    if rows <= tile_rows:
+        return _window_one_tile(
+            wnode, child, _pick_capacity(max(rows, 1), 1 << 62)
+        )
+    # group whole partitions: host sort by partition keys (rank-ordered)
+    order = _sort_indices(
+        child, [SortKey(k) for k in wnode.partition_keys]
+    )
+    sorted_t = _table_rows(child, order)
+    keys = [np.asarray(sorted_t.columns[k]) for k in wnode.partition_keys]
+    diff = np.zeros(rows, dtype=bool)
+    diff[0] = True
+    for k in keys:
+        diff[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(diff)
+    sizes = np.diff(np.append(starts, rows))
+    chunks: List[Tuple[int, int]] = []
+    cur_start, cur_rows = 0, 0
+    for st, sz in zip(starts, sizes):
+        if cur_rows and cur_rows + int(sz) > tile_rows:
+            chunks.append((cur_start, int(st)))
+            cur_start, cur_rows = int(st), 0
+        cur_rows += int(sz)
+    chunks.append((cur_start, rows))
+    parts = []
+    for a, b in chunks:
+        sub = _table_rows(sorted_t, slice(a, b))
+        parts.append(
+            _window_one_tile(wnode, sub, _pick_capacity(b - a, 1 << 62))
+        )
+    from .grouped import concat_tables
+
+    return concat_tables(parts)
 
 
 def run_plan(
