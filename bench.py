@@ -1,19 +1,28 @@
 #!/usr/bin/env python
 """TPC-H benchmark harness (reference: velox/benchmarks/tpch/TpchBenchmark.cpp:218).
 
-Runs the headline query (Q6 at SF1 by default) on the default JAX backend (the
-real TPU chip under the driver), verifies row-exact parity against the exact
-numpy oracle, and prints ONE JSON line:
+Runs the benchmark matrix (Q1/Q3/Q6/Q13 by default) on the default JAX backend
+(the real TPU chip under the driver), verifies row-exact parity against the
+exact numpy oracle per query, and prints ONE JSON line:
 
-    {"metric": ..., "value": rows_per_sec, "unit": "rows/s", "vs_baseline": R}
+    {"metric": ..., "value": rows_per_sec, "unit": "rows/s",
+     "vs_baseline": R, "matrix": {...}}
 
 ``vs_baseline`` is engine rows/s divided by the *same-host numpy oracle* rows/s
 on identical data — a reference-engine proxy, since the reference's dbgen/DuckDB
-stack is not runnable in this environment (see BASELINE.md).  Tables are
-HBM-resident before timing (the engine's steady-state regime); host->device
-ingest time is reported separately on stderr.
+stack is not runnable in this environment (see BASELINE.md).
 
-Usage: python bench.py [--sf 1.0] [--query 6] [--all] [--quick] [--tile 4194304]
+Roofline accounting (BASELINE: >=70% of per-chip HBM roofline): the harness
+first measures achievable HBM bandwidth with a streaming reduction, models each
+query's minimum bytes (one pass over every scanned column after pruning — what
+a perfect engine must read), and reports pct_roofline = speed-of-light time /
+measured wall time per query.
+
+Tables are HBM-resident before timing (the engine's steady-state regime);
+host->device ingest time is reported separately on stderr.
+
+Usage: python bench.py [--sf 1.0] [--queries 1,3,6,13] [--all] [--quick]
+                       [--tile 4194304] [--no-roofline]
 """
 
 import argparse
@@ -37,7 +46,49 @@ def time_best(fn, repeats):
     return best
 
 
-def bench_query(num, sf, tile_rows, repeats=3):
+def measure_hbm_bandwidth():
+    """Achievable HBM read bandwidth (GB/s) via a jitted streaming reduction
+    over an array sized far beyond any cache tier."""
+    import velox_tpu  # noqa: F401  (enables jax_enable_x64 — real float64)
+    import jax
+    import jax.numpy as jnp
+
+    n = 1 << 27  # 128M float64 = 1 GiB
+    x = jnp.ones((n,), jnp.float64)
+    f = jax.jit(lambda a: jnp.sum(a))
+    jax.block_until_ready(f(x))
+    best = time_best(lambda: jax.block_until_ready(f(x)), 3)
+    return (n * 8) / best / 1e9
+
+
+def query_min_bytes(plan, tables) -> int:
+    """Minimum bytes a perfect engine must touch: ONE pass over every scanned
+    column that survives pruning (the roofline numerator).  Walks the plan for
+    TableScan nodes and sums rows * itemsize over their output columns."""
+    from velox_tpu.plan.nodes import TableScanNode
+
+    total = 0
+    seen = set()
+
+    def walk(node):
+        nonlocal total
+        if id(node) in seen:
+            return
+        seen.add(id(node))
+        if isinstance(node, TableScanNode):
+            t = node.table
+            for name in node.output_schema.names:
+                arr = t.columns.get(name)
+                if arr is not None and hasattr(arr, "nbytes"):
+                    total += arr.nbytes
+        for s in getattr(node, "sources", ()):
+            walk(s)
+
+    walk(plan)
+    return total
+
+
+def bench_query(num, sf, tile_rows, repeats=3, hbm_gbps=None):
     import pandas as pd
 
     from velox_tpu.connectors.tpch import plans as tp
@@ -69,31 +120,49 @@ def bench_query(num, sf, tile_rows, repeats=3):
 
     engine_s = time_best(lambda: executor.run(prefetched_tiles=tiles), repeats)
     oracle_s = time_best(lambda: tp.oracle_result(num, tables), repeats)
+    row = {
+        "query": num,
+        "sf": sf,
+        "input_rows": input_rows,
+        "engine_seconds": round(engine_s, 6),
+        "oracle_seconds": round(oracle_s, 6),
+        "ingest_seconds": round(ingest_s, 6),
+        "rows_per_sec": round(input_rows / engine_s, 1),
+        "vs_oracle": round(oracle_s / engine_s, 3),
+    }
+    if hbm_gbps:
+        min_bytes = query_min_bytes(plan, tables)
+        sol_s = min_bytes / (hbm_gbps * 1e9)
+        row["min_bytes"] = min_bytes
+        row["sol_seconds"] = round(sol_s, 6)
+        row["pct_roofline"] = round(100.0 * sol_s / engine_s, 2)
     log(
         f"q{num} sf{sf:g}: engine {engine_s*1e3:.1f} ms, oracle(numpy) "
         f"{oracle_s*1e3:.1f} ms, ingest {ingest_s*1e3:.1f} ms, "
         f"rows {input_rows}"
+        + (
+            f", bytes {row['min_bytes']/1e6:.0f} MB, "
+            f"SoL {row['sol_seconds']*1e3:.2f} ms, "
+            f"{row['pct_roofline']:.1f}% roofline"
+            if hbm_gbps
+            else ""
+        )
     )
-    return {
-        "query": num,
-        "sf": sf,
-        "input_rows": input_rows,
-        "engine_seconds": engine_s,
-        "oracle_seconds": oracle_s,
-        "ingest_seconds": ingest_s,
-        "rows_per_sec": input_rows / engine_s,
-        "vs_oracle": oracle_s / engine_s,
-    }
+    return row
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
-    ap.add_argument("--query", type=int, default=6)
+    ap.add_argument(
+        "--queries", type=str, default="6,1,3,13",
+        help="comma-separated query numbers (first = headline)",
+    )
     ap.add_argument("--all", action="store_true", help="run all 22 TPC-H queries")
     ap.add_argument("--quick", action="store_true", help="SF0.01 smoke run")
     ap.add_argument("--tile", type=int, default=1 << 22)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--no-roofline", action="store_true")
     args = ap.parse_args()
     if args.quick:
         args.sf = 0.01
@@ -102,27 +171,35 @@ def main():
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
+    hbm_gbps = None
+    if not args.no_roofline:
+        hbm_gbps = measure_hbm_bandwidth()
+        log(f"measured HBM read bandwidth: {hbm_gbps:.0f} GB/s")
+
     if args.all:
         from velox_tpu.connectors.tpch.plans import implemented_queries
 
         queries = implemented_queries()
+        headline = 6
     else:
-        queries = [args.query]
+        queries = [int(q) for q in args.queries.split(",")]
+        headline = queries[0]
     results = {}
     for num in queries:
-        results[num] = bench_query(num, args.sf, args.tile, args.repeats)
-
-    head = results[args.query if not args.all else 6]
-    print(
-        json.dumps(
-            {
-                "metric": f"tpch_sf{args.sf:g}_q{head['query']}_rows_per_sec",
-                "value": round(head["rows_per_sec"], 1),
-                "unit": "rows/s",
-                "vs_baseline": round(head["vs_oracle"], 3),
-            }
+        results[num] = bench_query(
+            num, args.sf, args.tile, args.repeats, hbm_gbps
         )
-    )
+
+    head = results[headline]
+    out = {
+        "metric": f"tpch_sf{args.sf:g}_q{head['query']}_rows_per_sec",
+        "value": head["rows_per_sec"],
+        "unit": "rows/s",
+        "vs_baseline": head["vs_oracle"],
+        "hbm_gbps": round(hbm_gbps, 1) if hbm_gbps else None,
+        "matrix": {f"q{n}": r for n, r in results.items()},
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -116,6 +116,99 @@ def test_join_fuzz_semi_anti(seed):
     )
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_join_fuzz_wide_composite_keys(seed):
+    """Composite keys whose ranges exceed 62 bits pack into TWO int64 limbs
+    (joins.py _NormalizedKey.split) instead of erroring — the analog of the
+    reference's kNormalizedKey -> kHash degradation (HashTable.h:74)."""
+    rng = np.random.default_rng(300 + seed)
+    n_build, n_probe = 200, 600
+    # two 40-bit key parts -> 80 bits total; offsets keep ranges wide even
+    # after min-subtraction
+    base1 = np.int64(3) << 38
+    base2 = np.int64(5) << 37
+    k1 = base1 + rng.integers(0, 1 << 40, n_build)
+    k2 = base2 + rng.integers(0, 1 << 40, n_build)
+    # ensure unique build composites (two-limb N:M expansion is unsupported)
+    _, uniq = np.unique(k1 << np.int64(2) ^ k2, return_index=True)
+    k1, k2 = k1[uniq], k2[uniq]
+    nb = len(k1)
+    ry = rng.integers(0, 1000, nb)
+    # probe: half hits, half misses (both dup-heavy)
+    hit = rng.integers(0, nb, n_probe // 2)
+    pk1 = np.concatenate([k1[hit], base1 + rng.integers(0, 1 << 40, n_probe // 2)])
+    pk2 = np.concatenate([k2[hit], base2 + rng.integers(0, 1 << 40, n_probe // 2)])
+    lx = rng.integers(0, 1000, len(pk1))
+    left = Table(
+        RowType(["k1", "k2", "lx"], [BIGINT] * 3),
+        {"k1": pk1, "k2": pk2, "lx": lx},
+    )
+    right = Table(
+        RowType(["rk1", "rk2", "ry"], [BIGINT] * 3),
+        {"rk1": k1, "rk2": k2, "ry": ry},
+    )
+    ldf = pd.DataFrame({"k1": pk1, "k2": pk2, "lx": lx})
+    rdf = pd.DataFrame({"rk1": k1, "rk2": k2, "ry": ry})
+    for jt, how in (("inner", "inner"), ("left", "left")):
+        got = run_plan(
+            PlanBuilder()
+            .table_scan(left)
+            .hash_join(
+                PlanBuilder().table_scan(right).build(),
+                ["k1", "k2"],
+                ["rk1", "rk2"],
+                output=["lx", "ry"],
+                join_type=jt,
+            )
+            .build(),
+            tile_rows=256,
+        ).to_pandas()
+        expect = ldf.merge(
+            rdf, left_on=["k1", "k2"], right_on=["rk1", "rk2"], how=how
+        )
+        assert len(got) == len(expect), (jt, len(got), len(expect))
+        a = sorted(
+            (int(x), -1 if pd.isna(y) else int(y))
+            for x, y in zip(got["lx"], got["ry"])
+        )
+        b = sorted(
+            (int(x), -1 if pd.isna(y) else int(y))
+            for x, y in zip(expect["lx"], expect["ry"])
+        )
+        assert a == b, jt
+    # semi/anti dedupe the build side, so two-limb duplicates are fine
+    dup_right = Table(
+        RowType(["rk1", "rk2", "ry"], [BIGINT] * 3),
+        {
+            "rk1": np.concatenate([k1, k1[: nb // 2]]),
+            "rk2": np.concatenate([k2, k2[: nb // 2]]),
+            "ry": np.concatenate([ry, ry[: nb // 2]]),
+        },
+    )
+    match = ldf.merge(
+        rdf, left_on=["k1", "k2"], right_on=["rk1", "rk2"], how="inner"
+    )
+    matched_lx = set(zip(match["k1"], match["k2"]))
+    in_right = [
+        (a, b) in matched_lx for a, b in zip(ldf["k1"], ldf["k2"])
+    ]
+    for jt, mask in (("left_semi", in_right), ("anti", [not m for m in in_right])):
+        got = run_plan(
+            PlanBuilder()
+            .table_scan(left)
+            .hash_join(
+                PlanBuilder().table_scan(dup_right).build(),
+                ["k1", "k2"],
+                ["rk1", "rk2"],
+                output=["lx"],
+                join_type=jt,
+            )
+            .build(),
+            tile_rows=256,
+        ).to_pandas()
+        assert sorted(got["lx"]) == sorted(ldf[mask]["lx"]), jt
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_join_fuzz_empty_sides(seed):
     rng = np.random.default_rng(200 + seed)

@@ -1,0 +1,216 @@
+"""HLL approx_distinct sketch rewrite (exec/sketch.py).
+
+Reference test analog: velox/functions/prestosql/aggregates/tests/
+ApproxDistinctTest.cpp — error within tolerance across cardinality scales,
+grouped + ungrouped, null handling, and (stronger than the reference)
+bit-stability across tile sizes and distribution.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import velox_tpu as vt
+from velox_tpu.dtypes import RowType
+from velox_tpu.exec.runner import LocalExecutor, run_plan
+from velox_tpu.io.table import Table
+from velox_tpu.plan import PlanBuilder
+
+RNG = np.random.default_rng(42)
+TOL = 4 * 0.023  # 4 sigma at the reference's default stderr (log2m=11)
+
+
+def make_table(n, ndv, with_group=False, seed=1):
+    rng = np.random.default_rng(seed)
+    cols = {"v": rng.integers(0, ndv, n).astype(np.int64) * 7919 + 13}
+    names, types = ["v"], [vt.BIGINT]
+    if with_group:
+        cols["g"] = rng.integers(0, 16, n).astype(np.int64)
+        names.append("g")
+        types.append(vt.BIGINT)
+    return Table(RowType(names, types), cols)
+
+
+def approx_plan(t, keys=()):
+    return (
+        PlanBuilder()
+        .table_scan(t)
+        .aggregation(list(keys), ["approx_distinct(v) as ad"])
+        .build()
+    )
+
+
+@pytest.mark.parametrize("ndv", [50, 5_000, 200_000])
+def test_ungrouped_accuracy(ndv):
+    t = make_table(400_000, ndv, seed=ndv)
+    out = run_plan(approx_plan(t)).to_pandas()
+    exact = len(np.unique(t.columns["v"]))
+    est = int(out["ad"].iloc[0])
+    assert abs(est - exact) <= max(TOL * exact, 3), (est, exact)
+
+
+def test_grouped_accuracy():
+    t = make_table(300_000, 20_000, with_group=True)
+    out = (
+        run_plan(approx_plan(t, keys=("g",)))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"g": t.columns["g"], "v": t.columns["v"]})
+    exact = df.groupby("g")["v"].nunique()
+    for g, est in zip(out["g"], out["ad"]):
+        e = exact[g]
+        assert abs(int(est) - e) <= max(TOL * e, 3), (g, est, e)
+
+
+def test_tile_size_invariance():
+    """Integer max/sum merges: the estimate is bit-identical at any tiling."""
+    t = make_table(100_000, 30_000)
+    plan = approx_plan(t)
+    a = LocalExecutor(plan, tile_rows=1 << 11).run().to_pandas()
+    b = LocalExecutor(plan, tile_rows=1 << 18).run().to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_distributed_matches_local():
+    import jax
+
+    from velox_tpu.parallel.runner import DistributedExecutor, make_mesh
+
+    assert len(jax.devices()) >= 8
+    t = make_table(80_000, 10_000, with_group=True)
+    plan = approx_plan(t, keys=("g",))
+    local = run_plan(plan).to_pandas()
+    dist = (
+        DistributedExecutor(plan, make_mesh(8), per_device_rows=1 << 11)
+        .run()
+        .to_pandas()
+    )
+    s = lambda d: d.sort_values("g").reset_index(drop=True)  # noqa: E731
+    pd.testing.assert_frame_equal(s(local), s(dist))
+
+
+def test_nulls_ignored():
+    n = 50_000
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 1000, n).astype(np.int64)
+    valid = rng.random(n) > 0.5
+    t = Table(
+        RowType(["v"], [vt.BIGINT]), {"v": v}, validities={"v": valid}
+    )
+    out = run_plan(approx_plan(t)).to_pandas()
+    exact = len(np.unique(v[valid]))
+    est = int(out["ad"].iloc[0])
+    assert abs(est - exact) <= max(TOL * exact, 3)
+
+
+def test_small_cardinality_is_exact():
+    """Linear counting makes tiny cardinalities exact."""
+    t = make_table(10_000, 12)
+    out = run_plan(approx_plan(t)).to_pandas()
+    assert int(out["ad"].iloc[0]) == len(np.unique(t.columns["v"]))
+
+
+def test_mixed_aggregation_keeps_exact_path():
+    t = make_table(20_000, 500, with_group=True)
+    plan = (
+        PlanBuilder()
+        .table_scan(t)
+        .aggregation(["g"], ["approx_distinct(v) as ad", "count(*) as c"])
+        .build()
+    )
+    out = run_plan(plan).to_pandas().sort_values("g").reset_index(drop=True)
+    df = pd.DataFrame({"g": t.columns["g"], "v": t.columns["v"]})
+    np.testing.assert_array_equal(
+        out["ad"].to_numpy(), df.groupby("g")["v"].nunique().values
+    )
+
+
+# ---- approx_percentile (DDSketch-style log buckets, exec/sketch.py) --------
+
+
+def pct_plan(t, p, keys=()):
+    return (
+        PlanBuilder()
+        .table_scan(t)
+        .aggregation(list(keys), [f"approx_percentile(v, {p}) as q"])
+        .build()
+    )
+
+
+@pytest.mark.parametrize("p", [0.1, 0.5, 0.99])
+def test_percentile_relative_error(p):
+    rng = np.random.default_rng(int(p * 100))
+    v = (rng.lognormal(8, 2, 200_000)).astype(np.int64) + 1
+    t = Table(RowType(["v"], [vt.BIGINT]), {"v": v})
+    out = run_plan(pct_plan(t, p)).to_pandas()
+    exact = np.sort(v)[int(np.floor(p * len(v)))]
+    est = float(out["q"].iloc[0])
+    assert abs(est - exact) <= 0.011 * exact + 1, (est, exact)
+
+
+def test_percentile_grouped_with_negatives():
+    rng = np.random.default_rng(3)
+    n = 100_000
+    g = rng.integers(0, 8, n)
+    v = rng.normal(0, 10_000, n).astype(np.int64)
+    t = Table(
+        RowType(["g", "v"], [vt.BIGINT, vt.BIGINT]),
+        {"g": g.astype(np.int64), "v": v},
+    )
+    out = (
+        run_plan(pct_plan(t, 0.5, keys=("g",)))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"g": g, "v": v})
+    for gid, est in zip(out["g"], out["q"]):
+        vals = np.sort(df[df.g == gid]["v"].to_numpy())
+        exact = vals[int(np.floor(0.5 * len(vals)))]
+        tol = 0.011 * abs(exact) + 2
+        assert abs(float(est) - exact) <= tol, (gid, est, exact)
+
+
+def test_percentile_tile_invariance():
+    rng = np.random.default_rng(9)
+    v = rng.integers(1, 10**9, 60_000).astype(np.int64)
+    t = Table(RowType(["v"], [vt.BIGINT]), {"v": v})
+    plan = pct_plan(t, 0.9)
+    a = LocalExecutor(plan, tile_rows=1 << 11).run().to_pandas()
+    b = LocalExecutor(plan, tile_rows=1 << 17).run().to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_percentile_double_values():
+    rng = np.random.default_rng(11)
+    v = rng.lognormal(0, 3, 50_000)
+    from velox_tpu.dtypes import DOUBLE
+
+    t = Table(RowType(["v"], [DOUBLE]), {"v": v})
+    out = run_plan(pct_plan(t, 0.5)).to_pandas()
+    exact = np.sort(v)[int(np.floor(0.5 * len(v)))]
+    assert abs(float(out["q"].iloc[0]) - exact) <= 0.011 * exact
+
+
+def test_percentile_multi_call_stays_exact():
+    rng = np.random.default_rng(13)
+    v = rng.integers(0, 1000, 5_000).astype(np.int64)
+    t = Table(RowType(["v"], [vt.BIGINT]), {"v": v})
+    plan = (
+        PlanBuilder()
+        .table_scan(t)
+        .aggregation(
+            [],
+            [
+                "approx_percentile(v, 0.5) as p50",
+                "approx_percentile(v, 0.9) as p90",
+            ],
+        )
+        .build()
+    )
+    out = run_plan(plan).to_pandas()
+    vs = np.sort(v)
+    assert int(out["p50"].iloc[0]) == vs[int(0.5 * len(vs))]
+    assert int(out["p90"].iloc[0]) == vs[int(0.9 * len(vs))]

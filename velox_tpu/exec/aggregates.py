@@ -368,6 +368,26 @@ def bind_aggregate(
             arg_roles=("plain",) * len(types),
         )
 
+    if name == "approx_distinct":
+        # Always lowered to the bounded-state HLL plan rewrite before
+        # execution (exec/sketch.py; reference: common/hyperloglog/DenseHll.h).
+        # This binding only supplies the result type to the plan node; its
+        # update path must never run.
+        def _unlowered(values, mask):
+            raise NotImplementedError(
+                "approx_distinct must be lowered by "
+                "exec.sketch.rewrite_sketch_aggregates (LocalExecutor and "
+                "DistributedExecutor apply it automatically)"
+            )
+
+        return BoundAggregate(
+            "approx_distinct", BIGINT, (jnp.int64,), ("max",),
+            _unlowered,
+            lambda accs: (accs[0], None),
+            input_index,
+            arg_roles=("plain",) * len(types),
+        )
+
     assert types, f"{name} requires an argument"
     t0 = types[0]
     at = _acc_dtype(t0)

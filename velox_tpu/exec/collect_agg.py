@@ -30,6 +30,7 @@ COLLECT_AGG_NAMES = (
     "approx_most_frequent",
     "entropy",
     "multimap_agg",
+    "__dd_quantile",
 )
 
 
@@ -93,6 +94,16 @@ def bind_collect(name: str, types: Tuple[DataType, ...]) -> CollectAggregate:
         assert len(types) == 3, "approx_most_frequent(buckets, value, capacity)"
         return CollectAggregate(
             name, map_t(types[1], BIGINT), types, ("plain", "value", "plain")
+        )
+    if name == "__dd_quantile":
+        # (dd_bucket, count, percentage) -> approximate quantile from the
+        # bounded log-bucket histogram (exec/sketch.py approx_percentile
+        # rewrite; the per-group input is at most a few hundred bucket rows)
+        from ..dtypes import DOUBLE
+
+        assert len(types) == 3
+        return CollectAggregate(
+            name, DOUBLE, types, ("plain", "plain", "plain")
         )
     raise KeyError(name)
 
@@ -296,6 +307,46 @@ def compute_collect(
         else:
             out = np.zeros(num_groups, v.dtype)
         return out, counts > 0
+
+    if agg.name == "__dd_quantile":
+        from .sketch import dd_bucket_value
+
+        b = np.asarray(args[0]).astype(np.int64)
+        c = np.asarray(args[1]).astype(np.int64)
+        pt = agg.arg_types[2]
+        if n:
+            p_raw = float(np.asarray(args[2])[0])
+            p = p_raw / 10.0**pt.scale if pt.kind == TypeKind.DECIMAL else p_raw
+        else:
+            p = 0.5
+        order = np.lexsort((b, gids))
+        bs, gs, cs = b[order], gids[order], c[order]
+        totals = np.zeros(num_groups, np.int64)
+        np.add.at(totals, gs, cs)
+        # rank convention matches the exact path: element index
+        # floor(p * count), clipped into range
+        rank = np.minimum(
+            np.maximum(totals - 1, 0), np.floor(p * totals).astype(np.int64)
+        )
+        cum = np.cumsum(cs)
+        gstarts = np.zeros(num_groups, np.int64)
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        fidx = np.flatnonzero(first)
+        base = np.zeros(len(gs), np.int64)
+        if len(fidx):
+            base_vals = np.concatenate([[0], cum[fidx[1:] - 1]])
+            base = np.repeat(base_vals, np.diff(np.append(fidx, len(gs))))
+        cum_in = cum - base
+        hit = cum_in > rank[gs]
+        pos = np.arange(len(gs))
+        # first qualifying bucket row per group
+        sel = np.full(num_groups, len(gs), np.int64)
+        np.minimum.at(sel, gs[hit], pos[hit])
+        chosen = np.clip(sel, 0, max(len(gs) - 1, 0))
+        vals = dd_bucket_value(bs[np.clip(chosen, 0, max(len(bs) - 1, 0))]) if len(bs) else np.zeros(num_groups)
+        out = np.where(totals > 0, vals, 0.0)
+        return out, totals > 0
 
     if agg.name == "approx_most_frequent":
         buckets = int(np.asarray(args[0])[0]) if n else 0

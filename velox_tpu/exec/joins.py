@@ -60,11 +60,22 @@ class DuplicateBuildKeys(JoinBuildError):
 
 @dataclasses.dataclass
 class _NormalizedKey:
-    """Pack k build-key columns into one int64 (VectorHasher range mode)."""
+    """Pack k build-key columns into one int64 (VectorHasher range mode).
+
+    Composite keys wider than 62 bits split into TWO int64 limbs (``split``
+    marks the first low-limb field) — the analog of the reference's
+    kNormalizedKey -> kHash degradation (HashTable.cpp decideHashMode),
+    except exactness is kept by comparing both limbs instead of hashing.
+    """
 
     mins: np.ndarray  # [k] int64 per-key build-side minimum
     maxs: np.ndarray  # [k] int64 per-key build-side maximum
-    shifts: np.ndarray  # [k] left-shift per key
+    shifts: np.ndarray  # [k] left-shift per key (within its limb)
+    split: int = 0  # fields [0, split) ride the HIGH limb; 0 = single-limb
+
+    @property
+    def two_limb(self) -> bool:
+        return self.split > 0
 
     @staticmethod
     def fit(key_arrays: Sequence[np.ndarray]) -> "_NormalizedKey":
@@ -81,33 +92,68 @@ class _NormalizedKey:
             mins.append(lo)
             maxs.append(hi)
             bits.append(max(1, int(hi - lo).bit_length()))
+        split = 0
         if sum(bits) > 62:
-            raise JoinBuildError(
-                f"multi-key join key ranges need {sum(bits)} bits; > 62 "
-                "(add a pre-aggregation or split the join)"
-            )
+            # greedy: fill the high limb until the rest fits the low limb
+            acc = 0
+            for i, b in enumerate(bits):
+                if acc + b > 62:
+                    split = i
+                    break
+                acc += b
+            else:
+                split = len(bits)
+            if split == 0 or sum(bits[split:]) > 62:
+                raise JoinBuildError(
+                    f"multi-key join key ranges need {sum(bits)} bits; > 124 "
+                    "(add a pre-aggregation or split the join)"
+                )
         shifts = np.zeros(len(bits), dtype=np.int64)
-        acc = 0
-        for i in range(len(bits) - 1, -1, -1):
-            shifts[i] = acc
-            acc += bits[i]
+        for limb_fields in ((range(0, split) if split else []),
+                            range(split, len(bits))):
+            acc = 0
+            idxs = list(limb_fields)
+            for i in reversed(idxs):
+                shifts[i] = acc
+                acc += bits[i]
         return _NormalizedKey(
             np.asarray(mins, dtype=np.int64),
             np.asarray(maxs, dtype=np.int64),
             shifts,
+            split,
         )
 
     def pack_host(self, key_arrays: Sequence[np.ndarray]) -> np.ndarray:
+        """Single-limb packed keys (callers check ``two_limb`` first)."""
+        assert not self.two_limb
         out = np.zeros(len(key_arrays[0]), dtype=np.int64)
         for arr, lo, sh in zip(key_arrays, self.mins, self.shifts):
             out += (arr.astype(np.int64) - lo) << sh
         return out
+
+    def pack_host_limbs(self, key_arrays: Sequence[np.ndarray]):
+        """(hi|None, lo) packed host keys."""
+        if not self.two_limb:
+            return None, self.pack_host(key_arrays)
+        n = len(key_arrays[0])
+        hi = np.zeros(n, dtype=np.int64)
+        lo_arr = np.zeros(n, dtype=np.int64)
+        for i, (arr, mn, sh) in enumerate(
+            zip(key_arrays, self.mins, self.shifts)
+        ):
+            term = (arr.astype(np.int64) - mn) << sh
+            if i < self.split:
+                hi += term
+            else:
+                lo_arr += term
+        return hi, lo_arr
 
     def pack_device(
         self, key_values: Sequence[jax.Array], valid: jax.Array
     ) -> Tuple[jax.Array, jax.Array]:
         """Returns (packed [cap] int64, in_range&valid [cap] bool); out-of-range
         probe values cannot match any build row and pack to -1."""
+        assert not self.two_limb
         packed = jnp.zeros_like(key_values[0], dtype=jnp.int64)
         ok = valid
         for v, lo, hi, sh in zip(key_values, self.mins, self.maxs, self.shifts):
@@ -115,6 +161,31 @@ class _NormalizedKey:
             ok = ok & (v64 >= int(lo)) & (v64 <= int(hi))
             packed = packed + ((v64 - int(lo)) << int(sh))
         return jnp.where(ok, packed, jnp.int64(-1)), ok
+
+    def pack_device_limbs(
+        self, key_values: Sequence[jax.Array], valid: jax.Array
+    ):
+        """((hi|None, lo), in_range&valid); two-limb analog of pack_device."""
+        if not self.two_limb:
+            packed, ok = self.pack_device(key_values, valid)
+            return (None, packed), ok
+        hi = jnp.zeros_like(key_values[0], dtype=jnp.int64)
+        lo_arr = jnp.zeros_like(key_values[0], dtype=jnp.int64)
+        ok = valid
+        for i, (v, mn, mx, sh) in enumerate(
+            zip(key_values, self.mins, self.maxs, self.shifts)
+        ):
+            v64 = v.astype(jnp.int64)
+            ok = ok & (v64 >= int(mn)) & (v64 <= int(mx))
+            term = (v64 - int(mn)) << int(sh)
+            if i < self.split:
+                hi = hi + term
+            else:
+                lo_arr = lo_arr + term
+        return (
+            jnp.where(ok, hi, jnp.int64(-1)),
+            jnp.where(ok, lo_arr, jnp.int64(-1)),
+        ), ok
 
 
 _KEY_SENTINEL = np.iinfo(np.int64).max
@@ -140,6 +211,11 @@ class HashJoinExec:
 
     node: HashJoinNode
     build_keys: jax.Array  # [B] sorted normalized keys (invalid tail: sentinel)
+    # two-limb composite keys (>62 bits): the HIGH limb rides here and every
+    # key comparison tests both limbs; None for single-limb keys
+    build_keys_hi: Optional[jax.Array] = dataclasses.field(
+        default=None, kw_only=True
+    )
     build_cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]]  # sorted payloads
     build_size: int
     build_tables: Dict[str, object]
@@ -174,36 +250,58 @@ class HashJoinExec:
 
         if len(key_names) == 1:
             normalizer = None
-            packed = key_arrays[0].astype(np.int64)
+            packed_hi, packed = None, key_arrays[0].astype(np.int64)
         else:
             fit_arrays = (
                 [a[keep] for a in key_arrays] if (keep is not None) else key_arrays
             )
             normalizer = _NormalizedKey.fit(fit_arrays)
-            packed = normalizer.pack_host(key_arrays)
+            packed_hi, packed = normalizer.pack_host_limbs(key_arrays)
         if keep is not None and full:
             packed = packed.copy()
             packed[~keep] = _KEY_SENTINEL
+            if packed_hi is not None:
+                packed_hi = packed_hi.copy()
+                packed_hi[~keep] = _KEY_SENTINEL
 
-        order = np.argsort(packed, kind="stable")
+        if packed_hi is None:
+            order = np.argsort(packed, kind="stable")
+        else:
+            order = np.lexsort((packed, packed_hi))
         if keep is not None and not full:
             row_order = np.flatnonzero(keep)[order]
         else:
             row_order = order
         keys_sorted = packed[order]
+        keys_hi_sorted = None if packed_hi is None else packed_hi[order]
+
+        def _dups(lo, hi):
+            if len(lo) <= 1:
+                return np.zeros(0, dtype=bool)
+            eq = lo[1:] == lo[:-1]
+            if hi is not None:
+                eq = eq & (hi[1:] == hi[:-1])
+            return eq
 
         jt = node.join_type
         expansion = False
         run_start = run_count = None
         if jt in (JoinType.LEFT_SEMI, JoinType.ANTI):
             # Only existence matters; deduplicate so any build side works.
-            keys_sorted, first = np.unique(keys_sorted, return_index=True)
+            eq = _dups(keys_sorted, keys_hi_sorted)
+            first = np.concatenate([[True], ~eq]) if len(keys_sorted) else np.zeros(0, bool)
+            keys_sorted = keys_sorted[first]
+            if keys_hi_sorted is not None:
+                keys_hi_sorted = keys_hi_sorted[first]
             row_order = row_order[first]
-        elif jt == JoinType.FULL or (
-            len(keys_sorted) > 1 and (keys_sorted[1:] == keys_sorted[:-1]).any()
-        ):
+        elif jt == JoinType.FULL or _dups(keys_sorted, keys_hi_sorted).any():
             # duplicate keys (or FULL, which always needs the expansion
             # machinery for its unmatched-build epilogue): keep per-key runs
+            if keys_hi_sorted is not None:
+                raise JoinBuildError(
+                    "N:M / FULL joins with composite keys wider than 62 bits "
+                    "are not supported; pre-aggregate the build side"
+                )
             expansion = True
             n = len(keys_sorted)
             boundary = np.ones(n, dtype=bool)
@@ -231,13 +329,14 @@ class HashJoinExec:
                 v = None if validity is None else jnp.asarray(validity[row_order])
                 cols[name] = (jnp.asarray(arr), v)
         # (min, max) over the valid keys — keys are sorted ascending with the
-        # int64-max sentinels (FULL null-key rows) last
+        # int64-max sentinels (FULL null-key rows) last.  Two-limb keys get no
+        # range: the packed single-operand fast path only covers one limb.
         n_valid_keys = len(keys_sorted) - int(
             np.sum(keys_sorted == _KEY_SENTINEL)
         )
         key_range = (
             (int(keys_sorted[0]), int(keys_sorted[n_valid_keys - 1]))
-            if n_valid_keys
+            if n_valid_keys and keys_hi_sorted is None
             else None
         )
         return HashJoinExec(
@@ -251,6 +350,9 @@ class HashJoinExec:
             run_start=run_start,
             run_count=run_count,
             key_range=key_range,
+            build_keys_hi=(
+                None if keys_hi_sorted is None else jnp.asarray(keys_hi_sorted)
+            ),
         )
 
     @staticmethod
@@ -330,15 +432,26 @@ class HashJoinExec:
                 if val is not None:
                     kvalid = kvalid & val
             if normalizer is None:
-                packed = keys[0]
+                packed_hi, packed = None, keys[0]
             else:
-                packed, _ = normalizer.pack_device(keys, kvalid)
+                (packed_hi, packed), _ = normalizer.pack_device_limbs(
+                    keys, kvalid
+                )
             packed = jnp.where(kvalid, packed, jnp.int64(_KEY_SENTINEL))
             n = packed.shape[0]
             orig = jnp.arange(n, dtype=jnp.int32)
-            s_inv, s_key, s_orig = jax.lax.sort(
-                (~kvalid, packed, orig), num_keys=2
-            )
+            if packed_hi is None:
+                s_inv, s_key, s_orig = jax.lax.sort(
+                    (~kvalid, packed, orig), num_keys=2
+                )
+                s_hi = None
+            else:
+                packed_hi = jnp.where(
+                    kvalid, packed_hi, jnp.int64(_KEY_SENTINEL)
+                )
+                s_inv, s_hi, s_key, s_orig = jax.lax.sort(
+                    (~kvalid, packed_hi, packed, orig), num_keys=3
+                )
             s_valid = ~s_inv
             pos = jnp.arange(n, dtype=jnp.int32)
             prev_eq = (
@@ -347,17 +460,24 @@ class HashJoinExec:
                 & jnp.roll(s_valid, 1)
                 & (s_key == jnp.roll(s_key, 1))
             )
+            if s_hi is not None:
+                prev_eq = prev_eq & (s_hi == jnp.roll(s_hi, 1))
             big = jnp.int64(1) << 62
             kmin = jnp.min(jnp.where(s_valid, s_key, big))
             kmax = jnp.max(jnp.where(s_valid, s_key, -big))
             if semi:
                 keep = s_valid & ~prev_eq
                 u_key = jnp.where(keep, s_key, jnp.int64(_KEY_SENTINEL))
-                u_sorted = jnp.sort(u_key)
+                if s_hi is None:
+                    u_sorted = jnp.sort(u_key)
+                    u_hi = None
+                else:
+                    u_hi0 = jnp.where(keep, s_hi, jnp.int64(_KEY_SENTINEL))
+                    u_hi, u_sorted = jax.lax.sort((u_hi0, u_key), num_keys=2)
                 n_valid = jnp.sum(keep.astype(jnp.int32))
                 return (
-                    u_sorted, {}, n_valid, jnp.zeros((), jnp.int32), err,
-                    kmin, kmax,
+                    u_sorted, u_hi, {}, n_valid, jnp.zeros((), jnp.int32),
+                    err, kmin, kmax,
                 )
             n_valid = jnp.sum(s_valid.astype(jnp.int32))
             dup = jnp.sum(prev_eq.astype(jnp.int32))
@@ -371,9 +491,9 @@ class HashJoinExec:
                     else jnp.take(validity, s_orig, mode="clip")
                 )
                 cols[name] = (g, gv)
-            return (s_key, cols, n_valid, dup, err, kmin, kmax)
+            return (s_key, s_hi, cols, n_valid, dup, err, kmin, kmax)
 
-        s_key, cols, n_valid_d, dup_d, err_d, kmin_d, kmax_d = prepare(
+        s_key, s_hi, cols, n_valid_d, dup_d, err_d, kmin_d, kmax_d = prepare(
             batches, err_scalar
         )
         n_valid, dup, err, kmin, kmax = fetch_tree(
@@ -390,11 +510,18 @@ class HashJoinExec:
             )
         n = int(n_valid)
         bucket = min(bucket_of(max(n, 1)), s_key.shape[0])
-        flat = [s_key] + [a for g, gv in cols.values() for a in (g,) + ((gv,) if gv is not None else ())]
+        flat = [s_key] + ([s_hi] if s_hi is not None else []) + [
+            a for g, gv in cols.values()
+            for a in (g,) + ((gv,) if gv is not None else ())
+        ]
         cut = _prefix_slicer(bucket)(tuple(flat))
         keys_cut = cut[0]
-        out_cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]] = {}
         i = 1
+        keys_hi_cut = None
+        if s_hi is not None:
+            keys_hi_cut = cut[1]
+            i = 2
+        out_cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]] = {}
         for name, (g, gv) in cols.items():
             if gv is not None:
                 out_cols[name] = (cut[i], cut[i + 1])
@@ -404,14 +531,25 @@ class HashJoinExec:
                 i += 1
         valid = jnp.arange(bucket, dtype=jnp.int32) < n
         keys_cut = jnp.where(valid, keys_cut, jnp.int64(_KEY_SENTINEL))
+        if keys_hi_cut is not None:
+            keys_hi_cut = jnp.where(
+                valid, keys_hi_cut, jnp.int64(_KEY_SENTINEL)
+            )
         return HashJoinExec(
             node, keys_cut, out_cols, bucket, strings, normalizer, valid,
-            key_range=(int(kmin), int(kmax)) if n else None,
+            key_range=(
+                (int(kmin), int(kmax)) if n and keys_hi_cut is None else None
+            ),
+            build_keys_hi=keys_hi_cut,
         )
 
     # ---- sort-merge lookup --------------------------------------------
     def _lookup_sorted(
-        self, probe_keys: jax.Array, probe_live: jax.Array, key_ok: jax.Array
+        self,
+        probe_keys: jax.Array,
+        probe_live: jax.Array,
+        key_ok: jax.Array,
+        probe_keys_hi: Optional[jax.Array] = None,
     ):
         """Match probe keys against the sorted build side.
 
@@ -485,16 +623,40 @@ class HashJoinExec:
                     jnp.arange(cap, dtype=jnp.int32),
                 ]
             )
-            # sort by (key, is_probe): build rows precede equal probe keys
-            k_s, p_s, o_s = jax.lax.sort((all_keys, is_probe, orig), num_keys=2)
-            bidx = jnp.where(p_s == 0, o_s, jnp.int32(-1))
-            last_build = jax.lax.cummax(bidx)
-            cand = jnp.clip(last_build, 0, B - 1)
-            hit = (
-                (p_s == 1)
-                & (last_build >= 0)
-                & (jnp.take(self.build_keys, cand, mode="clip") == k_s)
-            )
+            if self.build_keys_hi is not None:
+                # two-limb composite keys (>62 bits): sort by (hi, lo,
+                # is_probe) — matches the build's lexsort order — and the
+                # equality test covers BOTH limbs
+                all_hi = jnp.concatenate(
+                    [self.build_keys_hi, probe_keys_hi.astype(kt)]
+                )
+                h_s, k_s, p_s, o_s = jax.lax.sort(
+                    (all_hi, all_keys, is_probe, orig), num_keys=3
+                )
+                bidx = jnp.where(p_s == 0, o_s, jnp.int32(-1))
+                last_build = jax.lax.cummax(bidx)
+                cand = jnp.clip(last_build, 0, B - 1)
+                hit = (
+                    (p_s == 1)
+                    & (last_build >= 0)
+                    & (jnp.take(self.build_keys, cand, mode="clip") == k_s)
+                    & (
+                        jnp.take(self.build_keys_hi, cand, mode="clip") == h_s
+                    )
+                )
+            else:
+                # sort by (key, is_probe): build rows precede equal probe keys
+                k_s, p_s, o_s = jax.lax.sort(
+                    (all_keys, is_probe, orig), num_keys=2
+                )
+                bidx = jnp.where(p_s == 0, o_s, jnp.int32(-1))
+                last_build = jax.lax.cummax(bidx)
+                cand = jnp.clip(last_build, 0, B - 1)
+                hit = (
+                    (p_s == 1)
+                    & (last_build >= 0)
+                    & (jnp.take(self.build_keys, cand, mode="clip") == k_s)
+                )
         if self.build_valid is not None:
             # device builds pad to a bucket; sentinel tail slots never match
             hit = hit & jnp.take(self.build_valid, cand, mode="clip")
@@ -823,13 +985,16 @@ class HashJoinExec:
             probe_vals.append(values)
             if validity is not None:
                 key_ok = key_ok & validity
+        probe_keys_hi = None
         if self.normalizer is None:
             probe_keys = probe_vals[0].astype(jnp.int64)
         else:
-            probe_keys, key_ok = self.normalizer.pack_device(probe_vals, key_ok)
+            (probe_keys_hi, probe_keys), key_ok = (
+                self.normalizer.pack_device_limbs(probe_vals, key_ok)
+            )
 
         perm, pos, hit, live = self._lookup_sorted(
-            probe_keys, batch.active_mask(), key_ok
+            probe_keys, batch.active_mask(), key_ok, probe_keys_hi
         )
 
         out_cols: List[Column] = []

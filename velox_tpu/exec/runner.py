@@ -942,6 +942,9 @@ class LocalExecutor:
             # the writer consumes the child pipeline's full result
             self._write_sink_factory = root.sink_factory
             root = root.source
+        from .sketch import rewrite_sketch_aggregates
+
+        root = rewrite_sketch_aggregates(root)
         self.root = root
         self.tile_rows = tile_rows
         self.config = config or DEFAULT_CONFIG

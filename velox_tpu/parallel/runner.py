@@ -85,11 +85,34 @@ class DistributedExecutor:
         from ..exec.joins import HashJoinExec, JoinBuildError
         from .shuffle_join import partition_build
 
+        from ..exec.sketch import rewrite_sketch_aggregates
+        from ..plan.nodes import TableScanNode, ValuesNode
+
         self.mesh = mesh
         self.axis = axis
         self.n = mesh.devices.size
         self.config = config or DEFAULT_CONFIG
+        root = rewrite_sketch_aggregates(root)
         lin = _linearize(root)
+        if not isinstance(lin.source, (TableScanNode, ValuesNode)):
+            # pipeline barrier (e.g. an aggregation feeding another): run the
+            # subtree DISTRIBUTED when it is aggregation-rooted — the heavy
+            # half of stacked aggregations (sketch rewrites) stays on the
+            # mesh — otherwise materialize locally
+            from ..plan.nodes import AggregationNode
+
+            def _has_agg(n):
+                return isinstance(n, AggregationNode) or any(
+                    _has_agg(s) for s in getattr(n, "sources", ())
+                )
+
+            if _has_agg(lin.source):
+                sub = DistributedExecutor(
+                    lin.source, mesh, per_device_rows, axis, config
+                ).run()
+            else:
+                sub = LocalExecutor(lin.source).run()
+            lin.source = ValuesNode(sub, id=lin.source.id)
         self.lin = lin
 
         self.source_table = lin.source.table.select(

@@ -225,8 +225,15 @@ class PlanBuilder:
             argtext = call_m.group("arg").strip()
             distinct = False
             if fn == "approx_distinct":
-                distinct, fn = True, "count"
                 argtext = _split_call_args(argtext)[0]  # ignore max-error arg
+                if len(aggregates) == 1:
+                    # a lone approx_distinct stays a real call: the executors
+                    # lower it to the bounded-state HLL sketch
+                    # (exec/sketch.py).  Mixed nodes keep the exact
+                    # distinct-count lowering below.
+                    pass
+                else:
+                    distinct, fn = True, "count"
             elif argtext.lower().startswith("distinct "):
                 distinct = True
                 argtext = argtext[len("distinct "):].strip()
