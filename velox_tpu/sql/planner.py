@@ -1,0 +1,888 @@
+"""SQL SELECT -> PlanNode planner.
+
+Reference seam: velox/duckdb/conversion/QueryPlanner.h:24 (parseQuery over an
+embedded DuckDB) and exec/tests/utils/QueryAssertions — here re-implemented as
+a native planner so the engine has a SQL surface without a C++ dependency.
+
+Supported grammar (the TPC-H surface plus the common analytics shapes):
+
+    SELECT [DISTINCT] item [, item ...]
+    FROM   ref [, ref ...] [ [INNER|LEFT|RIGHT|FULL|CROSS] JOIN ref ON cond ]*
+    [WHERE pred] [GROUP BY key [, key ...]] [HAVING pred]
+    [ORDER BY expr [ASC|DESC] [NULLS FIRST|LAST] [, ...]]
+    [LIMIT n [OFFSET m]]
+
+where ``ref`` is a catalog table (optionally aliased) or a parenthesized
+subquery with an alias.  Scalar expressions are delegated to the engine's
+expression parser (expr/parser.py); this module only handles statement
+structure, cross-source name resolution, and aggregate extraction.
+
+Design notes (TPU-first consequences):
+- comma-style FROM extracts equi-conjuncts from WHERE into hash-join keys in
+  FROM order and pushes single-source conjuncts below the joins — the minimal
+  planning the fixed-shape tile programs need (there is no cost-based
+  optimizer; join order is the query author's order, like the reference's
+  TpchQueryBuilder hand-built plans).
+- aggregates are extracted textually from the select list / HAVING / ORDER BY
+  into an AggregationNode and the surrounding expression is evaluated above it
+  (the reference's planner does the same split, core/PlanNode.h aggregation +
+  projection).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..io.table import Table
+from ..plan.builder import PlanBuilder
+
+# ---------------------------------------------------------------------------
+# tokenizer
+
+
+class _Tok:
+    __slots__ = ("kind", "text")
+
+    def __init__(self, kind: str, text: str):
+        self.kind = kind  # 'name' | 'number' | 'string' | 'op'
+        self.text = text
+
+    @property
+    def low(self) -> str:
+        return self.text.lower()
+
+    def __repr__(self):  # pragma: no cover
+        return f"{self.kind}:{self.text}"
+
+
+_SQL_TOKEN_RE = re.compile(
+    r"""
+    \s*(?:
+      (?P<comment>--[^\n]*)
+    | (?P<number>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
+    | (?P<name>[A-Za-z_][A-Za-z_0-9]*(?:\.(?:[A-Za-z_][A-Za-z_0-9]*|\*))?)
+    | (?P<string>'(?:[^']|'')*')
+    | (?P<op><>|!=|>=|<=|->|=|<|>|\|\||[+\-*/%(),\[\];])
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(sql: str) -> List[_Tok]:
+    out: List[_Tok] = []
+    pos = 0
+    while pos < len(sql):
+        m = _SQL_TOKEN_RE.match(sql, pos)
+        if not m or m.end() == pos:
+            if sql[pos:].strip() == "":
+                break
+            raise ValueError(f"cannot tokenize SQL at {sql[pos:pos+30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "comment":
+            continue
+        out.append(_Tok("op" if kind == "op" else kind, m.group(kind)))
+    return out
+
+
+def _detok(tokens: Sequence[_Tok]) -> str:
+    """Reconstruct expression text the expression parser accepts."""
+    parts: List[str] = []
+    for t in tokens:
+        parts.append(t.text)
+    return " ".join(parts)
+
+
+# clause keywords that terminate an expression slice at depth 0
+_CLAUSE_KW = {
+    "from", "where", "group", "having", "order", "limit", "offset",
+    "join", "inner", "left", "right", "full", "cross", "on", "union",
+}
+
+# aggregate functions the extractor recognizes (exec/aggregates.py +
+# exec/collect_agg.py); scalar calls never share these names
+def _agg_names() -> frozenset:
+    from ..exec.aggregates import AGGREGATE_NAMES
+    from ..exec.collect_agg import COLLECT_AGG_NAMES
+
+    return frozenset(AGGREGATE_NAMES) | frozenset(COLLECT_AGG_NAMES) | {
+        "approx_distinct", "reduce_agg",
+    }
+
+
+# ---------------------------------------------------------------------------
+# scope: name resolution across FROM sources
+
+
+class _Scope:
+    """Maps SQL spellings (``col``, ``alias.col``) to internal column names."""
+
+    def __init__(self):
+        self.map: Dict[str, str] = {}
+        self.ambiguous: set = set()
+
+    def add(self, alias: Optional[str], columns: Sequence[str]):
+        for col in columns:
+            low = col.lower()
+            if low in self.map and self.map[low] != col:
+                self.ambiguous.add(low)
+            else:
+                self.map.setdefault(low, col)
+            if alias:
+                self.map[f"{alias.lower()}.{low}"] = col
+
+    def resolve(self, spelling: str) -> Optional[str]:
+        low = spelling.lower()
+        if low in self.ambiguous and "." not in low:
+            raise ValueError(f"ambiguous column reference {spelling!r}")
+        return self.map.get(low)
+
+    def rewrite(self, tokens: Sequence[_Tok]) -> List[_Tok]:
+        out = []
+        for t in tokens:
+            if t.kind == "name":
+                r = self.map.get(t.low)
+                if t.low in self.ambiguous and "." not in t.low:
+                    raise ValueError(f"ambiguous column reference {t.text!r}")
+                if r is not None:
+                    t = _Tok("name", r)
+            out.append(t)
+        return out
+
+
+def _unique_name(base: str, used: set) -> str:
+    if base not in used:
+        return base
+    i = 2
+    while f"{base}_{i}" in used:
+        i += 1
+    return f"{base}_{i}"
+
+
+# ---------------------------------------------------------------------------
+# conjunct utilities
+
+
+def _split_conjuncts(tokens: Sequence[_Tok]) -> List[List[_Tok]]:
+    """Split on top-level AND (parens- , CASE..END- and BETWEEN..AND-aware)."""
+    out: List[List[_Tok]] = []
+    depth = 0
+    pending_between = 0
+    start = 0
+    for i, t in enumerate(tokens):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif t.kind == "name" and depth == 0:
+            low = t.low
+            if low == "case":
+                depth += 1  # CASE..END behaves like a bracket
+            elif low == "end":
+                depth -= 1
+            elif low == "between":
+                pending_between += 1
+            elif low == "and":
+                if pending_between:
+                    pending_between -= 1
+                else:
+                    out.append(list(tokens[start:i]))
+                    start = i + 1
+    out.append(list(tokens[start:]))
+    return [c for c in out if c]
+
+
+def _split_top_level(tokens: Sequence[_Tok], sep: str) -> List[List[_Tok]]:
+    out: List[List[_Tok]] = []
+    depth = 0
+    start = 0
+    for i, t in enumerate(tokens):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "op" and t.text == sep:
+            out.append(list(tokens[start:i]))
+            start = i + 1
+    out.append(list(tokens[start:]))
+    return out
+
+
+def _columns_in(tokens: Sequence[_Tok], universe: set) -> set:
+    return {t.text for t in tokens if t.kind == "name" and t.text in universe}
+
+
+def _is_equality(tokens: Sequence[_Tok]) -> Optional[Tuple[str, str]]:
+    if (
+        len(tokens) == 3
+        and tokens[0].kind == "name"
+        and tokens[1].kind == "op"
+        and tokens[1].text == "="
+        and tokens[2].kind == "name"
+    ):
+        return tokens[0].text, tokens[2].text
+    return None
+
+
+# ---------------------------------------------------------------------------
+# aggregate extraction
+
+
+def _match_paren(tokens: Sequence[_Tok], open_idx: int) -> int:
+    depth = 0
+    for i in range(open_idx, len(tokens)):
+        t = tokens[i]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses")
+
+
+class _AggExtractor:
+    """Pulls aggregate calls out of expression token streams, replacing each
+    with a generated column name; identical calls share one output."""
+
+    def __init__(self):
+        self.names = _agg_names()
+        self.calls: List[str] = []  # call text, e.g. 'sum( x + 1 )'
+        self.outs: List[str] = []   # generated output names
+
+    def extract(self, tokens: List[_Tok]) -> List[_Tok]:
+        out: List[_Tok] = []
+        i = 0
+        while i < len(tokens):
+            t = tokens[i]
+            if (
+                t.kind == "name"
+                and t.low in self.names
+                and i + 1 < len(tokens)
+                and tokens[i + 1].kind == "op"
+                and tokens[i + 1].text == "("
+            ):
+                close = _match_paren(tokens, i + 1)
+                if close + 1 < len(tokens) and tokens[close + 1].low == "over":
+                    raise NotImplementedError(
+                        "window functions (OVER) are not supported in the SQL "
+                        "frontend yet; use PlanBuilder.window"
+                    )
+                text = _detok(tokens[i : close + 1])
+                if text in self.calls:
+                    name = self.outs[self.calls.index(text)]
+                else:
+                    name = f"__agg{len(self.calls)}"
+                    self.calls.append(text)
+                    self.outs.append(name)
+                out.append(_Tok("name", name))
+                i = close + 1
+            else:
+                out.append(t)
+                i += 1
+        return out
+
+    @property
+    def found(self) -> bool:
+        return bool(self.calls)
+
+
+def _subst(tokens: List[_Tok], pattern: List[_Tok], name: str) -> List[_Tok]:
+    """Replace token subsequences equal to ``pattern`` with a name token."""
+    pat = [p.text for p in pattern]
+    n = len(pat)
+    out: List[_Tok] = []
+    i = 0
+    while i < len(tokens):
+        if n and [t.text for t in tokens[i : i + n]] == pat:
+            out.append(_Tok("name", name))
+            i += n
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parser
+
+
+class _Parser:
+    def __init__(self, tokens: List[_Tok], catalog: Dict[str, Table]):
+        self.toks = tokens
+        self.pos = 0
+        self.catalog = catalog
+
+    # -- token helpers ----------------------------------------------------
+    def peek(self, ahead: int = 0) -> Optional[_Tok]:
+        i = self.pos + ahead
+        return self.toks[i] if i < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of SQL")
+        self.pos += 1
+        return t
+
+    def accept(self, low: str) -> bool:
+        t = self.peek()
+        if t is not None and t.low == low:
+            self.pos += 1
+            return True
+        return False
+
+    def expect(self, low: str):
+        t = self.next()
+        if t.low != low:
+            raise ValueError(f"expected {low!r}, got {t.text!r}")
+
+    def _slice_until(self, stops: set) -> List[_Tok]:
+        """Consume tokens until a depth-0 stop keyword / ')' / ',' per stops."""
+        out: List[_Tok] = []
+        depth = 0
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                if t.kind == "name" and t.low in stops:
+                    break
+                if "," in stops and t.kind == "op" and t.text == ",":
+                    break
+                if ";" in stops and t.kind == "op" and t.text == ";":
+                    break
+            out.append(self.next())
+        return out
+
+    # -- FROM refs ---------------------------------------------------------
+    def _parse_ref(self):
+        """-> (alias, PlanBuilder) for one table reference."""
+        t = self.peek()
+        if t is None:
+            raise ValueError("expected table reference")
+        if t.kind == "op" and t.text == "(":
+            self.next()
+            sub = self.parse_select()
+            self.expect(")")
+            alias = self._parse_alias(required=True)
+            return alias, sub
+        name = self.next()
+        if name.kind != "name":
+            raise ValueError(f"expected table name, got {name.text!r}")
+        table = self.catalog.get(name.text) or self.catalog.get(name.low)
+        if table is None:
+            raise KeyError(f"table {name.text!r} not in catalog")
+        alias = self._parse_alias(required=False) or name.low
+        return alias, PlanBuilder().table_scan(table)
+
+    def _parse_alias(self, required: bool) -> Optional[str]:
+        self.accept("as")
+        t = self.peek()
+        if (
+            t is not None
+            and t.kind == "name"
+            and t.low not in _CLAUSE_KW
+            and t.low != "and"
+        ):
+            self.next()
+            return t.text
+        if required:
+            raise ValueError("subquery in FROM requires an alias")
+        return None
+
+    # -- SELECT ------------------------------------------------------------
+    def parse_select(self) -> PlanBuilder:
+        self.expect("select")
+        distinct = self.accept("distinct")
+
+        select_items = [
+            _split_as(item)
+            for item in _split_top_level(self._slice_until({"from"}), ",")
+        ]
+
+        self.expect("from")
+
+        sources: List[Tuple[str, PlanBuilder]] = []
+        joins: List[Tuple[str, str, PlanBuilder, List[_Tok]]] = []
+        sources.append(self._parse_ref())
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            if t.kind == "op" and t.text == ",":
+                self.next()
+                sources.append(self._parse_ref())
+                continue
+            jt = None
+            if t.low in ("inner", "join"):
+                self.accept("inner")
+                self.expect("join")
+                jt = "inner"
+            elif t.low in ("left", "right", "full"):
+                self.next()
+                self.accept("outer")
+                self.expect("join")
+                jt = t.low
+            elif t.low == "cross":
+                self.next()
+                self.expect("join")
+                jt = "cross"
+            if jt is None:
+                break
+            alias, rb = self._parse_ref()
+            cond: List[_Tok] = []
+            if jt != "cross":
+                self.expect("on")
+                cond = self._slice_until(
+                    {"where", "group", "having", "order", "limit", "offset",
+                     "join", "inner", "left", "right", "full", "cross",
+                     "union", ";"}
+                )
+            joins.append((jt, alias, rb, cond))
+
+        where_toks: List[_Tok] = []
+        if self.accept("where"):
+            where_toks = self._slice_until(
+                {"group", "having", "order", "limit", "offset", "union", ";"}
+            )
+        group_items: List[List[_Tok]] = []
+        if self.accept("group"):
+            self.expect("by")
+            group_items = _split_top_level(
+                self._slice_until(
+                    {"having", "order", "limit", "offset", "union", ";"}
+                ),
+                ",",
+            )
+        having_toks: List[_Tok] = []
+        if self.accept("having"):
+            having_toks = self._slice_until(
+                {"order", "limit", "offset", "union", ";"}
+            )
+        order_items: List[List[_Tok]] = []
+        if self.accept("order"):
+            self.expect("by")
+            order_items = _split_top_level(
+                self._slice_until({"limit", "offset", "union", ";"}), ","
+            )
+        limit = offset = None
+        if self.accept("limit"):
+            limit = int(self.next().text)
+        if self.accept("offset"):
+            offset = int(self.next().text)
+        if self.peek() is not None and self.peek().low == "union":
+            raise NotImplementedError("UNION is not supported yet")
+        self.accept(";")
+
+        return _assemble(
+            sources, joins, where_toks, select_items, distinct,
+            group_items, having_toks, order_items, limit, offset,
+        )
+
+
+def _split_as(tokens: List[_Tok]) -> Tuple[List[_Tok], Optional[str]]:
+    """'expr AS name' / trailing bare-name alias -> (expr tokens, alias)."""
+    if (
+        len(tokens) >= 3
+        and tokens[-2].kind == "name"
+        and tokens[-2].low == "as"
+        and tokens[-1].kind == "name"
+    ):
+        return list(tokens[:-2]), tokens[-1].text
+    return list(tokens), None
+
+
+# ---------------------------------------------------------------------------
+# plan assembly
+
+
+def _rename_collisions(
+    sources: List[Tuple[str, PlanBuilder]]
+) -> Tuple[List[Tuple[str, PlanBuilder]], _Scope]:
+    """Give every source unique column names (renaming collisions to
+    ``alias__col``) and build the spelling scope."""
+    scope = _Scope()
+    used: set = set()
+    out = []
+    for alias, pb in sources:
+        names = list(pb.schema.names)
+        renames = {}
+        for n in names:
+            if n in used:
+                renames[n] = f"{alias}__{n}"
+        if renames:
+            pb = PlanBuilder(pb.node).project(
+                [
+                    f"{n} as {renames[n]}" if n in renames else n
+                    for n in names
+                ]
+            )
+        final = [renames.get(n, n) for n in names]
+        used.update(final)
+        # spellings: alias.original -> internal; bare original if unique —
+        # a renamed collision makes the bare spelling ambiguous (SQL rules)
+        scope.add(None, final)
+        for n in renames:
+            scope.ambiguous.add(n.lower())
+        if alias:
+            for orig, internal in zip(names, final):
+                scope.map[f"{alias.lower()}.{orig.lower()}"] = internal
+        out.append((alias, pb))
+    return out, scope
+
+
+def _join_sources(
+    sources, joins, where_toks, scope
+) -> Tuple[PlanBuilder, List[List[_Tok]]]:
+    """Assemble the join tree; returns (plan, leftover conjuncts)."""
+    # classify WHERE conjuncts
+    conjuncts = _split_conjuncts(scope.rewrite(where_toks)) if where_toks else []
+    col_owner: Dict[str, int] = {}
+    for i, (_, pb) in enumerate(sources):
+        for n in pb.schema.names:
+            col_owner[n] = i
+    universe = set(col_owner)
+
+    pushed: List[List[List[_Tok]]] = [[] for _ in sources]
+    equis: List[Tuple[str, str]] = []
+    leftovers: List[List[_Tok]] = []
+    for c in conjuncts:
+        cols = _columns_in(c, universe)
+        owners = {col_owner[x] for x in cols}
+        eq = _is_equality(c)
+        if len(owners) <= 1:
+            if owners:
+                pushed[owners.pop()].append(c)
+            else:
+                leftovers.append(c)  # constant predicate
+        elif eq and len(owners) == 2 and eq[0] in universe and eq[1] in universe:
+            equis.append(eq)
+        else:
+            leftovers.append(c)
+
+    builders = []
+    for i, (alias, pb) in enumerate(sources):
+        for c in pushed[i]:
+            pb = PlanBuilder(pb.node).filter(_detok(c))
+        builders.append(pb)
+
+    plan = builders[0]
+    in_plan = set(builders[0].schema.names)
+    remaining = list(range(1, len(builders)))
+    pending_eq = list(equis)
+    while remaining:
+        # next source (FROM order) joinable via pending equalities
+        pick = None
+        for idx in remaining:
+            side_cols = set(builders[idx].schema.names)
+            keys = [
+                (a, b) if a in in_plan else (b, a)
+                for a, b in pending_eq
+                if (a in in_plan and b in side_cols)
+                or (b in in_plan and a in side_cols)
+            ]
+            if keys:
+                pick = (idx, keys)
+                break
+        if pick is None:  # no equality connects: cartesian with next source
+            idx = remaining[0]
+            rb = builders[idx]
+            plan.cross_join(
+                rb, output=list(plan.schema.names) + list(rb.schema.names)
+            )
+            remaining.remove(idx)
+            in_plan.update(rb.schema.names)
+            continue
+        idx, keys = pick
+        rb = builders[idx]
+        used_pairs = set()
+        lkeys, rkeys = [], []
+        for a, b in keys:
+            if (a, b) in used_pairs:
+                continue
+            used_pairs.add((a, b))
+            lkeys.append(a)
+            rkeys.append(b)
+        pending_eq = [
+            e for e in pending_eq
+            if not (
+                (e[0] in in_plan and e[1] in set(rb.schema.names))
+                or (e[1] in in_plan and e[0] in set(rb.schema.names))
+            )
+        ]
+        plan.hash_join(
+            rb, lkeys, rkeys,
+            output=list(plan.schema.names) + list(rb.schema.names),
+        )
+        remaining.remove(idx)
+        in_plan.update(rb.schema.names)
+
+    # unconsumed equalities (cycles) and the rest apply above the joins
+    for a, b in pending_eq:
+        leftovers.append(
+            [_Tok("name", a), _Tok("op", "="), _Tok("name", b)]
+        )
+
+    # explicit JOIN ... ON chain
+    for jt, alias, rb, cond in joins:
+        if jt == "cross":
+            plan.cross_join(
+                rb, output=list(plan.schema.names) + list(rb.schema.names)
+            )
+            in_plan.update(rb.schema.names)
+            continue
+        cond = scope.rewrite(cond)
+        side_cols = set(rb.schema.names)
+        lkeys, rkeys, residual = [], [], []
+        for c in _split_conjuncts(cond):
+            eq = _is_equality(c)
+            if eq:
+                a, b = eq
+                if a in in_plan and b in side_cols:
+                    lkeys.append(a)
+                    rkeys.append(b)
+                    continue
+                if b in in_plan and a in side_cols:
+                    lkeys.append(b)
+                    rkeys.append(a)
+                    continue
+            residual.append(c)
+        if not lkeys:
+            raise NotImplementedError(
+                f"{jt.upper()} JOIN requires at least one equality in ON"
+            )
+        filt = (
+            " and ".join(_detok(c) for c in residual) if residual else None
+        )
+        plan.hash_join(
+            rb, lkeys, rkeys,
+            output=list(plan.schema.names) + list(rb.schema.names),
+            join_type=jt,
+            filter=filt,
+        )
+        in_plan.update(rb.schema.names)
+
+    return plan, leftovers
+
+
+def _assemble(
+    sources, joins, where_toks, select_items, distinct,
+    group_items, having_toks, order_items, limit, offset,
+) -> PlanBuilder:
+    sources, scope = _rename_collisions(sources)
+    # fold explicit-join sources into the scope (for SELECT/ON resolution)
+    joins2 = []
+    used = set()
+    for _, pb in sources:
+        used.update(pb.schema.names)
+    for jt, alias, rb, cond in joins:
+        names = list(rb.schema.names)
+        renames = {n: f"{alias}__{n}" for n in names if n in used}
+        if renames:
+            rb = PlanBuilder(rb.node).project(
+                [f"{n} as {renames[n]}" if n in renames else n for n in names]
+            )
+        final = [renames.get(n, n) for n in names]
+        used.update(final)
+        scope.add(None, final)
+        for n in renames:
+            scope.ambiguous.add(n.lower())
+        if alias:
+            for orig, internal in zip(names, final):
+                scope.map[f"{alias.lower()}.{orig.lower()}"] = internal
+        joins2.append((jt, alias, rb, cond))
+
+    plan, leftovers = _join_sources(sources, joins2, where_toks, scope)
+    for c in leftovers:
+        plan.filter(_detok(c))
+
+    # ---- star expansion + name rewriting --------------------------------
+    items: List[Tuple[List[_Tok], Optional[str]]] = []
+    for toks, alias in select_items:
+        if len(toks) == 1 and toks[0].kind == "op" and toks[0].text == "*":
+            for n in plan.schema.names:
+                items.append(([_Tok("name", n)], None))
+            continue
+        if (
+            len(toks) == 1
+            and toks[0].kind == "name"
+            and toks[0].text.endswith(".*")
+        ):
+            prefix = toks[0].low[:-2] + "."
+            cols = [
+                v for k, v in scope.map.items() if k.startswith(prefix)
+            ]
+            seen = set()
+            for n in cols:
+                if n not in seen:
+                    seen.add(n)
+                    items.append(([_Tok("name", n)], None))
+            continue
+        items.append((scope.rewrite(toks), alias))
+
+    group_items = [scope.rewrite(g) for g in group_items]
+    having_toks = scope.rewrite(having_toks) if having_toks else []
+    order_parsed = [_parse_order_item(o, scope) for o in order_items]
+
+    # GROUP BY position / expression handling
+    gk_exprs: List[Tuple[str, List[_Tok]]] = []  # (key name, expr tokens)
+    keys: List[str] = []
+    for gi, g in enumerate(group_items):
+        if len(g) == 1 and g[0].kind == "number":
+            g = items[int(g[0].text) - 1][0]
+        if len(g) == 1 and g[0].kind == "name" and g[0].text in plan.schema:
+            keys.append(g[0].text)
+            continue
+        name = f"__gk{gi}"
+        gk_exprs.append((name, g))
+        keys.append(name)
+
+    ex = _AggExtractor()
+    items = [(ex.extract(toks), alias) for toks, alias in items]
+    having_x = ex.extract(having_toks) if having_toks else []
+    order_x = [
+        (ex.extract(toks), asc, nf) for toks, asc, nf in order_parsed
+    ]
+
+    aggregated = bool(group_items) or ex.found
+    if aggregated:
+        if gk_exprs:
+            base_cols = list(plan.schema.names)
+            plan.project(
+                base_cols + [f"{_detok(e)} as {n}" for n, e in gk_exprs]
+            )
+            # replace group-expr occurrences in select/having/order
+            for n, e in gk_exprs:
+                items = [(_subst(t, e, n), a) for t, a in items]
+                having_x = _subst(having_x, e, n)
+                order_x = [
+                    (_subst(t, e, n), asc, nf) for t, asc, nf in order_x
+                ]
+        plan.aggregation(
+            keys,
+            [f"{call} as {out}" for call, out in zip(ex.calls, ex.outs)],
+        )
+        if having_x:
+            plan.filter(_detok(having_x))
+
+    # ---- final projection -------------------------------------------------
+    out_names: List[str] = []
+    proj: List[str] = []
+    used_names: set = set()
+    for i, (toks, alias) in enumerate(items):
+        if alias:
+            name = alias
+        elif len(toks) == 1 and toks[0].kind == "name":
+            name = toks[0].text.split(".")[-1]
+            if name.startswith("__agg"):
+                name = f"_col{i}"
+        else:
+            name = f"_col{i}"
+        name = _unique_name(name, used_names)
+        used_names.add(name)
+        out_names.append(name)
+        proj.append(f"{_detok(toks)} as {name}")
+
+    # ORDER BY keys: map to output columns; non-trivial exprs become hidden
+    sort_specs: List[str] = []
+    hidden: List[str] = []
+    for oi, (toks, asc, nf) in enumerate(order_x):
+        if len(toks) == 1 and toks[0].kind == "number":
+            key = out_names[int(toks[0].text) - 1]
+        elif (
+            len(toks) == 1
+            and toks[0].kind == "name"
+            and toks[0].text in out_names
+        ):
+            key = toks[0].text  # select-list alias
+        else:
+            text = _detok(toks)
+            key = None
+            for nm, (itoks, _) in zip(out_names, items):
+                if _detok(itoks) == text:
+                    key = nm
+                    break
+            if key is None and len(toks) == 1 and toks[0].kind == "name":
+                # a bare column not in the select list: carry it hidden
+                key = f"__ok{oi}"
+                hidden.append(f"{toks[0].text} as {key}")
+            elif key is None:
+                key = f"__ok{oi}"
+                hidden.append(f"{text} as {key}")
+        sort_specs.append(
+            key
+            + ("" if asc else " desc")
+            + (" nulls first" if nf else "")
+        )
+    plan.project(proj + hidden)
+
+    if distinct:
+        if hidden:
+            raise NotImplementedError(
+                "SELECT DISTINCT with ORDER BY expressions outside the "
+                "select list is not supported"
+            )
+        plan.aggregation(out_names, ["count(*) as __d"])
+        plan.project(out_names)
+
+    if sort_specs:
+        if limit is not None and not offset:
+            plan.topn(sort_specs, limit)
+        else:
+            plan.orderby(sort_specs)
+            if limit is not None or offset:
+                plan.limit(
+                    limit if limit is not None else (1 << 62), offset or 0
+                )
+        if hidden:
+            plan.project(out_names)
+    elif limit is not None or offset:
+        plan.limit(limit if limit is not None else (1 << 62), offset or 0)
+
+    return plan
+
+
+def _parse_order_item(tokens: List[_Tok], scope: _Scope):
+    asc = True
+    nulls_first = False
+    toks = list(tokens)
+    if toks and toks[-2:] and [t.low for t in toks[-2:]] == ["nulls", "first"]:
+        nulls_first = True
+        toks = toks[:-2]
+    elif toks and [t.low for t in toks[-2:]] == ["nulls", "last"]:
+        toks = toks[:-2]
+    if toks and toks[-1].kind == "name" and toks[-1].low in ("asc", "desc"):
+        asc = toks[-1].low == "asc"
+        toks = toks[:-1]
+    return scope.rewrite(toks), asc, nulls_first
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def plan_sql(sql: str, catalog: Dict[str, Table]):
+    """Parse a SQL SELECT statement into a PlanNode over catalog tables."""
+    parser = _Parser(_tokenize(sql), catalog)
+    pb = parser.parse_select()
+    if parser.peek() is not None:
+        raise ValueError(f"trailing tokens after query: {parser.peek().text!r}")
+    return pb.build()
+
+
+def run_sql(sql: str, catalog: Dict[str, Table], tile_rows: Optional[int] = None) -> Table:
+    """Plan and execute a SQL SELECT; returns the result Table."""
+    from ..exec.runner import LocalExecutor
+
+    plan = plan_sql(sql, catalog)
+    if tile_rows is not None:
+        return LocalExecutor(plan, tile_rows=tile_rows).run()
+    return LocalExecutor(plan).run()
