@@ -277,6 +277,74 @@ class TestTpchSql:
             assert got[c].tolist() == expect[c].tolist(), c
 
 
+class TestSubqueries:
+    def test_in_subquery(self):
+        t, d = make_t(400), make_dim()
+        out = run_sql(
+            "select k, v from t where k in (select k from d where label = 2)",
+            {"t": t, "d": d},
+        ).to_pandas()
+        df, dd = df_of(t), df_of(make_dim())
+        keys = set(dd[dd.label == 2].k)
+        assert len(out) == int(df.k.isin(keys).sum())
+
+    def test_not_in_subquery(self):
+        t, d = make_t(400), make_dim()
+        out = run_sql(
+            "select k from t where k not in (select k from d where label = 2)",
+            {"t": t, "d": d},
+        ).to_pandas()
+        df, dd = df_of(t), df_of(make_dim())
+        keys = set(dd[dd.label == 2].k)
+        assert len(out) == int((~df.k.isin(keys)).sum())
+
+    def test_scalar_subquery(self):
+        t = make_t(500)
+        out = run_sql(
+            "select count(*) as c from t where w > (select avg(w) from t)",
+            {"t": t},
+        ).to_pandas()
+        df = df_of(t)
+        assert int(out["c"].iloc[0]) == int((df.w > df.w.mean()).sum())
+
+    def test_exists_correlated_q4(self):
+        """TPC-H Q4's EXISTS shape vs the hand-built plan."""
+        from velox_tpu.connectors.tpch import load_table
+        from velox_tpu.connectors.tpch.plans import build_q4
+
+        orders = load_table("orders", 0.01)
+        lineitem = load_table("lineitem", 0.01)
+        sql = """
+        select o_orderpriority, count(*) as order_count
+        from orders
+        where o_orderdate >= date '1993-07-01'
+          and o_orderdate < date '1993-10-01'
+          and exists (
+            select * from lineitem
+            where l_orderkey = o_orderkey and l_commitdate < l_receiptdate
+          )
+        group by o_orderpriority
+        order by o_orderpriority
+        """
+        got = run_sql(sql, {"orders": orders, "lineitem": lineitem}).to_pandas()
+        expect = run_plan(build_q4(orders, lineitem)).to_pandas()
+        for c in got.columns:
+            assert got[c].tolist() == expect[c].tolist(), c
+
+    def test_not_exists(self):
+        t = Table(
+            RowType(["k"], [vt.BIGINT]),
+            {"k": np.arange(20, dtype=np.int64)},
+        )
+        d = make_dim()  # keys 0..14
+        out = run_sql(
+            "select k from t where not exists "
+            "(select * from d where d.k = t.k) order by k",
+            {"t": t, "d": d},
+        ).to_pandas()
+        assert out["k"].tolist() == list(range(15, 20))
+
+
 class TestErrors:
     def test_unknown_table(self):
         with pytest.raises(KeyError, match="not in catalog"):

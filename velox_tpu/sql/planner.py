@@ -399,7 +399,7 @@ class _Parser:
         return None
 
     # -- SELECT ------------------------------------------------------------
-    def parse_select(self) -> PlanBuilder:
+    def parse_select(self, outer_scope=None, correlated_out=None) -> PlanBuilder:
         self.expect("select")
         distinct = self.accept("distinct")
 
@@ -485,6 +485,7 @@ class _Parser:
         return _assemble(
             sources, joins, where_toks, select_items, distinct,
             group_items, having_toks, order_items, limit, offset,
+            self.catalog, outer_scope, correlated_out,
         )
 
 
@@ -540,11 +541,11 @@ def _rename_collisions(
 
 
 def _join_sources(
-    sources, joins, where_toks, scope
+    sources, joins, conjuncts, scope
 ) -> Tuple[PlanBuilder, List[List[_Tok]]]:
-    """Assemble the join tree; returns (plan, leftover conjuncts)."""
-    # classify WHERE conjuncts
-    conjuncts = _split_conjuncts(scope.rewrite(where_toks)) if where_toks else []
+    """Assemble the join tree; returns (plan, leftover conjuncts).
+
+    ``conjuncts``: WHERE conjuncts already rewritten to internal names."""
     col_owner: Dict[str, int] = {}
     for i, (_, pb) in enumerate(sources):
         for n in pb.schema.names:
@@ -673,9 +674,149 @@ def _join_sources(
     return plan, leftovers
 
 
+def _find_subquery(tokens: Sequence[_Tok]) -> Optional[Tuple[int, int]]:
+    """(open, close) indices of the first ``( SELECT ...`` run, or None."""
+    for i, t in enumerate(tokens):
+        if (
+            t.kind == "op"
+            and t.text == "("
+            and i + 1 < len(tokens)
+            and tokens[i + 1].low == "select"
+        ):
+            return i, _match_paren(tokens, i)
+    return None
+
+
+def _extract_subquery_ops(conjuncts: List[List[_Tok]]):
+    """Split WHERE conjuncts into plain predicates and subquery operations.
+
+    Returns (plain, ops) with ops one of
+      ('exists',  positive, sub_tokens)
+      ('in',      positive, lhs_name_tok, sub_tokens)
+      ('scalar',  conjunct_with_placeholder, placeholder, sub_tokens)
+    Reference analog: the reference plans these shapes as semi/anti joins and
+    cross joins of single-row subqueries (DuckDB does the decorrelation there).
+    """
+    plain: List[List[_Tok]] = []
+    ops: List[tuple] = []
+    n_scalar = 0
+    for c in conjuncts:
+        low0 = c[0].low if c else ""
+        if (
+            low0 == "exists"
+            and len(c) >= 3
+            and c[1].text == "("
+            and _match_paren(c, 1) == len(c) - 1
+        ):
+            ops.append(("exists", True, c[2:-1]))
+            continue
+        if (
+            low0 == "not"
+            and len(c) >= 4
+            and c[1].low == "exists"
+            and c[2].text == "("
+            and _match_paren(c, 2) == len(c) - 1
+        ):
+            ops.append(("exists", False, c[3:-1]))
+            continue
+        # <name> [NOT] IN ( SELECT ... )
+        for j, t in enumerate(c):
+            if t.kind == "name" and t.low == "in":
+                neg = j > 0 and c[j - 1].low == "not"
+                start = j - (2 if neg else 1)
+                if (
+                    start == 0
+                    and c[0].kind == "name"
+                    and j + 2 < len(c)
+                    and c[j + 1].text == "("
+                    and c[j + 2].low == "select"
+                    and _match_paren(c, j + 1) == len(c) - 1
+                ):
+                    ops.append(("in", not neg, c[0], c[j + 2 : -1]))
+                    break
+        else:
+            sq = _find_subquery(c)
+            if sq is not None:
+                open_i, close_i = sq
+                ph = _Tok("name", f"__sq{n_scalar}")
+                n_scalar += 1
+                new_c = c[:open_i] + [ph] + c[close_i + 1 :]
+                ops.append(("scalar", new_c, ph.text, c[open_i + 1 : close_i]))
+            else:
+                plain.append(c)
+            continue
+    return plain, ops
+
+
+def _plan_subquery(sub_toks, catalog, scope, want_correlations: bool):
+    """Plan a nested SELECT; returns (PlanBuilder, correlations) where
+    correlations are (outer_col, inner_col) equality pairs pulled out of the
+    subquery's WHERE against the outer scope."""
+    correlated: List[Tuple[str, str]] = []  # (outer col, inner col)
+    p = _Parser(list(sub_toks), catalog)
+    pb = p.parse_select(outer_scope=scope, correlated_out=correlated)
+    if p.peek() is not None:
+        raise ValueError(f"trailing tokens in subquery: {p.peek().text!r}")
+    pairs = list(correlated)
+    if pairs and not want_correlations:
+        raise NotImplementedError(
+            "correlated subqueries are only supported under EXISTS"
+        )
+    return pb, pairs
+
+
+def _apply_subquery_ops(plan: PlanBuilder, ops, catalog, scope) -> PlanBuilder:
+    for op in ops:
+        kind = op[0]
+        if kind == "exists":
+            _, positive, sub_toks = op
+            sub, pairs = _plan_subquery(sub_toks, catalog, scope, True)
+            if not pairs:
+                raise NotImplementedError(
+                    "uncorrelated EXISTS is not supported; use a scalar "
+                    "count(*) comparison"
+                )
+            plan.hash_join(
+                sub,
+                [scope.resolve(o) or o for o, _ in pairs],
+                [i for _, i in pairs],
+                output=list(plan.schema.names),
+                join_type="left_semi" if positive else "anti",
+            )
+        elif kind == "in":
+            _, positive, lhs, sub_toks = op
+            sub, _ = _plan_subquery(sub_toks, catalog, scope, False)
+            lhs_name = scope.resolve(lhs.text) or lhs.text
+            # standard (non-null-aware) semi/anti join: a NULL on either side
+            # never matches; NOT IN over a subquery that yields NULLs deviates
+            # from SQL's three-valued semantics (reference: nullAware flag on
+            # core::HashJoinNode)
+            plan.hash_join(
+                sub,
+                [lhs_name],
+                [sub.schema.names[0]],
+                output=list(plan.schema.names),
+                join_type="left_semi" if positive else "anti",
+            )
+        else:  # scalar
+            _, conj, ph, sub_toks = op
+            sub, _ = _plan_subquery(sub_toks, catalog, scope, False)
+            if len(sub.schema.names) != 1:
+                raise ValueError("scalar subquery must produce one column")
+            sub.enforce_single_row()
+            sub.project([f"{sub.schema.names[0]} as {ph}"])
+            plan.cross_join(
+                sub, output=list(plan.schema.names) + [ph]
+            )
+            plan.filter(_detok(scope.rewrite(conj)))
+            plan.project([n for n in plan.schema.names if n != ph])
+    return plan
+
+
 def _assemble(
     sources, joins, where_toks, select_items, distinct,
     group_items, having_toks, order_items, limit, offset,
+    catalog, outer_scope=None, correlated_out=None,
 ) -> PlanBuilder:
     sources, scope = _rename_collisions(sources)
     # fold explicit-join sources into the scope (for SELECT/ON resolution)
@@ -700,9 +841,50 @@ def _assemble(
                 scope.map[f"{alias.lower()}.{orig.lower()}"] = internal
         joins2.append((jt, alias, rb, cond))
 
-    plan, leftovers = _join_sources(sources, joins2, where_toks, scope)
+    raw_conjs = _split_conjuncts(where_toks) if where_toks else []
+    plain, sub_ops = _extract_subquery_ops(raw_conjs)
+    plain = [scope.rewrite(c) for c in plain]
+    correlations: List[Tuple[str, str]] = []  # inner cols needed in output
+    if outer_scope is not None:
+        local_cols = set()
+        for _, pb in sources:
+            local_cols.update(pb.schema.names)
+        for jt_, _, rb_, _ in joins2:
+            local_cols.update(rb_.schema.names)
+        kept = []
+        for c in plain:
+            outer_pos = [
+                i for i, t in enumerate(c)
+                if t.kind == "name"
+                and t.text not in local_cols
+                and outer_scope.resolve(t.text) is not None
+            ]
+            if not outer_pos:
+                kept.append(c)
+                continue
+            if correlated_out is None:
+                raise ValueError(f"cannot resolve column(s) in {_detok(c)!r}")
+            if _is_equality(c) is None or len(outer_pos) != 1:
+                raise NotImplementedError(
+                    f"correlated subquery predicate {_detok(c)!r} is not a "
+                    "simple inner = outer equality"
+                )
+            outer_tok = c[outer_pos[0]]
+            inner_tok = c[2] if outer_pos[0] == 0 else c[0]
+            if inner_tok.text not in local_cols:
+                raise NotImplementedError(
+                    f"cannot split correlated equality {_detok(c)!r}"
+                )
+            correlated_out.append(
+                (outer_scope.resolve(outer_tok.text), inner_tok.text)
+            )
+            correlations.append(inner_tok.text)
+        plain = kept
+    plan, leftovers = _join_sources(sources, joins2, plain, scope)
     for c in leftovers:
         plan.filter(_detok(c))
+    if sub_ops:
+        plan = _apply_subquery_ops(plan, sub_ops, catalog, scope)
 
     # ---- star expansion + name rewriting --------------------------------
     items: List[Tuple[List[_Tok], Optional[str]]] = []
@@ -790,6 +972,13 @@ def _assemble(
         used_names.add(name)
         out_names.append(name)
         proj.append(f"{_detok(toks)} as {name}")
+    # correlated-subquery join keys must survive the projection (the enclosing
+    # EXISTS joins on them; the outputs themselves are discarded)
+    for col in correlations:
+        if col not in used_names:
+            used_names.add(col)
+            out_names.append(col)
+            proj.append(col)
 
     # ORDER BY keys: map to output columns; non-trivial exprs become hidden
     sort_specs: List[str] = []
