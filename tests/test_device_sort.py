@@ -173,3 +173,58 @@ def test_device_sort_after_filter_and_join():
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), expect.reset_index(drop=True)
     )
+
+
+def test_orderby_spill_external_sort():
+    """Spilled sorted runs merge on the host (reference: SortBuffer spill).
+
+    A tiny spill threshold forces every run to disk; a tight memory pool
+    forces the reserve-failure path.  Results must be identical to the
+    in-HBM device sort.
+    """
+    from velox_tpu.config import DEFAULT_CONFIG
+    from velox_tpu.utils import testvalue
+
+    t, df = make_table(n=6000, seed=21, with_nulls=True)
+    plan = (
+        PlanBuilder().table_scan(t).orderby(["a", "b desc", "v"]).build()
+    )
+    baseline = LocalExecutor(plan, tile_rows=1024).run().to_pandas()
+
+    hits = []
+    with testvalue.scoped(
+        "LocalExecutor::sortSpill", lambda s: hits.append(1)
+    ):
+        # threshold spill
+        cfg = DEFAULT_CONFIG.copy(spill_bytes_threshold=1 << 14)
+        out = (
+            LocalExecutor(plan, tile_rows=1024, config=cfg)
+            .run()
+            .to_pandas()
+        )
+        assert hits, "spill threshold was not triggered"
+        pd.testing.assert_frame_equal(out, baseline)
+
+        # pool-pressure spill
+        hits.clear()
+        cfg2 = DEFAULT_CONFIG.copy(query_memory_limit_bytes=1 << 17)
+        out2 = (
+            LocalExecutor(plan, tile_rows=1024, config=cfg2)
+            .run()
+            .to_pandas()
+        )
+        assert hits, "pool pressure did not trigger a spill"
+        pd.testing.assert_frame_equal(out2, baseline)
+
+
+def test_orderby_spill_string_keys():
+    """String dictionaries survive the spill round trip (codes remap on
+    restore, Table.concat unifies per-run dictionaries)."""
+    from velox_tpu.config import DEFAULT_CONFIG
+
+    t, df = make_table(n=4000, seed=22)
+    plan = PlanBuilder().table_scan(t).orderby(["s", "v"]).build()
+    baseline = LocalExecutor(plan, tile_rows=1024).run().to_pandas()
+    cfg = DEFAULT_CONFIG.copy(spill_bytes_threshold=1 << 14)
+    out = LocalExecutor(plan, tile_rows=1024, config=cfg).run().to_pandas()
+    pd.testing.assert_frame_equal(out, baseline)

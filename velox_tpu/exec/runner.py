@@ -836,6 +836,35 @@ def _sort_indices(table: Table, keys: Sequence[SortKey]) -> np.ndarray:
     return np.lexsort(tuple(arrays))
 
 
+def _replace_plan_node(
+    root: PlanNode, target: PlanNode, replacement: PlanNode
+) -> PlanNode:
+    """Rebuild the plan with ``target`` (by identity) swapped for
+    ``replacement``; shared subtrees above the target are re-created."""
+    import dataclasses as _dc
+
+    def walk(node: PlanNode) -> PlanNode:
+        if node is target:
+            return replacement
+        changed = {}
+        for attr in ("source", "left", "right"):
+            child = getattr(node, attr, None)
+            if isinstance(child, PlanNode):
+                new = walk(child)
+                if new is not child:
+                    changed[attr] = new
+        inputs = getattr(node, "inputs", None)
+        if inputs and all(isinstance(i, PlanNode) for i in inputs):
+            new_inputs = tuple(walk(i) for i in inputs)
+            if any(a is not b for a, b in zip(new_inputs, inputs)):
+                changed["inputs"] = new_inputs
+        if changed:
+            node = _dc.replace(node, **changed)
+        return node
+
+    return walk(root)
+
+
 def apply_finishers(table: Table, finishers: Sequence[PlanNode]) -> Table:
     for node in finishers:
         if isinstance(node, (OrderByNode, TopNNode)):
@@ -953,42 +982,72 @@ class LocalExecutor:
 
         from .joins import DuplicateBuildKeys
 
+        from .memory import MemoryPoolError
+
         resolved: List[Tuple] = []
         for step in lin.steps:
             if step[0] == "join":
                 from ..plan.nodes import JoinType as _JT
 
-                sub = LocalExecutor(step[1].right, tile_rows, config, pool=self.pool)
-                device = (
-                    None
-                    if step[1].join_type == _JT.FULL  # host build keeps keys
-                    else sub.run_device()
-                )
-                exec_ = None
-                if device is not None:
-                    # build data stays in HBM end to end (no host round trip)
-                    batches, err = device
-                    try:
-                        exec_ = HashJoinExec.build_from_device(
-                            step[1], batches, err
-                        )
-                    except DuplicateBuildKeys:
-                        pass  # N:M build: host path constructs run spans
-                if exec_ is None:
-                    exec_ = HashJoinExec.build(step[1], sub.run())
-                from .memory import device_tree_bytes
+                sub = device = exec_ = None
+                try:
+                    sub = LocalExecutor(
+                        step[1].right, tile_rows, config, pool=self.pool
+                    )
+                    device = (
+                        None
+                        if step[1].join_type == _JT.FULL  # host build keeps keys
+                        else sub.run_device()
+                    )
+                    exec_ = None
+                    if device is not None:
+                        # build data stays in HBM end to end (no host round trip)
+                        batches, err = device
+                        try:
+                            exec_ = HashJoinExec.build_from_device(
+                                step[1], batches, err
+                            )
+                        except DuplicateBuildKeys:
+                            pass  # N:M build: host path constructs run spans
+                    if exec_ is None:
+                        exec_ = HashJoinExec.build(step[1], sub.run())
+                    from .memory import device_tree_bytes
 
-                self.pool.reserve(
-                    device_tree_bytes(
-                        (
-                            exec_.build_keys,
-                            exec_.build_cols,
-                            exec_.build_valid,
-                            exec_.run_start,
-                            exec_.run_count,
+                    self.pool.reserve(
+                        device_tree_bytes(
+                            (
+                                exec_.build_keys,
+                                exec_.build_cols,
+                                exec_.build_valid,
+                                exec_.run_start,
+                                exec_.run_count,
+                            )
                         )
                     )
-                )
+                except MemoryPoolError:
+                    # Grace hash join (exec/grace.py): the build does not fit
+                    # the memory budget — partition both sides by a salted
+                    # key hash and join partition by partition, then resume
+                    # planning with the joined rows as a Values source.
+                    if not self._own_pool or not self.config.spill_enabled:
+                        raise
+                    self.pool.detach()
+                    sub = device = exec_ = None  # free oversized build state
+                    from ..plan.nodes import ValuesNode as _VN
+                    from .grace import grace_join_table
+
+                    jnode = step[1]
+                    build_table = LocalExecutor(
+                        jnode.right, tile_rows, config
+                    ).run()
+                    merged = grace_join_table(
+                        jnode, build_table, tile_rows, self.config
+                    )
+                    new_root = _replace_plan_node(
+                        self.root, jnode, _VN(merged, id=jnode.id)
+                    )
+                    self.__init__(new_root, tile_rows, config, pool=None)
+                    return
                 resolved.append(
                     ("xjoin", exec_) if exec_.expansion else ("join", exec_)
                 )
@@ -1034,7 +1093,9 @@ class LocalExecutor:
             # accumulates all input before emitting) — execute it now into a
             # host Table and treat the result as the pipeline's source.
             lin.source = ValuesNode(
-                _materialize_window(lin.source, tile_rows, pool=self.pool),
+                _materialize_window(
+                    lin.source, tile_rows, pool=self.pool, config=self.config
+                ),
                 id=lin.source.id,
             )
         elif isinstance(lin.source, _arrow_stream_cls()):
@@ -1820,6 +1881,26 @@ class LocalExecutor:
                     out_valid[name] = validity
         return Table(node.output_schema, out_cols, out_tables, out_valid)
 
+    def _sort_run_table(self, arrays_np, layout) -> Table:
+        """Assemble a host Table from one sorted run's fetched flat arrays."""
+        cols: Dict[str, np.ndarray] = {}
+        validities: Dict[str, np.ndarray] = {}
+        k = 0
+        for name, has_validity in zip(self.out_schema.names, layout):
+            cols[name] = arrays_np[k]
+            k += 1
+            if has_validity:
+                v = arrays_np[k]
+                k += 1
+                if not v.all():
+                    validities[name] = v
+        return Table(
+            self.out_schema,
+            cols,
+            dict(self._sort_info["strings"]),
+            validities,
+        )
+
     def _run_collect_sorted(self, get_tile, n_tiles: int, stats) -> Table:
         """Collect pipeline whose leading OrderBy/TopN runs on device.
 
@@ -1857,11 +1938,84 @@ class LocalExecutor:
             self._tile_sorted_jit = tile_sorted
             self._merge_jits = {}
         t0 = time.perf_counter()
-        outs = [self._tile_sorted_jit(get_tile(i)) for i in range(n_tiles)]
+
+        # ---- accumulate per-tile sorted runs, spilling under pressure -----
+        # Each tile's output is already a sorted run, so a spilled run is a
+        # valid external-sort unit (reference: velox/exec/SortBuffer.cpp
+        # spill() writes sorted runs; PrefixSort merge re-reads them).  TopN
+        # chunks are K-sized and never spill.
+        from .memory import MemoryPoolError, Spiller
+
+        spiller = None
+        reserved = 0
+        resident_bytes = 0
+        chunk_nbytes = None
+        outs = []
+        errs = []
+
+        def _spill_resident():
+            """Fetch every resident run's live prefix and spill it to disk."""
+            nonlocal spiller, resident_bytes, reserved
+            from ..utils.testvalue import adjust
+
+            adjust("LocalExecutor::sortSpill", self)
+            spiller = spiller or Spiller()
+            layout_ = self._sort_info["layout"]
+            for arrays_d, count_d, _ in outs:
+                n = int(fetch_tree(count_d))
+                arrays_np = fetch_prefix(list(arrays_d), n)
+                spiller.spill(self._sort_run_table(arrays_np, layout_))
+            outs.clear()
+            if reserved:
+                self.pool.release(reserved)
+                reserved = 0
+            resident_bytes = 0
+
+        for i in range(n_tiles):
+            out = self._tile_sorted_jit(get_tile(i))
+            errs.append(out[2])
+            outs.append(out)
+            if keep is not None or not self.config.spill_enabled:
+                continue
+            if chunk_nbytes is None:
+                chunk_nbytes = sum(
+                    int(np.dtype(a.dtype).itemsize) * int(a.shape[0])
+                    for a in out[0]
+                )
+            resident_bytes += chunk_nbytes
+            try:
+                self.pool.reserve(chunk_nbytes)
+                reserved += chunk_nbytes
+            except MemoryPoolError:
+                _spill_resident()
+            if resident_bytes > self.config.spill_bytes_threshold:
+                _spill_resident()
+
+        layout = self._sort_info["layout"]
+        if spiller is not None:
+            # external sort: spill the tail too, then merge runs on the host
+            if outs:
+                _spill_resident()
+            errs_np = fetch_tree(errs)
+            _raise_on_errors(
+                sum(int(e) for e in errs_np) + self._drain_pending_errs()
+            )
+            parts = list(spiller.restore())
+            spiller.cleanup()
+            merged = Table.concat(parts) if len(parts) > 1 else parts[0]
+            order = _sort_indices(merged, spec.keys)
+            result = Table(
+                merged.schema,
+                {n: v[order] for n, v in merged.columns.items()},
+                merged.string_tables,
+                {n: v[order] for n, v in merged.validities.items()},
+            )
+            if stats is not None:
+                stats.device_seconds = time.perf_counter() - t0
+            return result
+
         chunks = [o[0] for o in outs]
         counts = [o[1] for o in outs]
-        errs = [o[2] for o in outs]
-        layout = self._sort_info["layout"]
         if len(chunks) == 1:
             flat, live_d = chunks[0], counts[0]
         else:
@@ -1989,7 +2143,7 @@ def _table_rows(table: Table, idx) -> Table:
     )
 
 
-def _materialize_window(wnode, tile_rows: int, pool=None) -> Table:
+def _materialize_window(wnode, tile_rows: int, pool=None, config=None) -> Table:
     """Execute a WindowNode into a host Table.
 
     Window functions never cross partitions, so inputs larger than one tile
@@ -1999,7 +2153,12 @@ def _materialize_window(wnode, tile_rows: int, pool=None) -> Table:
     partition batch at a time (velox/exec/WindowBuild.h).  A single partition
     larger than the tile gets its own program sized to fit (memory then
     scales with the largest partition, not the whole input).
+
+    Completed per-chunk results spill to disk past the configured threshold
+    (reference: Window spill via SortWindowBuild, exec/Window.cpp reclaim) —
+    host RAM then holds one chunk at a time plus the sorted input.
     """
+    config = config or DEFAULT_CONFIG
     child = LocalExecutor(wnode.source, tile_rows, pool=pool).run()
     rows = child.num_rows
     if rows <= tile_rows:
@@ -2026,14 +2185,35 @@ def _materialize_window(wnode, tile_rows: int, pool=None) -> Table:
             cur_start, cur_rows = int(st), 0
         cur_rows += int(sz)
     chunks.append((cur_start, rows))
+    from .memory import Spiller, table_nbytes
+
+    spiller = None
     parts = []
+    acc_bytes = 0
     for a, b in chunks:
         sub = _table_rows(sorted_t, slice(a, b))
-        parts.append(
-            _window_one_tile(wnode, sub, _pick_capacity(b - a, 1 << 62))
-        )
+        part = _window_one_tile(wnode, sub, _pick_capacity(b - a, 1 << 62))
+        parts.append(part)
+        acc_bytes += table_nbytes(part)
+        if (
+            config.spill_enabled
+            and acc_bytes > config.spill_bytes_threshold
+            and not any(t.is_complex for t in part.schema.types)
+        ):
+            from ..utils.testvalue import adjust
+
+            adjust("LocalExecutor::windowSpill", wnode)
+            spiller = spiller or Spiller()
+            for p in parts:
+                spiller.spill(p)
+            parts.clear()
+            acc_bytes = 0
     from .grouped import concat_tables
 
+    if spiller is not None:
+        restored = list(spiller.restore())
+        spiller.cleanup()
+        parts = restored + parts
     return concat_tables(parts)
 
 
