@@ -103,3 +103,46 @@ def test_merge_exchange():
     ).to_pandas()
     assert out["k"].tolist() == [1, 2, 3, 3, 5, 6]
     assert out["v"].tolist() == [10, 20, 30, 31, 50, 60]
+
+
+class TestQueryConfigProperties:
+    """String-keyed session property bridge (reference: core/Config.h:29)."""
+
+    def test_from_properties(self):
+        from velox_tpu.config import QueryConfig
+
+        cfg = QueryConfig.from_properties(
+            {
+                "spill_enabled": "false",
+                "tile_rows": "4096",
+                "query_memory_limit_bytes": "1000000",
+                "session_timezone": "America/New_York",
+                "abandon_partial_min_pct": "0.5",
+            }
+        )
+        assert cfg.spill_enabled is False
+        assert cfg.tile_rows == 4096
+        assert cfg.query_memory_limit_bytes == 1_000_000
+        assert cfg.session_timezone == "America/New_York"
+        assert cfg.abandon_partial_min_pct == 0.5
+
+    def test_unknown_property_raises(self):
+        import pytest
+
+        from velox_tpu.config import QueryConfig
+
+        with pytest.raises(KeyError, match="unknown session property"):
+            QueryConfig.from_properties({"no_such_knob": "1"})
+
+    def test_roundtrip_and_connector_tier(self):
+        from velox_tpu.config import DEFAULT_CONFIG, QueryConfig
+
+        props = DEFAULT_CONFIG.to_properties()
+        cfg = QueryConfig.from_properties(props)
+        assert cfg == DEFAULT_CONFIG
+        hive = cfg.connector("hive")
+        assert hive.split_preload_threads > 0
+        import pytest
+
+        with pytest.raises(KeyError):
+            cfg.connector("iceberg")

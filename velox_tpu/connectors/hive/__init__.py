@@ -31,10 +31,17 @@ _PART_RE = re.compile(r"^([A-Za-z_][A-Za-z_0-9]*)=(.*)$")
 
 
 def _discover(root: str) -> List[ConnectorSplit]:
-    """Walk a dataset directory into splits with partition keys."""
+    """Walk a dataset directory into splits with partition keys.
+
+    The walk goes through the filesystem registry (io/filesystems.py), so
+    datasets on any registered scheme (memory://, future remote adapters)
+    discover identically — reference: FileSystems.h + HiveConnectorUtil."""
+    from ...io.filesystems import filesystem_for
+
+    fs, local_root = filesystem_for(root)
     splits: List[ConnectorSplit] = []
-    for dirpath, _dirnames, filenames in sorted(os.walk(root)):
-        rel = os.path.relpath(dirpath, root)
+    for dirpath, filenames in fs.walk(local_root):
+        rel = os.path.relpath(dirpath, local_root)
         keys: Dict[str, str] = {}
         if rel != ".":
             for comp in rel.split(os.sep):
@@ -44,7 +51,12 @@ def _discover(root: str) -> List[ConnectorSplit]:
         for fn in sorted(filenames):
             if fn.endswith(".parquet"):
                 splits.append(
-                    ConnectorSplit(os.path.join(dirpath, fn), partition_keys=keys)
+                    ConnectorSplit(
+                        dirpath + "/" + fn
+                        if "://" in root
+                        else os.path.join(dirpath, fn),
+                        partition_keys=keys,
+                    )
                 )
     return splits
 
@@ -54,10 +66,15 @@ class HiveDataSource(DataSource):
         self,
         columns: Optional[Sequence[str]] = None,
         partition_filter: Optional[Callable[[Dict[str, str]], bool]] = None,
-        max_workers: int = 8,
+        max_workers: Optional[int] = None,
     ):
         self.columns = list(columns) if columns else None
         self.partition_filter = partition_filter
+        if max_workers is None:
+            # connector config tier (reference: HiveConfig split preloading)
+            from ...config import DEFAULT_CONFIG
+
+            max_workers = DEFAULT_CONFIG.connector("hive").split_preload_threads
         self.max_workers = max_workers
         self.splits: List[ConnectorSplit] = []
 
@@ -181,7 +198,8 @@ class HiveDataSink(DataSink):
     def _write_file(
         self, directory: str, table: Table, bucket: Optional[int] = None
     ) -> None:
-        os.makedirs(directory, exist_ok=True)
+        if "://" not in directory:
+            os.makedirs(directory, exist_ok=True)
         if bucket is None:
             fname = f"part-{self._seq:05d}.parquet"
         else:

@@ -197,7 +197,9 @@ def grace_join_table(
             and acc > config.spill_bytes_threshold
             and not any(t.is_complex for t in part.schema.types)
         ):
-            spiller = spiller or Spiller()
+            spiller = spiller or Spiller(
+                compress=config.spill_compression != "none"
+            )
             for t in parts:
                 spiller.spill(t)
             parts.clear()

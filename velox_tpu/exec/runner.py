@@ -1731,7 +1731,9 @@ class LocalExecutor:
             ):
                 from .memory import Spiller
 
-                spiller = spiller or Spiller()
+                spiller = spiller or Spiller(
+                    compress=self.config.spill_compression != "none"
+                )
                 spiller.spill(ex.partials_to_table(key_chunks, acc_chunks))
                 key_chunks, acc_chunks = [], []
                 chunk_bytes = 0
@@ -1959,7 +1961,9 @@ class LocalExecutor:
             from ..utils.testvalue import adjust
 
             adjust("LocalExecutor::sortSpill", self)
-            spiller = spiller or Spiller()
+            spiller = spiller or Spiller(
+                    compress=self.config.spill_compression != "none"
+                )
             layout_ = self._sort_info["layout"]
             for arrays_d, count_d, _ in outs:
                 n = int(fetch_tree(count_d))
@@ -2203,7 +2207,9 @@ def _materialize_window(wnode, tile_rows: int, pool=None, config=None) -> Table:
             from ..utils.testvalue import adjust
 
             adjust("LocalExecutor::windowSpill", wnode)
-            spiller = spiller or Spiller()
+            spiller = spiller or Spiller(
+                compress=config.spill_compression != "none"
+            )
             for p in parts:
                 spiller.spill(p)
             parts.clear()

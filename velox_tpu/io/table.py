@@ -224,18 +224,86 @@ class Table:
         table = table.replace_schema_metadata(
             {f"velox_tpu:{k}": v for k, v in meta.items()}
         )
-        pq.write_table(table, path)
+        from .filesystems import filesystem_for
+
+        fs, local = filesystem_for(path)
+        with fs.open_output(local) as f:
+            pq.write_table(table, f)
+
+    # ---- Arrow interop (C ABI) --------------------------------------------
+    def to_arrow(self):
+        """Export as a pyarrow Table (reference: vector/arrow/Bridge.h
+        exportToArrow).  VARCHAR columns export as dictionary arrays —
+        zero string copies; fixed-width columns are zero-copy numpy views."""
+        import pyarrow as pa
+
+        arrays, names = [], []
+        for name, dtype in zip(self.schema.names, self.schema.types):
+            if dtype.is_complex:
+                validity = self.validities.get(name)
+                arrays.append(pa.array(self.columns[name].to_pylist(validity)))
+                names.append(name)
+                continue
+            arr = self.columns[name]
+            mask = None
+            validity = self.validities.get(name)
+            if validity is not None:
+                mask = ~np.asarray(validity)
+            if dtype.is_string and name in self.string_tables:
+                a = pa.DictionaryArray.from_arrays(
+                    pa.array(np.asarray(arr), type=pa.int32(), mask=mask),
+                    pa.array(self.string_tables[name].values()),
+                )
+            elif dtype.kind == TypeKind.DECIMAL:
+                # unscaled int64 -> decimal128 storage (16-byte two's
+                # complement little-endian: low limb + sign extension)
+                vals = np.asarray(arr, dtype=np.int64)
+                limbs = np.empty((len(vals), 2), dtype=np.int64)
+                limbs[:, 0] = vals
+                limbs[:, 1] = vals >> 63
+                validity_buf = None
+                if mask is not None:
+                    validity_buf = pa.array(
+                        ~mask, type=pa.bool_()
+                    ).buffers()[1]
+                a = pa.Array.from_buffers(
+                    pa.decimal128(dtype.precision, dtype.scale),
+                    len(vals),
+                    [validity_buf, pa.py_buffer(limbs.tobytes())],
+                    null_count=int(mask.sum()) if mask is not None else 0,
+                )
+            elif dtype.kind == TypeKind.DATE:
+                a = pa.array(
+                    np.asarray(arr).astype(np.int32), mask=mask
+                ).cast(pa.date32())
+            else:
+                a = pa.array(np.asarray(arr), mask=mask)
+            arrays.append(a)
+            names.append(name)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def __arrow_c_stream__(self, requested_schema=None):
+        """Arrow PyCapsule protocol: any capsule-aware consumer (polars,
+        duckdb, pandas>=2.2, ...) can ingest a Table zero-copy (reference:
+        the C-ABI half of vector/arrow/Bridge.h:57)."""
+        return self.to_arrow().__arrow_c_stream__(requested_schema)
 
     @staticmethod
     def from_arrow(source) -> "Table":
-        """Ingest a pyarrow Table / RecordBatchReader / iterable of batches
-        (reference: vector/arrow/Bridge.h import + exec/ArrowStream.cpp)."""
+        """Ingest a pyarrow Table / RecordBatchReader / iterable of batches /
+        any object implementing the Arrow PyCapsule protocol
+        (``__arrow_c_stream__`` / ``__arrow_c_array__``) — reference:
+        vector/arrow/Bridge.h import + exec/ArrowStream.cpp."""
         import pyarrow as pa
 
         if isinstance(source, pa.Table):
             pa_table = source
         elif hasattr(source, "read_all"):
             pa_table = source.read_all()
+        elif hasattr(source, "__arrow_c_stream__") or hasattr(
+            source, "__arrow_c_array__"
+        ):
+            pa_table = pa.table(source)
         else:
             batches = list(source)
             pa_table = pa.Table.from_batches(batches)
@@ -245,7 +313,13 @@ class Table:
     def load_parquet(path: str, columns: Optional[Sequence[str]] = None) -> "Table":
         import pyarrow.parquet as pq
 
-        pa_table = pq.read_table(path, columns=list(columns) if columns else None)
+        from .filesystems import filesystem_for
+
+        fs, local = filesystem_for(path)
+        with fs.open_input(local) as f:
+            pa_table = pq.read_table(
+                f, columns=list(columns) if columns else None
+            )
         meta = {
             k.decode().split(":", 1)[1]: v.decode()
             for k, v in (pa_table.schema.metadata or {}).items()
@@ -258,14 +332,50 @@ class Table:
         import pyarrow as pa
 
         names, types, cols, tables = [], [], {}, {}
+        validities: Dict[str, np.ndarray] = {}
         for field in pa_table.schema:
             name = field.name
             dtype = _dtype_from_tag(meta.get(name, ""), field)
             names.append(name)
             types.append(dtype)
             chunked = pa_table.column(name).combine_chunks()
-            if isinstance(chunked, pa.DictionaryArray):
-                codes = chunked.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+            validity = None
+            if chunked.null_count:
+                validity = np.asarray(
+                    chunked.is_valid().to_numpy(zero_copy_only=False)
+                )
+            if pa.types.is_decimal(chunked.type):
+                if chunked.type.precision > 18:
+                    raise NotImplementedError(
+                        "decimal precision > 18 requires the hugeint path"
+                    )
+                # unscaled int64: low limb of the 16-byte decimal128 storage
+                flat = chunked.fill_null(0)
+                buf = flat.buffers()[1]
+                limbs = np.frombuffer(
+                    buf, dtype=np.int64, count=2 * len(flat),
+                    offset=16 * flat.offset,
+                )
+                cols[name] = limbs[0::2].copy()
+            elif pa.types.is_date32(chunked.type):
+                cols[name] = (
+                    chunked.fill_null(0).cast(pa.int32()).to_numpy(
+                        zero_copy_only=False
+                    )
+                )
+            elif pa.types.is_timestamp(chunked.type):
+                cols[name] = (
+                    chunked.fill_null(0)
+                    .cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                )
+            elif isinstance(chunked, pa.DictionaryArray):
+                codes = (
+                    chunked.indices.fill_null(0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int32)
+                )
                 values = chunked.dictionary.to_pylist()
                 table = StringTable()
                 remap = table.intern_all([str(v) for v in values])
@@ -279,9 +389,15 @@ class Table:
                 table, codes = _intern_arrow_strings(chunked)
                 cols[name] = codes
                 tables[name] = table
+            elif validity is not None:
+                cols[name] = chunked.fill_null(0).to_numpy(
+                    zero_copy_only=False
+                )
             else:
                 cols[name] = chunked.to_numpy(zero_copy_only=False)
-        return Table(RowType(names, types), cols, tables)
+            if validity is not None and not validity.all():
+                validities[name] = validity
+        return Table(RowType(names, types), cols, tables, validities)
 
 
 def _intern_arrow_strings(arr):
@@ -345,4 +461,14 @@ def _dtype_from_tag(tag: str, field) -> DataType:
         return DataType(TypeKind.BOOLEAN)
     if pa.types.is_date32(t):
         return DataType(TypeKind.DATE)
+    if pa.types.is_timestamp(t):
+        return DataType(TypeKind.TIMESTAMP)
+    if pa.types.is_decimal(t):
+        from ..dtypes import decimal
+
+        return decimal(t.precision, t.scale)
+    if pa.types.is_int16(t):
+        return DataType(TypeKind.SMALLINT)
+    if pa.types.is_int8(t):
+        return DataType(TypeKind.TINYINT)
     raise TypeError(f"cannot infer type for arrow field {field}")
