@@ -92,6 +92,23 @@ def _rewrite(expr: Expr, tables, context_table: Optional[StringTable]) -> Expr:
         return expr
     if (
         isinstance(expr, Call)
+        and expr.name in _TZ_FNS
+        and expr.args
+        and isinstance(expr.args[-1], Constant)
+        and isinstance(expr.args[-1].value, str)
+    ):
+        # literal zone dispatch (reference: DateTimeFunctions.h zone lookup):
+        # the zone's TZif transition table bakes into a dedicated function
+        from ..functions.presto.tzfuncs import register_zone_fn
+
+        zone = expr.args[-1].value
+        rest = tuple(_rewrite(a, tables, context_table) for a in expr.args[:-1])
+        if expr.name == "from_unixtime":
+            inner = Call(expr.dtype, "from_unixtime", rest)
+            return Call(expr.dtype, register_zone_fn("at", zone), (inner,))
+        return Call(expr.dtype, register_zone_fn(_TZ_FNS[expr.name], zone), rest)
+    if (
+        isinstance(expr, Call)
         and expr.name in _STRING_FN_BINDERS
         and expr.args
         and expr.args[0].dtype.is_string
@@ -285,6 +302,15 @@ def _bind_date_unit(prefix: str):
 
 
 _BOOLEAN = BOOLEAN
+
+# timezone functions: name -> tzfuncs kind ('from_unixtime' composes with 'at')
+_TZ_FNS: Dict[str, Optional[str]] = {
+    "at_timezone": "at",
+    "to_utc": "to_utc",
+    "timezone_hour": "hour",
+    "timezone_minute": "minute",
+    "from_unixtime": None,
+}
 
 _STRING_FN_BINDERS: Dict[str, Callable] = {
     "like": _bind_like,
