@@ -330,6 +330,15 @@ _STRING_FN_BINDERS: Dict[str, Callable] = {
     "strpos": _literal_args_fn(
         BIGINT, np.int64, lambda v, _ci, sub: v.find(sub) + 1
     ),
+    "strrpos": _literal_args_fn(
+        BIGINT, np.int64, lambda v, _ci, sub: v.rfind(sub) + 1
+    ),
+    "levenshtein_distance": _literal_args_fn(
+        BIGINT, np.int64,
+        lambda v, _ci, other: __import__(
+            "velox_tpu.functions.spark.scalar", fromlist=["_levenshtein"]
+        )._levenshtein(v, None, other),
+    ),
     "starts_with": _literal_args_fn(
         BOOLEAN, np.bool_, lambda v, _ci, p: v.startswith(p)
     ),
@@ -393,6 +402,8 @@ _PAIR_IMPLS = {
     # name -> (fn(v1, v2) -> value, result kind|None, np dtype|None, makes_strings)
     "concat": (lambda a, b: a + b, None, None, True),
     "levenshtein": (None, BIGINT, np.int64, False),  # fn filled in _bind_pair
+    "levenshtein_distance": (None, BIGINT, np.int64, False),
+    "strrpos": (lambda a, b: a.rfind(b) + 1, BIGINT, np.int64, False),
     "hamming_distance": (None, BIGINT, np.int64, False),
     "strpos": (lambda a, b: a.find(b) + 1, BIGINT, np.int64, False),
     "instr": (lambda a, b: a.find(b) + 1, BIGINT, np.int64, False),
@@ -406,7 +417,7 @@ def _bind_pair(expr: Call, tables, ctx) -> Optional[Expr]:
     if fn is None:
         from ..functions.spark.scalar import _levenshtein
 
-        if expr.name == "levenshtein":
+        if expr.name in ("levenshtein", "levenshtein_distance"):
             fn = lambda a, b: _levenshtein(a, None, b)  # noqa: E731
         else:
             fn = lambda a, b: (  # hamming
@@ -580,6 +591,82 @@ def _url_part(which):
     return fn
 
 
+def _normalize_str(v: str, _ci, form: str = "NFC") -> str:
+    import unicodedata
+
+    return unicodedata.normalize(form.upper(), v)
+
+
+def _url_port(v: str) -> int:
+    from urllib.parse import urlparse
+
+    try:
+        port = urlparse(v).port
+    except Exception:
+        return -1
+    return -1 if port is None else int(port)
+
+
+def _url_parameter(v: str, _ci, name: str) -> str:
+    from urllib.parse import parse_qs, urlparse
+
+    try:
+        qs = parse_qs(urlparse(v).query, keep_blank_values=True)
+    except Exception:
+        return ""
+    vals = qs.get(name)
+    return vals[0] if vals else ""
+
+
+def _json_canonical(v: str, _ci) -> str:
+    import json as _json
+
+    try:
+        return _json.dumps(_json.loads(v), separators=(",", ":"))
+    except Exception:
+        return ""
+
+
+def _json_size(v: str, _ci, path: str) -> int:
+    import json as _json
+
+    try:
+        doc = _json.loads(v)
+    except Exception:
+        return -1
+    for part in _parse_json_path(path):
+        if isinstance(doc, dict):
+            doc = doc.get(part)
+        elif isinstance(doc, list):
+            try:
+                doc = doc[int(part)]
+            except (ValueError, IndexError):
+                return -1
+        else:
+            return -1
+    if isinstance(doc, (dict, list)):
+        return len(doc)
+    return 0  # scalars have size 0 (Presto semantics)
+
+
+def _bind_concat_ws(expr: Call, tables, ctx) -> Optional[Expr]:
+    """concat_ws(sep, a, b, ...) -> nested pair concats with the literal
+    separator folded in (reference: StringFunctions.h concat_ws)."""
+    sep = expr.args[0]
+    if not isinstance(sep, Constant) or not isinstance(sep.value, str):
+        raise ValueError("concat_ws() requires a literal separator")
+    rest = list(expr.args[1:])
+    if not rest:
+        raise ValueError("concat_ws() needs at least one value")
+    out = rest[0]
+    for nxt in rest[1:]:
+        with_sep = Call(
+            out.dtype, "concat", (out, Constant(VARCHAR, sep.value))
+        )
+        out = Call(out.dtype, "concat", (with_sep, nxt))
+    return _rewrite(out, tables, ctx)
+
+
 _STRING_FN_BINDERS.update(
     {
         "json_extract_scalar": _literal_args_fn(
@@ -603,5 +690,62 @@ _STRING_FN_BINDERS.update(
         "url_extract_protocol": _literal_args_fn(
             None, None, _url_part("scheme"), makes_strings=True
         ),
+        "url_extract_fragment": _literal_args_fn(
+            None, None, _url_part("fragment"), makes_strings=True
+        ),
+        "url_extract_port": _literal_args_fn(
+            BIGINT, np.int64, lambda v, _ci: _url_port(v)
+        ),
+        "url_extract_parameter": _literal_args_fn(
+            None, None, _url_parameter, makes_strings=True
+        ),
+        "url_encode": _literal_args_fn(
+            None, None,
+            lambda v, _ci: __import__("urllib.parse", fromlist=["quote_plus"])
+            .quote_plus(v),
+            makes_strings=True,
+        ),
+        "url_decode": _literal_args_fn(
+            None, None,
+            lambda v, _ci: __import__("urllib.parse", fromlist=["unquote_plus"])
+            .unquote_plus(v),
+            makes_strings=True,
+        ),
+        "json_parse": _literal_args_fn(
+            None, None, _json_canonical, makes_strings=True
+        ),
+        "json_format": _literal_args_fn(
+            None, None, _json_canonical, makes_strings=True
+        ),
+        "json_size": _literal_args_fn(BIGINT, np.int64, _json_size),
+        "to_base64url": _literal_args_fn(
+            None, None,
+            lambda v, _ci: __import__("base64").urlsafe_b64encode(
+                v.encode("utf-8")
+            ).decode(),
+            makes_strings=True,
+        ),
+        "from_base64url": _literal_args_fn(
+            None, None,
+            lambda v, _ci: __import__("base64").urlsafe_b64decode(v).decode(
+                "utf-8", "replace"
+            ) if v else "",
+            makes_strings=True,
+        ),
+        "normalize": _literal_args_fn(
+            None, None, _normalize_str, makes_strings=True
+        ),
+        # VARCHAR <-> VARBINARY casts share the dictionary representation
+        # (reference: BinaryFunctions.h to_utf8 / from_utf8)
+        "to_utf8": _unary_string_fn(None, None, lambda v: v, makes_strings=True),
+        "from_utf8": _unary_string_fn(None, None, lambda v: v, makes_strings=True),
+        "char2hexint": _unary_string_fn(
+            None, None,
+            lambda v: v.encode("utf-16-be").hex().upper(),
+            makes_strings=True,
+        ),
+        "concat_ws": _bind_concat_ws,
     }
 )
+
+

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ...dtypes import (
     BIGINT,
     BOOLEAN,
+    DOUBLE,
     DataType,
     RowType,
     TypeKind,
@@ -320,7 +321,7 @@ def _array_sum(ctx, expr: Call):
     return _result(ctx, out, r.validity, r.errors)
 
 
-def _array_sort(ctx, expr: Call):
+def _array_sort(ctx, expr: Call, desc: bool = False):
     r = _seg_arg(ctx, expr.args[0])
     norm = r.values.normalized()
     elems = norm.children[0]
@@ -332,6 +333,14 @@ def _array_sort(ctx, expr: Call):
         else jnp.zeros((pool_cap,), jnp.int32)
     )
     order = _order_key(elems, norm)
+    if desc:
+        # order-preserving int64 encoding, then bitwise NOT (exec/sort.py);
+        # nulls stay last (Presto array_sort_desc keeps nulls last too)
+        if jnp.issubdtype(order.dtype, jnp.floating):
+            from ...exec.sort import float_to_ordered_i64
+
+            order = float_to_ordered_i64(order)
+        order = ~order.astype(jnp.int64)
     ops = [row_key, null_key, order, elems.values]
     if elems.validity is not None:
         ops.append(elems.validity)
@@ -358,6 +367,55 @@ def _order_key(elems: Elems, norm) -> jax.Array:
         )
         return jnp.take(ranks, v.astype(jnp.int32), mode="clip")
     return v
+
+
+def _array_sort_desc(ctx, expr: Call):
+    return _array_sort(ctx, expr, desc=True)
+
+
+def _array_union(ctx, expr: Call):
+    """array_union(x, y) = array_distinct(concat(x, y)) — the reference's
+    ArrayUnionFunction builds the same dedup-of-concat (ArraySetOps)."""
+    inner = Call(expr.dtype, "concat", (expr.args[0], expr.args[1]))
+    return _array_distinct(ctx, Call(expr.dtype, "array_distinct", (inner,)))
+
+
+def _array_normalize(ctx, expr: Call):
+    """array_normalize(x, p): divide by the p-norm; zero norm returns the
+    input unchanged (reference: ArrayNormalizeFunction.h)."""
+    r = _seg_arg(ctx, expr.args[0])
+    pr = ctx.evaluate(expr.args[1])
+    p = pr.values.astype(jnp.float64)
+    norm_ = r.values.normalized()
+    elems = norm_.children[0]
+    v = elems.values.astype(jnp.float64)
+    live = norm_.emask
+    if elems.validity is not None:
+        live = live & elems.validity
+    # per-row segment sums without scatter: the normalized pool is row-
+    # contiguous, so sums are cumsum differences at [start, start+size)
+    p_elem = jnp.take(p, jnp.clip(norm_.rowid, 0, ctx.capacity - 1), mode="clip")
+    av = jnp.where(live, jnp.abs(v) ** p_elem, 0.0)
+    c = jnp.cumsum(av)
+    starts, sizes = norm_.starts, norm_.sizes
+    end = jnp.clip(starts + sizes - 1, 0, av.shape[0] - 1)
+    upper = jnp.take(c, end, mode="clip")
+    lower = jnp.where(
+        starts > 0, jnp.take(c, jnp.clip(starts - 1, 0, None), mode="clip"), 0.0
+    )
+    total = jnp.where(sizes > 0, upper - lower, 0.0)
+    norm_val = total ** (1.0 / jnp.maximum(p, 1e-300))
+    scale = jnp.where(norm_val > 0, 1.0 / norm_val, 1.0)
+    out_v = v * jnp.take(scale, jnp.clip(norm_.rowid, 0, ctx.capacity - 1))
+    out = SegValue(
+        starts,
+        sizes,
+        (Elems(out_v, elems.validity, DOUBLE, None),),
+        expr.dtype,
+    )
+    return _result(
+        ctx, out, _and(r.validity, pr.validity), _or(r.errors, pr.errors)
+    )
 
 
 def _array_distinct(ctx, expr: Call):
@@ -1445,7 +1503,10 @@ COMPLEX_FNS: Dict[str, Callable] = {
     "array_max": _array_minmax("max"),
     "array_sum": _array_sum,
     "array_sort": _array_sort,
+    "array_sort_desc": _array_sort_desc,
     "array_distinct": _array_distinct,
+    "array_union": _array_union,
+    "array_normalize": _array_normalize,
     "slice": _slice,
     "reverse": _reverse,
     "concat": _concat_arrays,
@@ -1528,7 +1589,12 @@ def _register_all():
         _stub,
     )
     reg.register("array_sort", [_A], lambda ts: ts[0], _stub)
+    reg.register("array_sort_desc", [_A], lambda ts: ts[0], _stub)
     reg.register("array_distinct", [_A], lambda ts: ts[0], _stub)
+    reg.register("array_union", [_A, _A], lambda ts: ts[0], _stub)
+    reg.register(
+        "array_normalize", [_A, NUMERIC], lambda ts: array_t(DOUBLE), _stub
+    )
     reg.register("slice", [_A, INT_M, INT_M], lambda ts: ts[0], _stub)
     reg.register("reverse", [_A], lambda ts: ts[0], _stub)
     reg.register("concat", [_A, _A], lambda ts: ts[0], _stub, variadic=True)

@@ -341,6 +341,9 @@ for _name, _fn in [
     ("sinh", jnp.sinh),
     ("cosh", jnp.cosh),
     ("tanh", jnp.tanh),
+    ("asinh", jnp.arcsinh),
+    ("acosh", jnp.arccosh),
+    ("atanh", jnp.arctanh),
     ("sign", jnp.sign),
 ]:
     _reg.register(
@@ -356,12 +359,13 @@ _reg.register(
     lambda ctx, out_t, arg_ts, a: jnp.sign(a),
 )
 
-_reg.register(
-    "power",
-    [TypeKind.DOUBLE, TypeKind.DOUBLE],
-    DOUBLE,
-    lambda ctx, out_t, arg_ts, a, b: jnp.power(a, b),
-)
+for _pname in ("power", "pow"):
+    _reg.register(
+        _pname,
+        [TypeKind.DOUBLE, TypeKind.DOUBLE],
+        DOUBLE,
+        lambda ctx, out_t, arg_ts, a, b: jnp.power(a, b),
+    )
 _reg.register(
     "atan2",
     [TypeKind.DOUBLE, TypeKind.DOUBLE],
@@ -539,6 +543,74 @@ def _truncate(ctx, out_t, arg_ts, a, *rest):
 
 _reg.register("truncate", [TypeKind.DOUBLE], DOUBLE, _truncate)
 _reg.register("truncate", [TypeKind.DOUBLE, INT_M], DOUBLE, _truncate)
+
+
+# ---- probability / statistics family (reference: functions/prestosql/
+# ProbabilityFunctions.cpp — boost::math there, jax.scipy.special here) ------
+
+def _prob(name, arity, fn):
+    _reg.register(
+        name, [NUMERIC] * arity, DOUBLE,
+        (lambda f: lambda ctx, out_t, arg_ts, *a: f(
+            *[x.astype(jnp.float64) for x in a]
+        ))(fn),
+    )
+
+
+def _normal_cdf(mean, sd, v):
+    from jax.scipy.special import erf
+
+    return 0.5 * (1.0 + erf((v - mean) / (sd * jnp.sqrt(2.0))))
+
+
+def _inverse_normal_cdf(mean, sd, p):
+    from jax.scipy.special import ndtri
+
+    return mean + sd * ndtri(p)
+
+
+def _binomial_cdf(n, p, k):
+    from jax.scipy.special import betainc
+
+    kf = jnp.floor(k)
+    mid = betainc(jnp.maximum(n - kf, 1e-12), kf + 1.0, 1.0 - p)
+    return jnp.where(kf < 0, 0.0, jnp.where(kf >= n, 1.0, mid))
+
+
+def _poisson_cdf(lam, k):
+    from jax.scipy.special import gammaincc
+
+    return jnp.where(k < 0, 0.0, gammaincc(jnp.floor(k) + 1.0, lam))
+
+
+def _wilson(ns, n, z, sign):
+    p = ns / n
+    z2 = z * z
+    center = p + z2 / (2.0 * n)
+    margin = z * jnp.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    return (center + sign * margin) / (1.0 + z2 / n)
+
+
+_prob("normal_cdf", 3, _normal_cdf)
+_prob("inverse_normal_cdf", 3, _inverse_normal_cdf)
+_prob(
+    "beta_cdf", 3,
+    lambda a, b, v: __import__("jax.scipy.special", fromlist=["betainc"])
+    .betainc(a, b, jnp.clip(v, 0.0, 1.0)),
+)
+_prob("binomial_cdf", 3, _binomial_cdf)
+_prob(
+    "cauchy_cdf", 3,
+    lambda median, scale, v: jnp.arctan((v - median) / scale) / jnp.pi + 0.5,
+)
+_prob(
+    "chi_squared_cdf", 2,
+    lambda df, v: __import__("jax.scipy.special", fromlist=["gammainc"])
+    .gammainc(df / 2.0, v / 2.0),
+)
+_prob("poisson_cdf", 2, _poisson_cdf)
+_prob("wilson_interval_lower", 3, lambda ns, n, z: _wilson(ns, n, z, -1.0))
+_prob("wilson_interval_upper", 3, lambda ns, n, z: _wilson(ns, n, z, 1.0))
 
 # ---- more date functions (reference: prestosql/DateTimeFunctions.h) --------
 
@@ -821,8 +893,34 @@ _reg.register(
 for _jname in ("json_extract_scalar", "json_extract"):
     _reg.register(_jname, [STRINGY, STRINGY], _VARCHAR, _unbound_string_fn(_jname))
 _reg.register("json_array_length", [STRINGY], BIGINT, _unbound_string_fn("json_array_length"))
-for _uname in ("url_extract_host", "url_extract_path", "url_extract_query", "url_extract_protocol"):
+_reg.register("json_size", [STRINGY, STRINGY], BIGINT, _unbound_string_fn("json_size"))
+for _uname in (
+    "url_extract_host", "url_extract_path", "url_extract_query",
+    "url_extract_protocol", "url_extract_fragment", "url_encode",
+    "url_decode", "json_parse", "json_format", "to_base64url",
+    "from_base64url", "to_utf8", "from_utf8", "char2hexint",
+):
     _reg.register(_uname, [STRINGY], _VARCHAR, _unbound_string_fn(_uname))
+_reg.register(
+    "url_extract_port", [STRINGY], BIGINT, _unbound_string_fn("url_extract_port")
+)
+_reg.register(
+    "url_extract_parameter", [STRINGY, STRINGY], _VARCHAR,
+    _unbound_string_fn("url_extract_parameter"),
+)
+for _nname in ([STRINGY], [STRINGY, STRINGY]):
+    _reg.register("normalize", _nname, _VARCHAR, _unbound_string_fn("normalize"))
+_reg.register(
+    "strrpos", [STRINGY, STRINGY], BIGINT, _unbound_string_fn("strrpos")
+)
+_reg.register(
+    "levenshtein_distance", [STRINGY, STRINGY], BIGINT,
+    _unbound_string_fn("levenshtein_distance"),
+)
+_reg.register(
+    "concat_ws", [STRINGY, STRINGY], _VARCHAR,
+    _unbound_string_fn("concat_ws"), variadic=True,
+)
 
 
 def register_all() -> None:
