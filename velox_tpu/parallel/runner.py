@@ -354,7 +354,15 @@ class DistributedExecutor:
         nkeys = len(ex.key_infos)
         acc_widths = [len(a.acc_ops) for a in ex.aggs]
 
-        def local_shard_step(state_errs, arrs, mask, sj):
+        # Software-pipelined shuffle (reference discipline: OutputBuffer
+        # pipelining + split preloading, velox/exec/TableScan.cpp:245): the
+        # per-tile work splits into PRODUCE (segments + partial grouping +
+        # bucketize — pure compute) and CONSUME (all_to_all + carry merge).
+        # The steady-state step runs tile i's produce and tile i-1's consume
+        # in ONE program with independent dataflow, so XLA's latency-hiding
+        # scheduler overlaps the ICI all_to_all with the partial-aggregation
+        # compute.
+        def produce(arrs, mask, sj):
             batch, err = self._run_segments_local(tuple(arrs) + tuple(sj), mask)
             keys, accs, nruns = ex.tile_partial(batch)
             flat = list(keys) + [a for acc in accs for a in acc]
@@ -364,7 +372,13 @@ class DistributedExecutor:
                 h = h * jnp.uint64(31) + hash64(k.astype(jnp.int64))
             dest = (h % jnp.uint64(n)).astype(jnp.int32)
             bucketed, counts, _ = bucketize(flat, dest, live, n, pipe_cap)
-            received, recv_counts = all_to_all_exchange(bucketed, counts, axis)
+            return tuple(bucketed), counts, err.reshape(1)
+
+        def consume(state_errs, pending):
+            bucketed, counts, perr = pending
+            received, recv_counts = all_to_all_exchange(
+                list(bucketed), counts, axis
+            )
             offs = jnp.arange(pipe_cap, dtype=jnp.int32)[None, :]
             recv_live = (offs < recv_counts[:, None]).reshape(-1)
             recv_flat = [
@@ -385,8 +399,13 @@ class DistributedExecutor:
             ks, acs, cnt, ovf = new_state
             return (
                 (ks, acs, cnt.reshape(1), ovf.reshape(1)),
-                (cerrs.reshape(()) + err).reshape(1),
+                (cerrs.reshape(()) + perr.reshape(())).reshape(1),
             )
+
+        def pipelined(state_errs, pending, arrs, mask, sj):
+            new_state = consume(state_errs, pending)
+            new_pending = produce(arrs, mask, sj)
+            return new_state, new_pending
 
         def init_global():
             keys = tuple(
@@ -399,12 +418,13 @@ class DistributedExecutor:
             errs = jnp.zeros((n,), dtype=jnp.int64)
             return ((keys, accs, count, overflow), errs)
 
-        jit_step = None
+        jit_produce = jit_pipelined = jit_consume = None
         carry = None
+        pending = None
         for t in tiles:
             arrays, active = self._flatten_batch(t)
             sops = self._sjoin_flat()
-            if jit_step is None:
+            if jit_produce is None:
                 state_spec = (
                     (
                         tuple(P(axis) for _ in ex.key_infos),
@@ -417,20 +437,22 @@ class DistributedExecutor:
                     ),
                     P(axis),
                 )
-                jit_step = jax.jit(
+                tile_spec = (
+                    tuple(P(axis) for _ in arrays),
+                    P(axis),
+                    tuple(P(axis) for _ in sops),
+                )
+                def _pending_spec(p):
+                    return jax.tree_util.tree_map(lambda _: P(axis), p)
+
+                jit_produce = jax.jit(
                     jax.shard_map(
-                        local_shard_step,
+                        produce,
                         mesh=self.mesh,
-                        in_specs=(
-                            state_spec,
-                            tuple(P(axis) for _ in arrays),
-                            P(axis),
-                            tuple(P(axis) for _ in sops),
-                        ),
-                        out_specs=state_spec,
+                        in_specs=tile_spec,
+                        out_specs=P(axis),
                         check_vma=False,
-                    ),
-                    donate_argnums=(0,),
+                    )
                 )
                 carry = jax.device_put(
                     init_global(),
@@ -438,7 +460,33 @@ class DistributedExecutor:
                         lambda _: self.row_sharding, init_global()
                     ),
                 )
-            carry = jit_step(carry, tuple(arrays), active, tuple(sops))
+                pending = jit_produce(tuple(arrays), active, tuple(sops))
+                pspec = _pending_spec(pending)
+                jit_pipelined = jax.jit(
+                    jax.shard_map(
+                        pipelined,
+                        mesh=self.mesh,
+                        in_specs=(state_spec, pspec) + tile_spec,
+                        out_specs=(state_spec, pspec),
+                        check_vma=False,
+                    ),
+                    donate_argnums=(0, 1),
+                )
+                jit_consume = jax.jit(
+                    jax.shard_map(
+                        consume,
+                        mesh=self.mesh,
+                        in_specs=(state_spec, pspec),
+                        out_specs=state_spec,
+                        check_vma=False,
+                    ),
+                    donate_argnums=(0, 1),
+                )
+                continue
+            carry, pending = jit_pipelined(
+                carry, pending, tuple(arrays), active, tuple(sops)
+            )
+        carry = jit_consume(carry, pending)
         (keys_g, accs_g, counts_g, overflow_g), errs_g = carry
         counts = np.asarray(counts_g)
         overflow = np.asarray(overflow_g)
