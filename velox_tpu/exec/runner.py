@@ -836,6 +836,32 @@ def _sort_indices(table: Table, keys: Sequence[SortKey]) -> np.ndarray:
     return np.lexsort(tuple(arrays))
 
 
+def _prefetch_tiles(get_tile, n_tiles: int, depth: int = 2):
+    """Iterate tiles with host->device transfers staged ``depth`` ahead.
+
+    ``jax.device_put`` is asynchronous: starting tile i+1's upload before
+    dispatching compute on tile i overlaps the (slow) host link with device
+    execution — the upload-path analog of the reference's split preloading
+    (velox/exec/TableScan.cpp:245 CachedBufferedInput prefetch).  Tiles
+    already device-resident pass through untouched.
+    """
+    buf = {}
+
+    def stage(i):
+        if i < n_tiles and i not in buf:
+            buf[i] = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x)
+                if isinstance(x, (np.ndarray, jax.Array))
+                else x,
+                get_tile(i),
+            )
+
+    for i in range(n_tiles):
+        stage(i)
+        stage(i + 1)
+        yield buf.pop(i)
+
+
 def _replace_plan_node(
     root: PlanNode, target: PlanNode, replacement: PlanNode
 ) -> PlanNode:
@@ -1345,8 +1371,8 @@ class LocalExecutor:
             ex = self.agg_exec
             carry = (ex.init_carry(), jnp.zeros((), dtype=jnp.int64))
             t0 = time.perf_counter()
-            for i in range(n_tiles):
-                carry = self._tile_step(carry, get_tile(i))
+            for tile in _prefetch_tiles(get_tile, n_tiles):
+                carry = self._tile_step(carry, tile)
             # one batched fetch for the whole final state
             (accs_np, rowcounts_np), errs = fetch_tree(carry)
             if stats is not None:
@@ -1358,7 +1384,8 @@ class LocalExecutor:
 
             ex = self.agg_exec
             t0 = time.perf_counter()
-            partial0, err0 = self._sort_tile_partial_jit(get_tile(0))
+            tile_iter = _prefetch_tiles(get_tile, n_tiles)
+            partial0, err0 = self._sort_tile_partial_jit(next(tile_iter))
             if n_tiles == 1 and not ex.presorted:
                 # single tile: the partial IS the final state — no merge
                 keys_d, accs_d = partial0[0], partial0[1]
@@ -1409,8 +1436,8 @@ class LocalExecutor:
                     jnp.zeros((), dtype=jnp.int64),
                 )
                 carry = self._sort_merge_step(carry, shrink(partial0), err0)
-                for i in range(1, n_tiles):
-                    partial, err = self._sort_tile_partial_jit(get_tile(i))
+                for tile in tile_iter:
+                    partial, err = self._sort_tile_partial_jit(tile)
                     carry = self._sort_merge_step(carry, shrink(partial), err)
                 (keys_d, accs_d, count_d, overflow_d), errs_d = carry
             # fetch the scalars first, then only the live-group prefix
@@ -1466,8 +1493,8 @@ class LocalExecutor:
             tables: Dict[str, StringTable] = {}
             t0 = time.perf_counter()
             outs = []
-            for i in range(n_tiles):
-                outs.append(self._tile_out(get_tile(i)))
+            for tile in _prefetch_tiles(get_tile, n_tiles):
+                outs.append(self._tile_out(tile))
             # round trip 1: every tile's (length, error) together
             lens_errs = fetch_tree([(o.length, e) for o, e in outs])
             err_total = sum(int(e) for _, e in lens_errs)
@@ -1706,8 +1733,8 @@ class LocalExecutor:
         spiller = None
         chunk_bytes = 0
         t0 = time.perf_counter()
-        for i in range(n_tiles):
-            (key_arrays, accs, ngroups), err = tile_partial(get_tile(i))
+        for tile in _prefetch_tiles(get_tile, n_tiles):
+            (key_arrays, accs, ngroups), err = tile_partial(tile)
             g, err_i = fetch_tree((ngroups, err))
             err_total += int(err_i)
             g = int(g)
@@ -1760,7 +1787,10 @@ class LocalExecutor:
         node = ex.node
         needed = self._collect_needed
         t0 = time.perf_counter()
-        outs = [self._collect_rows_jit(get_tile(i)) for i in range(n_tiles)]
+        outs = [
+            self._collect_rows_jit(t)
+            for t in _prefetch_tiles(get_tile, n_tiles)
+        ]
         lens_errs = fetch_tree([(o.length, e) for o, e in outs])
         err_total = sum(int(e) for _, e in lens_errs)
         _raise_on_errors(err_total + self._drain_pending_errs())
@@ -1975,8 +2005,8 @@ class LocalExecutor:
                 reserved = 0
             resident_bytes = 0
 
-        for i in range(n_tiles):
-            out = self._tile_sorted_jit(get_tile(i))
+        for tile in _prefetch_tiles(get_tile, n_tiles):
+            out = self._tile_sorted_jit(tile)
             errs.append(out[2])
             outs.append(out)
             if keep is not None or not self.config.spill_enabled:
