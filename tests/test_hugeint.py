@@ -1,0 +1,273 @@
+"""Long decimals / HUGEINT (exec/hugeint.py + ops/int128.py).
+
+Reference test analog: velox/type/tests/HugeIntTest.cpp +
+DecimalArithmeticTest.cpp — exact 128-bit arithmetic, aggregation, and IO
+round-trips validated against python's arbitrary-precision ints.
+"""
+
+from decimal import Decimal
+
+import numpy as np
+import pytest
+
+import velox_tpu as vt
+from velox_tpu.dtypes import RowType, decimal
+from velox_tpu.exec.runner import LocalExecutor, run_plan
+from velox_tpu.io.table import Table
+from velox_tpu.ops.int128 import np_from_int, np_to_int
+from velox_tpu.plan import PlanBuilder
+
+D38 = decimal(38, 2)
+RNG = np.random.default_rng(7)
+
+
+def rand_ints(n, seed=1, digits=30):
+    """Random ints spanning ``digits`` decimal digits (beyond int64)."""
+    rng = np.random.default_rng(seed)
+    half = 10 ** (digits // 2)
+    return [
+        int(rng.integers(-half, half)) * int(rng.integers(1, half))
+        + int(rng.integers(0, 1000))
+        for _ in range(n)
+    ]
+
+
+def long_table(n=3000, seed=1, with_group=True):
+    vals = rand_ints(n, seed)
+    hi, lo = np_from_int(vals)
+    cols = {"v": np.stack([lo, hi], axis=1)}
+    names, types = ["v"], [D38]
+    if with_group:
+        rng = np.random.default_rng(seed + 1)
+        cols["g"] = rng.integers(0, 8, n)
+        names.append("g")
+        types.append(vt.BIGINT)
+    return Table(RowType(names, types), cols), vals
+
+
+class TestOps:
+    def test_limbs_roundtrip_and_arith(self):
+        vals = rand_ints(500, seed=3, digits=36)
+        hi, lo = np_from_int(vals)
+        assert np_to_int(hi, lo) == vals
+
+    def test_device_matches_numpy(self):
+        import jax.numpy as jnp
+
+        from velox_tpu.expr.registry import DEFAULT_REGISTRY as reg
+        from velox_tpu.ops.int128 import (
+            np_add,
+            np_lt,
+            np_mul_i64,
+            register_i128_functions,
+        )
+
+        register_i128_functions()
+
+        def dev(name, *args):
+            sig = reg.signatures(name)[0]
+            return np.asarray(
+                sig.impl(None, None, None, *[jnp.asarray(a) for a in args])
+            )
+
+        a = rand_ints(300, seed=4, digits=34)
+        b = rand_ints(300, seed=5, digits=34)
+        ah, al = np_from_int(a)
+        bh, bl = np_from_int(b)
+        got_lo = dev("__i128_add_lo", al, bl)
+        got_hi = dev("__i128_add_hi", ah, al, bh, bl)
+        exp_hi, exp_lo = np_add(ah, al, bh, bl)
+        np.testing.assert_array_equal(got_lo, exp_lo)
+        np.testing.assert_array_equal(got_hi, exp_hi)
+        np.testing.assert_array_equal(
+            dev("__i128_lt", ah, al, bh, bl), np_lt(ah, al, bh, bl)
+        )
+        x = RNG.integers(-(2**62), 2**62, 400)
+        y = RNG.integers(-(2**62), 2**62, 400)
+        eh, el = np_mul_i64(x, y)
+        np.testing.assert_array_equal(dev("__i128_mul64_hi", x, y), eh)
+        np.testing.assert_array_equal(dev("__i128_mul64_lo", x, y), el)
+
+
+class TestQueries:
+    def test_filter_compare_literal(self):
+        t, vals = long_table()
+        out = run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .filter("v > 0.00")
+            .aggregation([], ["count(*) as c"])
+            .build()
+        ).to_pandas()
+        assert int(out["c"].iloc[0]) == sum(v > 0 for v in vals)
+
+    def test_project_add_negate_to_double(self):
+        t, vals = long_table(500, seed=9, with_group=False)
+        out = run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .project(
+                [
+                    "v + v as twice",
+                    "-v as neg",
+                    "cast(v as double) as d",
+                ]
+            )
+            .build()
+        )
+        twice = out.columns["twice"]
+        assert np_to_int(twice[:, 1], twice[:, 0]) == [2 * v for v in vals]
+        neg = out.columns["neg"]
+        assert np_to_int(neg[:, 1], neg[:, 0]) == [-v for v in vals]
+        np.testing.assert_allclose(
+            out.columns["d"], [float(v) / 100 for v in vals], rtol=1e-12
+        )
+
+    def test_sum_count_avg_grouped(self):
+        t, vals = long_table(4000, seed=11)
+        g = np.asarray(t.columns["g"])
+        out = (
+            run_plan(
+                PlanBuilder()
+                .table_scan(t)
+                .aggregation(
+                    ["g"],
+                    ["sum(v) as s", "count(v) as c", "avg(v) as a"],
+                )
+                .build()
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        for gid in range(8):
+            sel = [v for v, gg in zip(vals, g) if gg == gid]
+            row = out[out.g == gid].iloc[0]
+            assert row["s"] == Decimal(sum(sel)).scaleb(-2), gid
+            assert int(row["c"]) == len(sel)
+            np.testing.assert_allclose(
+                float(row["a"]), sum(sel) / len(sel) / 100, rtol=1e-9
+            )
+
+    def test_sum_ungrouped_tile_invariance(self):
+        t, vals = long_table(3000, seed=13, with_group=False)
+        plan = (
+            PlanBuilder().table_scan(t).aggregation([], ["sum(v) as s"]).build()
+        )
+        for tile in (256, 1 << 16):
+            out = LocalExecutor(plan, tile_rows=tile).run().to_pandas()
+            assert out["s"].iloc[0] == Decimal(sum(vals)).scaleb(-2), tile
+
+    def test_group_by_long_key(self):
+        # few distinct long values as grouping keys
+        distinct = rand_ints(5, seed=15)
+        rng = np.random.default_rng(16)
+        picks = rng.integers(0, 5, 2000)
+        vals = [distinct[i] for i in picks]
+        hi, lo = np_from_int(vals)
+        t = Table(
+            RowType(["k", "x"], [D38, vt.BIGINT]),
+            {
+                "k": np.stack([lo, hi], axis=1),
+                "x": rng.integers(0, 100, 2000),
+            },
+        )
+        out = run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .aggregation(["k"], ["count(*) as c"])
+            .build()
+        ).to_pandas()
+        assert len(out) == 5
+        expect = {
+            Decimal(d).scaleb(-2): int((picks == i).sum())
+            for i, d in enumerate(distinct)
+        }
+        got = {k: int(c) for k, c in zip(out["k"], out["c"])}
+        assert got == expect
+
+    def test_widening_multiply_exact(self):
+        """sum(widening_multiply(a, b)) is exact past 18 digits."""
+        rng = np.random.default_rng(17)
+        n = 2000
+        a = rng.integers(10**8, 10**9, n)  # decimal(18, 2) values
+        b = rng.integers(10**8, 10**9, n)
+        t = Table(
+            RowType(["a", "b"], [decimal(18, 2), decimal(18, 2)]),
+            {"a": a, "b": b},
+        )
+        out = run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .project(["widening_multiply(a, b) as p"])
+            .aggregation([], ["sum(p) as s"])
+            .build()
+        ).to_pandas()
+        exact = sum(int(x) * int(y) for x, y in zip(a, b))
+        assert out["s"].iloc[0] == Decimal(exact).scaleb(-4)
+
+    def test_nulls(self):
+        t, vals = long_table(1000, seed=19, with_group=False)
+        rng = np.random.default_rng(20)
+        valid = rng.random(1000) > 0.3
+        t = Table(t.schema, t.columns, validities={"v": valid})
+        out = run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .aggregation([], ["sum(v) as s", "count(v) as c"])
+            .build()
+        ).to_pandas()
+        kept = [v for v, ok in zip(vals, valid) if ok]
+        assert out["s"].iloc[0] == Decimal(sum(kept)).scaleb(-2)
+        assert int(out["c"].iloc[0]) == len(kept)
+
+    def test_unsupported_raises(self):
+        t, _ = long_table(100, seed=21)
+        with pytest.raises(NotImplementedError, match="long decimal|long-decimal"):
+            run_plan(
+                PlanBuilder()
+                .table_scan(t)
+                .aggregation(["g"], ["min(v) as m"])
+                .build()
+            )
+
+
+class TestIO:
+    def test_arrow_roundtrip(self):
+        t, vals = long_table(400, seed=23, with_group=False)
+        back = Table.from_arrow(t.to_arrow())
+        assert back.schema.type_of("v").precision == 38
+        arr = back.columns["v"]
+        assert np_to_int(arr[:, 1], arr[:, 0]) == vals
+
+    def test_parquet_roundtrip(self):
+        t, vals = long_table(400, seed=25, with_group=False)
+        path = "memory://hugeint/t.parquet"
+        t.save_parquet(path)
+        back = Table.load_parquet(path)
+        arr = back.columns["v"]
+        assert np_to_int(arr[:, 1], arr[:, 0]) == vals
+
+    def test_distributed_matches_local(self):
+        import jax
+
+        from velox_tpu.parallel.runner import DistributedExecutor, make_mesh
+
+        assert len(jax.devices()) >= 8
+        t, vals = long_table(4000, seed=27)
+        plan = (
+            PlanBuilder()
+            .table_scan(t)
+            .aggregation(["g"], ["sum(v) as s", "count(v) as c"])
+            .build()
+        )
+        local = run_plan(plan).to_pandas().sort_values("g").reset_index(drop=True)
+        dist = (
+            DistributedExecutor(plan, make_mesh(8), per_device_rows=1 << 10)
+            .run()
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert local["s"].tolist() == dist["s"].tolist()
+        assert local["c"].tolist() == dist["c"].tolist()

@@ -127,6 +127,17 @@ class DataType:
         return self.kind in (TypeKind.ARRAY, TypeKind.MAP, TypeKind.ROW)
 
     @property
+    def is_long_decimal(self) -> bool:
+        """DECIMAL backed by 128-bit storage (reference: Type.h:665 HUGEINT
+        backing DecimalType<p> for p > 18).  Device representation: TWO int64
+        limb columns (lo unsigned, hi signed), lowered by exec/hugeint.py."""
+        return (
+            self.kind == TypeKind.DECIMAL
+            and self.precision is not None
+            and self.precision > 18
+        )
+
+    @property
     def is_orderable(self) -> bool:
         return not self.is_complex and self.kind != TypeKind.UNKNOWN
 
@@ -223,8 +234,10 @@ UNKNOWN = DataType(TypeKind.UNKNOWN)
 
 
 def decimal(precision: int, scale: int) -> DataType:
-    if not (0 < precision <= 18):
-        raise ValueError("only short decimals (precision<=18, int64-backed) supported")
+    """DECIMAL(p, s): int64 fixed-point for p <= 18; two int64 limbs
+    (hugeint, reference Type.h:665) for 18 < p <= 38 (exec/hugeint.py)."""
+    if not (0 < precision <= 38):
+        raise ValueError(f"bad decimal precision {precision} (max 38)")
     if not (0 <= scale <= precision):
         raise ValueError(f"bad decimal scale {scale} for precision {precision}")
     return DataType(TypeKind.DECIMAL, precision=precision, scale=scale)
@@ -300,7 +313,9 @@ def common_numeric_type(a: DataType, b: DataType) -> DataType:
         if a.kind == b.kind == TypeKind.DECIMAL:
             scale = max(a.scale, b.scale)
             ip = max(a.precision - a.scale, b.precision - b.scale)
-            return decimal(min(18, ip + scale), scale)
+            # long-decimal operands keep 128-bit width (exec/hugeint.py)
+            cap = 38 if (a.is_long_decimal or b.is_long_decimal) else 18
+            return decimal(min(cap, ip + scale), scale)
         other = b if a.kind == TypeKind.DECIMAL else a
         if other.is_integer:
             return a if a.kind == TypeKind.DECIMAL else b

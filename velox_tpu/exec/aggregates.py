@@ -261,7 +261,9 @@ class BoundAggregate:
 
 def _sum_result_type(t: DataType) -> DataType:
     if t.kind == TypeKind.DECIMAL:
-        return decimal(18, t.scale)
+        # long-decimal sums stay long (reference: DecimalAggregate.h sums in
+        # int128); lowered onto 32-bit piece sums by exec/hugeint.py
+        return decimal(38 if t.is_long_decimal else 18, t.scale)
     if t.is_floating:
         return DOUBLE
     return BIGINT

@@ -1,0 +1,542 @@
+"""Long-decimal (HUGEINT-backed) execution as a plan rewrite.
+
+Reference: velox/type/Type.h:665 (DECIMAL(p>18) backed by int128 HUGEINT),
+DecimalUtil.h arithmetic, DecimalAggregate.h sums.
+
+TPU re-design: no 128-bit device type exists, so a long-decimal column is
+TWO int64 limb columns (``c__hi``, ``c__lo``; value = hi*2^64 + uint64(lo)),
+and long-decimal expressions lower onto the branch-free ``__i128_*`` device
+functions (ops/int128.py) as a plan rewrite — the same lowering strategy as
+the HLL sketch (exec/sketch.py).  Everything downstream (tiling, joins,
+distribution, spill) then sees plain BIGINT columns.
+
+Covered: scans/Values with long-decimal columns, filter/project expressions
+(+, -, negation, comparisons, cast to DOUBLE), GROUP BY on long-decimal
+keys, and sum()/count()/avg() aggregation — sums accumulate in four 32-bit
+pieces per value (each piece sum is exact in int64 for < 2^31 rows) and
+recombine into limbs on device.  Unsupported shapes raise NotImplementedError
+naming the construct.  Results surface as (n, 2) [lo, hi] numpy columns;
+Table.to_pandas renders them as exact ``decimal.Decimal`` objects.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..dtypes import BIGINT, BOOLEAN, DOUBLE, DataType, RowType
+from ..expr.ir import Call, Constant, Expr, FieldAccess, Special, SpecialForm
+from ..io.table import Table
+from ..ops.int128 import np_from_int, register_i128_functions
+from ..plan.nodes import (
+    AggregationNode,
+    FilterNode,
+    PlanNode,
+    ProjectNode,
+    TableScanNode,
+    ValuesNode,
+)
+
+
+def _hi(name: str) -> str:
+    return f"{name}__hi"
+
+
+def _lo(name: str) -> str:
+    return f"{name}__lo"
+
+
+def split_table(table: Table) -> Table:
+    """Physical form of a table with long-decimal columns: each becomes two
+    BIGINT limb columns (numpy views over the (n, 2) [lo, hi] storage)."""
+    names, types, cols, validities = [], [], {}, {}
+    for name, dtype in zip(table.schema.names, table.schema.types):
+        if dtype.is_long_decimal:
+            arr = np.asarray(table.columns[name])
+            assert arr.ndim == 2 and arr.shape[1] == 2, (
+                f"long-decimal column {name!r} must be (n, 2) [lo, hi] int64"
+            )
+            names += [_hi(name), _lo(name)]
+            types += [BIGINT, BIGINT]
+            cols[_hi(name)] = arr[:, 1]
+            cols[_lo(name)] = arr[:, 0]
+            v = table.validities.get(name)
+            if v is not None:
+                validities[_lo(name)] = v
+                validities[_hi(name)] = v
+        else:
+            names.append(name)
+            types.append(dtype)
+            cols[name] = table.columns[name]
+            if name in table.validities:
+                validities[name] = table.validities[name]
+    return Table(
+        RowType(names, types), cols, dict(table.string_tables), validities
+    )
+
+
+def merge_result(table: Table, logical: RowType) -> Table:
+    """Re-pack limb pairs in a result into (n, 2) long-decimal columns."""
+    cols, validities = {}, {}
+    for name, dtype in zip(logical.names, logical.types):
+        if dtype.is_long_decimal:
+            lo = np.asarray(table.columns[_lo(name)])
+            hi = np.asarray(table.columns[_hi(name)])
+            cols[name] = np.stack([lo, hi], axis=1)
+            v = table.validities.get(_lo(name))
+            if v is not None:
+                validities[name] = v
+        else:
+            cols[name] = table.columns[name]
+            if name in table.validities:
+                validities[name] = table.validities[name]
+    return Table(logical, cols, dict(table.string_tables), validities)
+
+
+def _widen_const(e: Expr, target: DataType) -> Expr:
+    """Rescale a short-decimal (or integer) literal to a long-decimal target
+    — exact host-side python-int arithmetic."""
+    from ..dtypes import TypeKind, decimal as _decimal
+
+    if not isinstance(e, Constant) or e.dtype.is_long_decimal:
+        return e
+    if e.dtype.kind == TypeKind.DECIMAL:
+        shift = target.scale - e.dtype.scale
+    elif e.dtype.is_integer:
+        shift = target.scale
+    else:
+        return e
+    if shift < 0:
+        return e
+    return Constant(
+        _decimal(38, target.scale), int(e.value) * 10**shift
+    )
+
+
+class _Lowerer:
+    """Expression lowering against a physical (limb-split) schema."""
+
+    def __init__(self, schema: RowType):
+        self.schema = schema
+
+    def pair(self, e: Expr) -> Tuple[Expr, Expr]:
+        """(hi, lo) expressions of a long-decimal-typed node."""
+        if isinstance(e, FieldAccess) and e.dtype.is_long_decimal:
+            return (
+                FieldAccess(BIGINT, _hi(e.name)),
+                FieldAccess(BIGINT, _lo(e.name)),
+            )
+        if isinstance(e, Constant) and e.dtype.is_long_decimal:
+            hi, lo = np_from_int([int(e.value)])
+            return Constant(BIGINT, int(hi[0])), Constant(BIGINT, int(lo[0]))
+        if isinstance(e, Call) and e.name in ("plus", "minus"):
+            ea = _widen_const(e.args[0], e.dtype)
+            eb = _widen_const(e.args[1], e.dtype)
+            ah, al = self.pair(ea)
+            bh, bl = self.pair(eb)
+            if e.name == "minus":
+                bh, bl = (
+                    Call(BIGINT, "__i128_neg_hi", (bh, bl)),
+                    Call(BIGINT, "__i128_neg_lo", (bl,)),
+                )
+            return (
+                Call(BIGINT, "__i128_add_hi", (ah, al, bh, bl)),
+                Call(BIGINT, "__i128_add_lo", (al, bl)),
+            )
+        if isinstance(e, Call) and e.name == "negate":
+            ah, al = self.pair(e.args[0])
+            return (
+                Call(BIGINT, "__i128_neg_hi", (ah, al)),
+                Call(BIGINT, "__i128_neg_lo", (al,)),
+            )
+        if (
+            isinstance(e, Call)
+            and e.name in ("multiply", "widening_multiply")
+            and not e.args[0].dtype.is_long_decimal
+            and not e.args[1].dtype.is_long_decimal
+        ):
+            # short x short widening product: exact 64x64 -> 128
+            a = self.scalar(e.args[0])
+            b = self.scalar(e.args[1])
+            return (
+                Call(BIGINT, "__i128_mul64_hi", (a, b)),
+                Call(BIGINT, "__i128_mul64_lo", (a, b)),
+            )
+        if (
+            isinstance(e, Special)
+            and e.form in (SpecialForm.CAST, SpecialForm.TRY_CAST)
+            and e.dtype.is_long_decimal
+        ):
+            child = e.children[0]
+            if child.dtype.is_long_decimal:
+                if child.dtype.scale != e.dtype.scale:
+                    raise NotImplementedError(
+                        "long-decimal rescaling casts are not supported yet"
+                    )
+                return self.pair(child)
+            shift = (
+                e.dtype.scale - child.dtype.scale
+                if child.dtype.kind.name == "DECIMAL"
+                else e.dtype.scale
+            )
+            if shift < 0 or shift > 18:
+                raise NotImplementedError(
+                    "casts to long decimals support scale shifts in [0, 18]"
+                )
+            x = self.scalar(child)
+            if shift == 0:
+                return Call(BIGINT, "__i128_sar63", (x,)), x
+            # exact widening rescale: 64x64 -> 128 product with 10^shift
+            ten = Constant(BIGINT, 10**shift)
+            return (
+                Call(BIGINT, "__i128_mul64_hi", (x, ten)),
+                Call(BIGINT, "__i128_mul64_lo", (x, ten)),
+            )
+        if not e.dtype.is_long_decimal and not e.dtype.is_floating:
+            # short (int64-representable) value in a long context: exact
+            # sign-extension widening (callers align scales first)
+            x = self.scalar(e)
+            return Call(BIGINT, "__i128_sar63", (x,)), x
+        raise NotImplementedError(
+            f"long-decimal expression {getattr(e, 'name', type(e).__name__)!r}"
+            " is not supported yet (supported: field/literal, +, -, negate,"
+            " short*short widening, comparisons, cast to double, sum/count)"
+        )
+
+    def scalar(self, e: Expr) -> Expr:
+        """Lower a NON-long-decimal-typed expression (rewriting any
+        long-decimal subtrees it contains)."""
+        if isinstance(e, Call) and e.name in ("eq", "neq", "lt", "lte", "gt", "gte"):
+            a, b = e.args
+            if a.dtype.is_long_decimal or b.dtype.is_long_decimal:
+                long_t = a.dtype if a.dtype.is_long_decimal else b.dtype
+                a = _widen_const(a, long_t)
+                b = _widen_const(b, long_t)
+                if not (a.dtype.is_long_decimal and b.dtype.is_long_decimal):
+                    raise NotImplementedError(
+                        "comparisons mixing long and short decimals are not "
+                        "supported yet (cast explicitly)"
+                    )
+                if a.dtype.scale != b.dtype.scale:
+                    raise NotImplementedError(
+                        "long-decimal comparisons require matching scales"
+                    )
+                ah, al = self.pair(a)
+                bh, bl = self.pair(b)
+                if e.name in ("gt", "gte"):
+                    ah, al, bh, bl = bh, bl, ah, al
+                name = {
+                    "eq": "__i128_eq", "neq": "__i128_eq",
+                    "lt": "__i128_lt", "lte": "__i128_lte",
+                    "gt": "__i128_lt", "gte": "__i128_lte",
+                }[e.name]
+                out = Call(BOOLEAN, name, (ah, al, bh, bl))
+                if e.name == "neq":
+                    out = Call(BOOLEAN, "not", (out,))
+                return out
+        if isinstance(e, Special):
+            if (
+                e.form in (SpecialForm.CAST, SpecialForm.TRY_CAST)
+                and e.children[0].dtype.is_long_decimal
+                and not e.dtype.is_long_decimal
+            ):
+                src = e.children[0]
+                if e.dtype.kind.name != "DOUBLE":
+                    raise NotImplementedError(
+                        "long-decimal cast targets other than DOUBLE are not "
+                        "supported yet"
+                    )
+                hi, lo = self.pair(src)
+                dbl = Call(DOUBLE, "__i128_to_double", (hi, lo))
+                return Call(
+                    DOUBLE, "divide",
+                    (dbl, Constant(DOUBLE, float(10 ** src.dtype.scale))),
+                )
+            if any(self._has_long(a) for a in e.children):
+                args = tuple(self.scalar(a) for a in e.children)
+                return Special(e.dtype, e.form, args)
+            return e
+        if isinstance(e, Call):
+            if e.name == "cast" and e.args and e.args[0].dtype.is_long_decimal:
+                src = e.args[0]
+                if e.dtype.kind.name != "DOUBLE":
+                    raise NotImplementedError(
+                        "long-decimal cast targets other than DOUBLE are not "
+                        "supported yet"
+                    )
+                hi, lo = self.pair(src)
+                dbl = Call(DOUBLE, "__i128_to_double", (hi, lo))
+                return Call(
+                    DOUBLE, "divide",
+                    (dbl, Constant(DOUBLE, float(10 ** src.dtype.scale))),
+                )
+            if e.dtype.is_long_decimal:
+                raise NotImplementedError(
+                    f"long-decimal-valued call {e.name!r} in a scalar context"
+                )
+            if any(self._has_long(a) for a in e.args):
+                return Call(e.dtype, e.name, tuple(self.scalar(a) for a in e.args))
+            return e
+        if e.dtype.is_long_decimal:
+            raise NotImplementedError(
+                f"long-decimal value {type(e).__name__} in a scalar context "
+                "is not supported here"
+            )
+        return e
+
+    @staticmethod
+    def _has_long(e: Expr) -> bool:
+        if e.dtype.is_long_decimal:
+            return True
+        return any(_Lowerer._has_long(c) for c in e.children)
+
+
+def _schema_has_long(schema: RowType) -> bool:
+    return any(t.is_long_decimal for t in schema.types)
+
+
+def rewrite_long_decimals(root: PlanNode):
+    """Lower long-decimal columns/expressions bottom-up.
+
+    Returns (new_root, logical_output | None): when the rewritten plan's
+    output carries limb pairs, ``logical_output`` is the RowType the executor
+    re-packs the result into (merge_result)."""
+    if not _plan_has_long(root):
+        return root, None
+    register_i128_functions()
+    new_root = _rewrite(root)
+    logical = root.output_schema
+    needs_merge = any(t.is_long_decimal for t in logical.types)
+    return new_root, (logical if needs_merge else None)
+
+
+def _plan_has_long(node: PlanNode) -> bool:
+    if _schema_has_long(node.output_schema):
+        return True
+    return any(_plan_has_long(s) for s in node.sources)
+
+
+def _rewrite(node: PlanNode) -> PlanNode:
+    kids = {}
+    for attr in ("source", "left", "right"):
+        child = getattr(node, attr, None)
+        if isinstance(child, PlanNode):
+            kids[attr] = _rewrite(child)
+    inputs = getattr(node, "inputs", None)
+    if inputs and all(isinstance(i, PlanNode) for i in inputs):
+        kids["inputs"] = tuple(_rewrite(i) for i in inputs)
+
+    if isinstance(node, (TableScanNode, ValuesNode)):
+        if not _schema_has_long(node.output_schema):
+            return node
+        phys = split_table(
+            node.table.select(list(node.output_schema.names))
+        )
+        if isinstance(node, TableScanNode):
+            if node.subfield_filter is not None:
+                lw = _Lowerer(phys.schema)
+                new = TableScanNode(phys, tuple(phys.schema.names))
+                new.subfield_filter = lw.scalar(node.subfield_filter)
+                return new
+            return TableScanNode(phys, tuple(phys.schema.names))
+        return ValuesNode(phys, id=node.id)
+
+    src = kids.get("source")
+    if src is None and not kids:
+        return node
+
+    if isinstance(node, FilterNode):
+        if not _expr_long(node.predicate):
+            return dataclasses.replace(node, **kids)
+        lw = _Lowerer(src.output_schema)
+        return FilterNode(src, lw.scalar(node.predicate))
+
+    if isinstance(node, ProjectNode):
+        if not any(_expr_long(e) for e in node.exprs) and not _schema_has_long(
+            node.output_schema
+        ):
+            return dataclasses.replace(node, **kids)
+        lw = _Lowerer(src.output_schema)
+        names: List[str] = []
+        exprs: List[Expr] = []
+        for name, e in zip(node.names, node.exprs):
+            if e.dtype.is_long_decimal:
+                hi, lo = lw.pair(e)
+                names += [_hi(name), _lo(name)]
+                exprs += [hi, lo]
+            else:
+                names.append(name)
+                exprs.append(lw.scalar(e))
+        return ProjectNode(src, tuple(names), tuple(exprs))
+
+    if isinstance(node, AggregationNode):
+        has_long_key = any(
+            node.source.output_schema.type_of(k).is_long_decimal
+            for k in node.grouping_keys
+        )
+        has_long_agg = any(
+            any(_expr_long(a) for a in call.args) for call in node.aggregates
+        )
+        if not has_long_key and not has_long_agg:
+            return dataclasses.replace(node, **kids)
+        return _rewrite_aggregation(node, src)
+
+    if any(
+        _schema_has_long(getattr(node, a).output_schema)
+        if isinstance(getattr(node, a, None), PlanNode)
+        else False
+        for a in ("source", "left", "right")
+    ) or _schema_has_long(node.output_schema):
+        raise NotImplementedError(
+            f"long-decimal columns flowing through {type(node).__name__} are "
+            "not supported yet (supported: scan/filter/project/aggregation)"
+        )
+    return dataclasses.replace(node, **kids) if kids else node
+
+
+def _expr_long(e: Expr) -> bool:
+    return _Lowerer._has_long(e)
+
+
+def _rewrite_aggregation(node: AggregationNode, src: PlanNode) -> PlanNode:
+    """sum/count/avg over long decimals; long-decimal GROUP BY keys become
+    limb-pair keys (exact: equal values have equal limb pairs)."""
+    lw = _Lowerer(src.output_schema)
+    schema = src.output_schema
+
+    keys: List[str] = []
+    key_logical: List[Tuple[str, DataType]] = []
+    for k in node.grouping_keys:
+        t = node.source.output_schema.type_of(k)
+        if t.is_long_decimal:
+            keys += [_hi(k), _lo(k)]
+            key_logical.append((k, t))
+        else:
+            keys.append(k)
+
+    # pre-projection: 32-bit pieces of each long argument
+    pre_names = list(schema.names)
+    pre_exprs: List[Expr] = [
+        FieldAccess(schema.type_of(n), n) for n in schema.names
+    ]
+    agg_names: List[str] = []
+    agg_calls: List[Call] = []
+    post: List[Tuple[str, DataType, List[str]]] = []  # (name, dtype, piece sums)
+    for out_name, call in zip(node.agg_names, node.aggregates):
+        if not any(_expr_long(a) for a in call.args):
+            agg_names.append(out_name)
+            agg_calls.append(call)
+            continue
+        if call.name not in ("sum", "count", "avg"):
+            raise NotImplementedError(
+                f"aggregate {call.name!r} over long decimals is not supported"
+                " yet (supported: sum, count, avg)"
+            )
+        arg = call.args[0]
+        if call.name == "count":
+            # count only needs validity: the lo limb carries it
+            _, lo = lw.pair(arg)
+            nm = f"__hg_{out_name}_c"
+            pre_names.append(nm)
+            pre_exprs.append(lo)
+            agg_names.append(out_name)
+            agg_calls.append(
+                Call(call.dtype, "count", (FieldAccess(BIGINT, nm),))
+            )
+            continue
+        hi, lo = lw.pair(arg)
+        pieces = []
+        for i, piece in enumerate(
+            (
+                Call(BIGINT, "__i128_p0", (lo,)),
+                Call(BIGINT, "__i128_p1u", (lo,)),
+                Call(BIGINT, "__i128_p0", (hi,)),
+                Call(BIGINT, "__i128_sar32", (hi,)),
+            )
+        ):
+            nm = f"__hg_{out_name}_{i}"
+            pre_names.append(nm)
+            pre_exprs.append(piece)
+            pieces.append(nm)
+        sums = []
+        for nm in pieces:
+            snm = f"{nm}_s"
+            agg_names.append(snm)
+            agg_calls.append(Call(BIGINT, "sum", (FieldAccess(BIGINT, nm),)))
+            sums.append(snm)
+        if call.name == "avg":
+            cnm = f"__hg_{out_name}_n"
+            agg_names.append(cnm)
+            agg_calls.append(
+                Call(BIGINT, "count", (FieldAccess(BIGINT, pieces[0]),))
+            )
+            sums.append(cnm)
+        post.append((out_name, call.dtype, sums))
+
+    pre = ProjectNode(src, tuple(pre_names), tuple(pre_exprs))
+    agg = AggregationNode(
+        pre, node.step, tuple(keys), tuple(agg_names), tuple(agg_calls)
+    )
+
+    # post-projection: recombine piece sums into limbs on device
+    out_names: List[str] = []
+    out_exprs: List[Expr] = []
+    for k in node.grouping_keys:
+        t = node.source.output_schema.type_of(k)
+        if t.is_long_decimal:
+            for nm in (_hi(k), _lo(k)):
+                out_names.append(nm)
+                out_exprs.append(FieldAccess(BIGINT, nm))
+        else:
+            out_names.append(k)
+            out_exprs.append(FieldAccess(agg.output_schema.type_of(k), k))
+    recombine = {name: sums for name, _, sums in post}
+    for out_name, call in zip(node.agg_names, node.aggregates):
+        if out_name not in recombine:
+            out_names.append(out_name)
+            out_exprs.append(
+                FieldAccess(agg.output_schema.type_of(out_name), out_name)
+            )
+            continue
+        sums = recombine[out_name]
+        s = [FieldAccess(BIGINT, nm) for nm in sums[:4]]
+        # value = s0 + (s1 << 32) + (s2 << 64) + (s3 << 96), assembled with
+        # exact 128-bit adds: pieces are non-negative (s3 sign-carrying)
+        zero = Constant(BIGINT, 0)
+        a_h, a_l = Call(BIGINT, "__i128_sar63", (s[0],)), s[0]
+        b_h, b_l = (
+            Call(BIGINT, "__i128_sar32", (s[1],)),
+            Call(BIGINT, "__i128_shl32", (s[1],)),
+        )
+        c_h, c_l = s[2], zero
+        d_h, d_l = Call(BIGINT, "__i128_shl32", (s[3],)), zero
+        h1 = Call(BIGINT, "__i128_add_hi", (a_h, a_l, b_h, b_l))
+        l1 = Call(BIGINT, "__i128_add_lo", (a_l, b_l))
+        h2 = Call(BIGINT, "__i128_add_hi", (c_h, c_l, d_h, d_l))
+        l2 = Call(BIGINT, "__i128_add_lo", (c_l, d_l))
+        hi_e = Call(BIGINT, "__i128_add_hi", (h1, l1, h2, l2))
+        lo_e = Call(BIGINT, "__i128_add_lo", (l1, l2))
+        call_t = call.dtype
+        if call.name == "avg":
+            n_e = FieldAccess(BIGINT, sums[4])
+            dbl = Call(DOUBLE, "__i128_to_double", (hi_e, lo_e))
+            scale = float(10 ** call.args[0].dtype.scale)
+            out_names.append(out_name)
+            out_exprs.append(
+                Call(
+                    DOUBLE, "divide",
+                    (
+                        Call(
+                            DOUBLE, "divide",
+                            (dbl, Call(DOUBLE, "__i128_cast_double", (n_e,))),
+                        ),
+                        Constant(DOUBLE, scale),
+                    ),
+                )
+            )
+            continue
+        out_names += [_hi(out_name), _lo(out_name)]
+        out_exprs += [hi_e, lo_e]
+    return ProjectNode(agg, tuple(out_names), tuple(out_exprs))

@@ -1000,6 +1000,9 @@ class LocalExecutor:
         from .sketch import rewrite_sketch_aggregates
 
         root = rewrite_sketch_aggregates(root)
+        from .hugeint import rewrite_long_decimals
+
+        root, self._hugeint_logical = rewrite_long_decimals(root)
         self.root = root
         self.tile_rows = tile_rows
         self.config = config or DEFAULT_CONFIG
@@ -1417,9 +1420,11 @@ class LocalExecutor:
                     from ..utils.testvalue import adjust
 
                     adjust("LocalExecutor::carryMemoryFallback", self)
-                    return apply_finishers(
-                        self._run_sort_agg_host(get_tile, n_tiles, stats),
-                        lin.finishers,
+                    return self._merge_hugeint(
+                        apply_finishers(
+                            self._run_sort_agg_host(get_tile, n_tiles, stats),
+                            lin.finishers,
+                        )
                     )
 
                 def shrink(partial):
@@ -1449,9 +1454,11 @@ class LocalExecutor:
                 # more distinct groups than carry slots: fall back to the
                 # host-merge path, which handles unbounded group counts
                 # (and can spill) at the cost of per-tile fetches.
-                return apply_finishers(
-                    self._run_sort_agg_host(get_tile, n_tiles, stats),
-                    lin.finishers,
+                return self._merge_hugeint(
+                    apply_finishers(
+                        self._run_sort_agg_host(get_tile, n_tiles, stats),
+                        lin.finishers,
+                    )
                 )
             topn_k = self._device_topn_k()
             if topn_k is not None and int(count) > topn_k:
@@ -1572,6 +1579,10 @@ class LocalExecutor:
             result = Table(self.out_schema, cols, tables, validities)
 
         result = apply_finishers(result, lin.finishers[skip_finishers:])
+        if getattr(self, "_hugeint_logical", None) is not None:
+            from .hugeint import merge_result
+
+            result = merge_result(result, self._hugeint_logical)
         if self._write_sink_factory is not None:
             from ..dtypes import BIGINT as _BIGINT
 
@@ -1912,6 +1923,14 @@ class LocalExecutor:
                 if validity is not None and not validity.all():
                     out_valid[name] = validity
         return Table(node.output_schema, out_cols, out_tables, out_valid)
+
+    def _merge_hugeint(self, result: Table) -> Table:
+        """Re-pack limb pairs into logical long-decimal columns (exec/hugeint)."""
+        if getattr(self, "_hugeint_logical", None) is None:
+            return result
+        from .hugeint import merge_result
+
+        return merge_result(result, self._hugeint_logical)
 
     def _sort_run_table(self, arrays_np, layout) -> Table:
         """Assemble a host Table from one sorted run's fetched flat arrays."""

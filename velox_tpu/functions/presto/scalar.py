@@ -46,17 +46,35 @@ def _decimal_add_type(arg_types):
     a = arg_types[0]
     if a.kind != TypeKind.DECIMAL:
         return a
-    # After coercion both args share (p, s); one more integer digit for the carry.
-    return decimal(min(18, a.precision + 1), a.scale)
+    # After coercion both args share (p, s); one more integer digit for the
+    # carry.  Long-decimal inputs stay long (exec/hugeint.py lowers them).
+    cap = 38 if a.precision > 18 else 18
+    return decimal(min(cap, a.precision + 1), a.scale)
 
 
 def _decimal_mul_type(arg_types):
     # Presto rule: multiply does NOT align scales — result scale is s1+s2.
     # (Aligning first would inflate the scale and overflow int64 sums.)
+    # Short x short stays int64-clamped (documented deviation: the reference
+    # widens to HUGEINT past 18 digits; use widening_multiply for the exact
+    # 128-bit product).  An already-long input types long.
     a, b = arg_types[0], arg_types[1]
     if a.kind != TypeKind.DECIMAL:
         return a
-    return decimal(min(18, a.precision + b.precision), a.scale + b.scale)
+    cap = 38 if (a.precision > 18 or b.precision > 18) else 18
+    return decimal(min(cap, a.precision + b.precision), a.scale + b.scale)
+
+
+def _widening_mul_type(arg_types):
+    a, b = arg_types[0], arg_types[1]
+    return decimal(min(38, a.precision + b.precision), a.scale + b.scale)
+
+
+def _widening_mul_unlowered(ctx, out_t, arg_ts, a, b):
+    raise NotImplementedError(
+        "widening_multiply must be lowered by exec/hugeint.py "
+        "(LocalExecutor and DistributedExecutor apply it automatically)"
+    )
 
 
 # ---- arithmetic ----------------------------------------------------------
@@ -116,6 +134,14 @@ _reg.register("minus", [NUMERIC, NUMERIC], _decimal_add_type, _minus, coerce_com
 # decimal*decimal keeps raw scales (registered first so it wins over the
 # coercing generic overload; int/float mixes widen to decimal and land here too)
 _reg.register("multiply", [TypeKind.DECIMAL, TypeKind.DECIMAL], _decimal_mul_type, _multiply)
+# exact 128-bit product of two short decimals (reference: the HUGEINT
+# promotion of DecimalUtil multiply); lowered by exec/hugeint.py
+_reg.register(
+    "widening_multiply",
+    [TypeKind.DECIMAL, TypeKind.DECIMAL],
+    _widening_mul_type,
+    _widening_mul_unlowered,
+)
 _reg.register("multiply", [NUMERIC, NUMERIC], _decimal_mul_type, _multiply, coerce_common_numeric=True)
 _reg.register("divide", [TypeKind.DOUBLE, TypeKind.DOUBLE], DOUBLE, _divide_float)
 _reg.register("divide", [TypeKind.REAL, TypeKind.REAL], _same_type, _divide_float, coerce_common_numeric=True)

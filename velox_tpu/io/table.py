@@ -141,8 +141,9 @@ class Table:
                 continue
             arr = self.columns[name][start:stop]
             if n < tile_rows:
+                pad_shape = (tile_rows - n,) + np.shape(arr)[1:]
                 arr = np.concatenate(
-                    [arr, np.zeros(tile_rows - n, dtype=arr.dtype)]
+                    [arr, np.zeros(pad_shape, dtype=arr.dtype)]
                 )
             validity = self.validities.get(name)
             if validity is not None:
@@ -190,6 +191,17 @@ class Table:
                 continue
             if decode and dtype.is_string and name in self.string_tables:
                 arr = self.string_tables[name].decode(arr)
+            elif decode and dtype.is_long_decimal:
+                from decimal import Decimal
+
+                from ..ops.int128 import np_to_int
+
+                ints = np_to_int(arr[:, 1], arr[:, 0])
+                obj = np.empty(len(ints), dtype=object)
+                obj[:] = [
+                    Decimal(v).scaleb(-dtype.scale) for v in ints
+                ]
+                arr = obj
             elif decode and dtype.kind == TypeKind.DECIMAL:
                 arr = arr.astype(np.float64) / 10.0**dtype.scale
             validity = self.validities.get(name)
@@ -215,6 +227,16 @@ class Table:
                     pa.DictionaryArray.from_arrays(
                         pa.array(arr, type=pa.int32()),
                         pa.array(self.string_tables[name].values()),
+                    )
+                )
+            elif dtype.is_long_decimal:
+                # (n, 2) [lo, hi] limbs ARE the decimal128 storage layout
+                limbs = np.ascontiguousarray(np.asarray(arr, np.int64))
+                arrays.append(
+                    pa.Array.from_buffers(
+                        pa.decimal128(dtype.precision, dtype.scale),
+                        len(limbs),
+                        [None, pa.py_buffer(limbs.tobytes())],
                     )
                 )
             else:
@@ -256,11 +278,16 @@ class Table:
                 )
             elif dtype.kind == TypeKind.DECIMAL:
                 # unscaled int64 -> decimal128 storage (16-byte two's
-                # complement little-endian: low limb + sign extension)
-                vals = np.asarray(arr, dtype=np.int64)
-                limbs = np.empty((len(vals), 2), dtype=np.int64)
-                limbs[:, 0] = vals
-                limbs[:, 1] = vals >> 63
+                # complement little-endian: low limb + sign extension);
+                # long decimals are already stored as (n, 2) [lo, hi]
+                if dtype.is_long_decimal:
+                    limbs = np.ascontiguousarray(np.asarray(arr, np.int64))
+                    vals = limbs[:, 0]
+                else:
+                    vals = np.asarray(arr, dtype=np.int64)
+                    limbs = np.empty((len(vals), 2), dtype=np.int64)
+                    limbs[:, 0] = vals
+                    limbs[:, 1] = vals >> 63
                 validity_buf = None
                 if mask is not None:
                     validity_buf = pa.array(
@@ -345,18 +372,22 @@ class Table:
                     chunked.is_valid().to_numpy(zero_copy_only=False)
                 )
             if pa.types.is_decimal(chunked.type):
-                if chunked.type.precision > 18:
-                    raise NotImplementedError(
-                        "decimal precision > 18 requires the hugeint path"
-                    )
-                # unscaled int64: low limb of the 16-byte decimal128 storage
+                # decimal128 storage is 16-byte two's complement little-endian
+                # [lo, hi]; short decimals keep the low limb, long decimals
+                # (p > 18, reference HUGEINT) keep both as an (n, 2) column
+                # lowered by exec/hugeint.py
                 flat = chunked.fill_null(0)
                 buf = flat.buffers()[1]
                 limbs = np.frombuffer(
                     buf, dtype=np.int64, count=2 * len(flat),
                     offset=16 * flat.offset,
                 )
-                cols[name] = limbs[0::2].copy()
+                if chunked.type.precision > 18:
+                    cols[name] = np.stack(
+                        [limbs[0::2], limbs[1::2]], axis=1
+                    )
+                else:
+                    cols[name] = limbs[0::2].copy()
             elif pa.types.is_date32(chunked.type):
                 cols[name] = (
                     chunked.fill_null(0).cast(pa.int32()).to_numpy(

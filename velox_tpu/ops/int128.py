@@ -1,0 +1,192 @@
+"""128-bit integer arithmetic over (hi, lo) int64 limb pairs.
+
+Reference: velox/type/HugeInt.h + DecimalUtil.h — the reference backs
+DECIMAL(p>18) with a native __int128.  TPUs have no 128-bit integer type, so
+a hugeint value v is represented as two int64 columns with
+``v = hi * 2**64 + uint64(lo)`` — hi carries the sign, lo is the raw low
+word.  Every op here is a branch-free elementwise jnp expression (VPU-
+friendly, fully fusable); numpy twins with identical bit semantics drive the
+host-side oracles and the host halves of the engine.
+
+The device functions are registered into the scalar function registry under
+``__i128_*`` names; exec/hugeint.py lowers long-decimal expressions onto
+them as a plan rewrite — the same strategy as the HLL sketch lowering.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+_MASK32 = 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# numpy twins (host side; wrap-safe)
+
+
+def np_from_int(values) -> Tuple[np.ndarray, np.ndarray]:
+    """Python ints / int64 array -> (hi, lo) limbs."""
+    if isinstance(values, np.ndarray) and values.dtype == np.int64:
+        return values >> 63, values.copy()
+    out_hi = np.empty(len(values), np.int64)
+    out_lo = np.empty(len(values), np.int64)
+    for i, v in enumerate(values):
+        v = int(v)
+        out_lo[i] = np.int64((v & ((1 << 64) - 1)) - (1 << 64)) if (
+            v & (1 << 63)
+        ) else np.int64(v & ((1 << 64) - 1))
+        out_hi[i] = np.int64(v >> 64)
+    return out_hi, out_lo
+
+
+def np_to_int(hi: np.ndarray, lo: np.ndarray):
+    """(hi, lo) limbs -> python ints (exact)."""
+    return [
+        (int(h) << 64) + (int(l) & ((1 << 64) - 1))
+        for h, l in zip(np.asarray(hi), np.asarray(lo))
+    ]
+
+
+def np_add(ah, al, bh, bl):
+    with np.errstate(over="ignore"):
+        lo = (al.astype(np.uint64) + bl.astype(np.uint64)).astype(np.int64)
+        carry = lo.astype(np.uint64) < al.astype(np.uint64)
+        hi = ah + bh + carry.astype(np.int64)
+    return hi, lo
+
+
+def np_neg(hi, lo):
+    with np.errstate(over="ignore"):
+        nlo = (-lo.astype(np.uint64)).astype(np.int64)
+        nhi = ~hi + (lo == 0).astype(np.int64)
+    return nhi, nlo
+
+
+def np_mul_i64(a, b):
+    """Exact int64 x int64 -> (hi, lo) via 32-bit partial products."""
+    with np.errstate(over="ignore"):
+        au = a.astype(np.uint64)
+        bu = b.astype(np.uint64)
+        a0, a1 = au & np.uint64(_MASK32), au >> np.uint64(32)
+        b0, b1 = bu & np.uint64(_MASK32), bu >> np.uint64(32)
+        p00 = a0 * b0
+        p01 = a0 * b1
+        p10 = a1 * b0
+        p11 = a1 * b1
+        mid = (p00 >> np.uint64(32)) + (p01 & np.uint64(_MASK32)) + (
+            p10 & np.uint64(_MASK32)
+        )
+        lo = ((mid & np.uint64(_MASK32)) << np.uint64(32)) | (
+            p00 & np.uint64(_MASK32)
+        )
+        hi_u = p11 + (p01 >> np.uint64(32)) + (p10 >> np.uint64(32)) + (
+            mid >> np.uint64(32)
+        )
+        # unsigned -> signed correction: subtract (b if a<0) and (a if b<0)
+        hi = hi_u.astype(np.int64)
+        hi = hi - np.where(a < 0, b, 0) - np.where(b < 0, a, 0)
+    return hi, lo.astype(np.int64)
+
+
+def np_lt(ah, al, bh, bl):
+    return (ah < bh) | (
+        (ah == bh) & (al.astype(np.uint64) < bl.astype(np.uint64))
+    )
+
+
+def np_eq(ah, al, bh, bl):
+    return (ah == bh) & (al == bl)
+
+
+def np_to_double(hi, lo):
+    return hi.astype(np.float64) * 2.0**64 + lo.astype(np.uint64).astype(
+        np.float64
+    )
+
+
+# ---------------------------------------------------------------------------
+# device function registration
+
+
+def register_i128_functions() -> None:
+    """Register the ``__i128_*`` device functions (idempotent)."""
+    import jax.numpy as jnp
+
+    from ..dtypes import BIGINT, BOOLEAN, DOUBLE
+    from ..expr.registry import DEFAULT_REGISTRY as reg, INTEGER, NUMERIC
+
+    if reg.signatures("__i128_add_lo"):
+        return
+
+    def _u(x):
+        return x.astype(jnp.uint64)
+
+    def f(name, arity, out, fn):
+        reg.register(
+            name, [NUMERIC] * arity, out,
+            (lambda g: lambda ctx, out_t, arg_ts, *a: g(
+                *[x.astype(jnp.int64) for x in a]
+            ))(fn),
+        )
+
+    f("__i128_add_lo", 2, BIGINT, lambda al, bl: al + bl)
+    f(
+        "__i128_add_hi", 4, BIGINT,
+        lambda ah, al, bh, bl: ah + bh + (_u(al + bl) < _u(al)).astype(jnp.int64),
+    )
+    f("__i128_neg_lo", 1, BIGINT, lambda lo: -lo)
+    f(
+        "__i128_neg_hi", 2, BIGINT,
+        lambda hi, lo: ~hi + (lo == 0).astype(jnp.int64),
+    )
+    f(
+        "__i128_lt", 4, BOOLEAN,
+        lambda ah, al, bh, bl: (ah < bh) | ((ah == bh) & (_u(al) < _u(bl))),
+    )
+    f(
+        "__i128_lte", 4, BOOLEAN,
+        lambda ah, al, bh, bl: (ah < bh) | ((ah == bh) & (_u(al) <= _u(bl))),
+    )
+    f("__i128_eq", 4, BOOLEAN, lambda ah, al, bh, bl: (ah == bh) & (al == bl))
+    f(
+        "__i128_to_double", 2, DOUBLE,
+        lambda hi, lo: hi.astype(jnp.float64) * 2.0**64
+        + _u(lo).astype(jnp.float64),
+    )
+
+    def _mul_parts(a, b):
+        au, bu = _u(a), _u(b)
+        m32 = jnp.uint64(_MASK32)
+        s32 = jnp.uint64(32)
+        a0, a1 = au & m32, au >> s32
+        b0, b1 = bu & m32, bu >> s32
+        p00 = a0 * b0
+        p01 = a0 * b1
+        p10 = a1 * b0
+        p11 = a1 * b1
+        mid = (p00 >> s32) + (p01 & m32) + (p10 & m32)
+        lo = ((mid & m32) << s32) | (p00 & m32)
+        hi_u = p11 + (p01 >> s32) + (p10 >> s32) + (mid >> s32)
+        hi = hi_u.astype(jnp.int64)
+        hi = hi - jnp.where(a < 0, b, 0) - jnp.where(b < 0, a, 0)
+        return hi, lo.astype(jnp.int64)
+
+    f("__i128_mul64_hi", 2, BIGINT, lambda a, b: _mul_parts(a, b)[0])
+    f("__i128_mul64_lo", 2, BIGINT, lambda a, b: _mul_parts(a, b)[1])
+    # 32-bit pieces + shifts for overflow-free sum accumulation and limb
+    # recombination (exec/hugeint.py): a limb splits into an unsigned low
+    # half (p0), an unsigned (p1u) or sign-carrying (sar32) high half
+    f(
+        "__i128_p0", 1, BIGINT,
+        lambda x: (_u(x) & jnp.uint64(_MASK32)).astype(jnp.int64),
+    )
+    f(
+        "__i128_p1u", 1, BIGINT,
+        lambda x: (_u(x) >> jnp.uint64(32)).astype(jnp.int64),
+    )
+    f("__i128_sar32", 1, BIGINT, lambda x: x >> 32)
+    f("__i128_sar63", 1, BIGINT, lambda x: x >> 63)
+    f("__i128_shl32", 1, BIGINT, lambda x: x << 32)
+    f("__i128_cast_double", 1, DOUBLE, lambda x: x.astype(jnp.float64))

@@ -93,6 +93,9 @@ class DistributedExecutor:
         self.n = mesh.devices.size
         self.config = config or DEFAULT_CONFIG
         root = rewrite_sketch_aggregates(root)
+        from ..exec.hugeint import rewrite_long_decimals
+
+        root, self._hugeint_logical = rewrite_long_decimals(root)
         lin = _linearize(root)
         if not isinstance(lin.source, (TableScanNode, ValuesNode)):
             # pipeline barrier (e.g. an aggregation feeding another): run the
@@ -329,7 +332,12 @@ class DistributedExecutor:
                     self._carry_rows = min(
                         self._carry_rows * 4, self.n * self.pipe_cap
                     )
-        return apply_finishers(result, self.lin.finishers)
+        result = apply_finishers(result, self.lin.finishers)
+        if self._hugeint_logical is not None:
+            from ..exec.hugeint import merge_result
+
+            result = merge_result(result, self._hugeint_logical)
+        return result
 
     # ---- ungrouped / array-mode aggregation ---------------------------
     def _run_direct(self, tiles) -> Table:
