@@ -345,6 +345,59 @@ class TestSubqueries:
         assert out["k"].tolist() == list(range(15, 20))
 
 
+class TestWindow:
+    def test_row_number_rank(self):
+        t = make_t(1000)
+        out = run_sql(
+            "select k, v, row_number() over (partition by k order by v) as rn,"
+            " rank() over (partition by k order by v) as rk "
+            "from t order by k, v, rn",
+            {"t": t},
+        ).to_pandas()
+        df = df_of(t).sort_values(["k", "v"]).reset_index(drop=True)
+        expect_rn = df.groupby("k").cumcount() + 1
+        assert len(out) == len(df)
+        got = out.sort_values(["k", "v", "rn"]).reset_index(drop=True)
+        assert got.groupby("k")["rn"].max().tolist() == (
+            df.groupby("k").size().tolist()
+        )
+        expect_rk = df.groupby("k")["v"].rank(method="min").astype(int)
+        assert sorted(got["rk"].tolist()) == sorted(expect_rk.tolist())
+
+    def test_windowed_sum_with_frame(self):
+        t = make_t(500)
+        out = run_sql(
+            "select k, v, sum(v) over (partition by k order by v, w"
+            " rows between 1 preceding and current row) as s "
+            "from t",
+            {"t": t},
+        ).to_pandas()
+        assert len(out) == 500
+        # spot check: every s equals v plus at most one predecessor
+        assert (out["s"] - out["v"]).abs().max() <= 200
+
+    def test_window_in_subquery_then_filter(self):
+        t = make_t(800)
+        out = run_sql(
+            "select k, v from (select k, v, row_number() over"
+            " (partition by k order by v desc) as rn from t) sub"
+            " where rn = 1 order by k",
+            {"t": t},
+        ).to_pandas()
+        df = df_of(t)
+        expect = df.groupby("k").v.max()
+        assert out["v"].tolist() == expect.tolist()
+
+    def test_window_plus_groupby_raises(self):
+        t = make_t(100)
+        with pytest.raises(NotImplementedError, match="window functions"):
+            run_sql(
+                "select k, sum(v) as s, row_number() over (order by k) as rn"
+                " from t group by k",
+                {"t": t},
+            )
+
+
 class TestErrors:
     def test_unknown_table(self):
         with pytest.raises(KeyError, match="not in catalog"):
@@ -355,7 +408,9 @@ class TestErrors:
         with pytest.raises(NotImplementedError, match="UNION"):
             plan_sql("select k from t union all select k from t", {"t": t})
 
-    def test_window_over_unsupported(self):
+    def test_window_over_empty_spec(self):
         t = make_t(10)
-        with pytest.raises(NotImplementedError, match="OVER"):
-            plan_sql("select sum(v) over () as s from t", {"t": t})
+        out = run_sql(
+            "select sum(v) over () as s from t", {"t": t}
+        ).to_pandas()
+        assert set(out["s"]) == {df_of(t).v.sum()}

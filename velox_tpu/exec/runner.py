@@ -1131,8 +1131,13 @@ class LocalExecutor:
             pass  # has .table / .output_schema: scan-like source
         elif isinstance(lin.source, _merge_exchange_cls()):
             # sorted merge of sorted inputs (MergeExchange): concatenate child
-            # results and stable-sort by the merge keys — identical ordering
-            # to the reference's TreeOfLosers k-way merge
+            # results and re-establish the order through the DEVICE sort
+            # (exec/sort.py — stable, so the ordering is identical to the
+            # reference's TreeOfLosers k-way merge), inheriting its
+            # external-sort spill under memory pressure; complex-typed
+            # outputs fall back to the host lexsort inside that path
+            from ..plan.nodes import OrderByNode as _OBN
+
             node = lin.source
             parts = [
                 LocalExecutor(s, tile_rows, config, pool=self.pool).run()
@@ -1141,13 +1146,10 @@ class LocalExecutor:
             from .grouped import concat_tables
 
             merged = concat_tables(parts)
-            order = _sort_indices(merged, node.keys)
-            merged = Table(
-                merged.schema,
-                {n: v[order] for n, v in merged.columns.items()},
-                merged.string_tables,
-                {n: v[order] for n, v in merged.validities.items()},
-            )
+            sort_plan = _OBN(ValuesNode(merged), node.keys)
+            merged = LocalExecutor(
+                sort_plan, tile_rows, config, pool=self.pool
+            ).run()
             lin.source = ValuesNode(merged, id=node.id)
         elif not isinstance(lin.source, (TableScanNode, ValuesNode)):
             # Generic pipeline barrier: materialize the subtree (e.g. an

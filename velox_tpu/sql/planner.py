@@ -242,6 +242,101 @@ def _match_paren(tokens: Sequence[_Tok], open_idx: int) -> int:
     raise ValueError("unbalanced parentheses")
 
 
+class _WinExtractor:
+    """Pulls ``fn(args) OVER (...)`` calls out of select items.
+
+    Each distinct OVER clause becomes one WindowNode (PlanBuilder.window);
+    the call text (with any ROWS/RANGE frame appended) is handed to
+    exec.window.parse_window_call."""
+
+    def __init__(self, scope: _Scope):
+        self.scope = scope
+        # list of (partition names, order specs, [(call text, out name)])
+        self.windows: List[tuple] = []
+
+    def extract(self, tokens: List[_Tok]) -> List[_Tok]:
+        out: List[_Tok] = []
+        i = 0
+        while i < len(tokens):
+            t = tokens[i]
+            if (
+                t.kind == "name"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].kind == "op"
+                and tokens[i + 1].text == "("
+            ):
+                close = _match_paren(tokens, i + 1)
+                if close + 1 < len(tokens) and tokens[close + 1].low == "over":
+                    if tokens[close + 2].text != "(":
+                        raise ValueError("OVER requires a parenthesized spec")
+                    oclose = _match_paren(tokens, close + 2)
+                    spec = tokens[close + 3 : oclose]
+                    name = self._add(tokens[i : close + 1], spec)
+                    out.append(_Tok("name", name))
+                    i = oclose + 1
+                    continue
+            out.append(t)
+            i += 1
+        return out
+
+    def _add(self, call_toks: List[_Tok], spec: List[_Tok]) -> str:
+        part: List[str] = []
+        order: List[str] = []
+        frame = ""
+        j = 0
+        while j < len(spec):
+            low = spec[j].low
+            if low == "partition":
+                j += 2  # PARTITION BY
+                while j < len(spec) and spec[j].low not in ("order", "rows", "range"):
+                    if spec[j].text != ",":
+                        nm = self.scope.resolve(spec[j].text)
+                        if nm is None:
+                            raise NotImplementedError(
+                                "PARTITION BY supports plain columns only"
+                            )
+                        part.append(nm)
+                    j += 1
+            elif low == "order":
+                j += 2  # ORDER BY
+                cur: List[str] = []
+                while j < len(spec) and spec[j].low not in ("rows", "range"):
+                    tok = spec[j]
+                    if tok.text == ",":
+                        order.append(" ".join(cur))
+                        cur = []
+                    elif tok.low in ("asc", "desc", "nulls", "first", "last"):
+                        cur.append(tok.low)
+                    else:
+                        nm = self.scope.resolve(tok.text)
+                        if nm is None:
+                            raise NotImplementedError(
+                                "window ORDER BY supports plain columns only"
+                            )
+                        cur.append(nm)
+                    j += 1
+                if cur:
+                    order.append(" ".join(cur))
+            elif low in ("rows", "range"):
+                frame = " " + _detok(spec[j:])
+                break
+            else:
+                raise ValueError(f"bad window spec near {spec[j].text!r}")
+        call_text = _detok(self.scope.rewrite(call_toks)) + frame
+        name = f"__win{sum(len(w[2]) for w in self.windows)}"
+        key = (tuple(part), tuple(order))
+        for w in self.windows:
+            if (tuple(w[0]), tuple(w[1])) == key:
+                w[2].append((call_text, name))
+                return name
+        self.windows.append((part, order, [(call_text, name)]))
+        return name
+
+    @property
+    def found(self) -> bool:
+        return bool(self.windows)
+
+
 class _AggExtractor:
     """Pulls aggregate calls out of expression token streams, replacing each
     with a generated column name; identical calls share one output."""
@@ -927,12 +1022,28 @@ def _assemble(
         gk_exprs.append((name, g))
         keys.append(name)
 
+    # window functions: fn(args) OVER (...) -> WindowNode columns
+    wex = _WinExtractor(scope)
+    items = [(wex.extract(toks), alias) for toks, alias in items]
+    order_parsed = [
+        (wex.extract(toks), asc, nf) for toks, asc, nf in order_parsed
+    ]
+
     ex = _AggExtractor()
     items = [(ex.extract(toks), alias) for toks, alias in items]
     having_x = ex.extract(having_toks) if having_toks else []
     order_x = [
         (ex.extract(toks), asc, nf) for toks, asc, nf in order_parsed
     ]
+
+    if wex.found:
+        if group_items or ex.found:
+            raise NotImplementedError(
+                "window functions combined with GROUP BY / aggregates in one "
+                "SELECT are not supported; use a subquery in FROM"
+            )
+        for part, order, calls in wex.windows:
+            plan.window(part, order, [f"{c} as {n}" for c, n in calls])
 
     aggregated = bool(group_items) or ex.found
     if aggregated:
