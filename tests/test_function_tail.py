@@ -201,3 +201,45 @@ class TestArrayTail:
         np.testing.assert_allclose(out[0], [0.6, 0.8], rtol=1e-6)
         np.testing.assert_allclose(out[1], [0.0, 0.0])  # zero norm: unchanged
         np.testing.assert_allclose(out[2], [1.0])
+
+
+class TestWordStemCosine:
+    def test_word_stem(self):
+        t = str_table(
+            ["caresses", "relational", "hopefulness", "sky", "motoring"], "s"
+        )
+        assert project_one(t, "word_stem(s)") == [
+            "caress", "relat", "hope", "sky", "motor"
+        ]
+        assert project_one(t, "word_stem(s, 'en')")[0] == "caress"
+
+    def test_cosine_similarity(self):
+        from velox_tpu.dtypes import map_ as map_t
+        from velox_tpu.vector.complex import HostSegments
+
+        mt = map_t(vt.BIGINT, DOUBLE)
+        a_rows = [{1: 1.0, 2: 2.0}, {1: 3.0}, {}, {5: 1.0}]
+        b_rows = [{1: 1.0, 2: 2.0}, {2: 4.0}, {1: 1.0}, {5: 2.0}]
+        sa, _ = HostSegments.from_pylist(a_rows, mt)
+        sb, _ = HostSegments.from_pylist(b_rows, mt)
+        t = Table(RowType(["a", "b"], [mt, mt]), {"a": sa, "b": sb})
+        out = run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .project(["cosine_similarity(a, b) as c"])
+            .build()
+        ).to_pandas()["c"].tolist()
+        import math
+
+        def oracle(x, y):
+            dot = sum(v * y.get(k, 0.0) for k, v in x.items())
+            na = math.sqrt(sum(v * v for v in x.values()))
+            nb = math.sqrt(sum(v * v for v in y.values()))
+            return dot / (na * nb) if na and nb else float("nan")
+
+        for got, (x, y) in zip(out, zip(a_rows, b_rows)):
+            exp = oracle(x, y)
+            if math.isnan(exp):
+                assert math.isnan(got)
+            else:
+                np.testing.assert_allclose(got, exp, rtol=1e-12)

@@ -597,6 +597,14 @@ def _normalize_str(v: str, _ci, form: str = "NFC") -> str:
     return unicodedata.normalize(form.upper(), v)
 
 
+def _word_stem(v: str, _ci, lang: str = "en") -> str:
+    if lang not in ("en",):
+        raise ValueError(f"word_stem: unsupported language {lang!r}")
+    from ..utils.porter import porter_stem
+
+    return porter_stem(v)
+
+
 def _url_port(v: str) -> int:
     from urllib.parse import urlparse
 
@@ -734,6 +742,9 @@ _STRING_FN_BINDERS.update(
         ),
         "normalize": _literal_args_fn(
             None, None, _normalize_str, makes_strings=True
+        ),
+        "word_stem": _literal_args_fn(
+            None, None, _word_stem, makes_strings=True
         ),
         # VARCHAR <-> VARBINARY casts share the dictionary representation
         # (reference: BinaryFunctions.h to_utf8 / from_utf8)

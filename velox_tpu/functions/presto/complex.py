@@ -826,6 +826,84 @@ def _array_setop(which: str):
     return fn
 
 
+def _row_sums(values: jax.Array, live: jax.Array, starts, sizes) -> jax.Array:
+    """Per-row segment sums over a row-contiguous pool — scatter-free
+    cumsum differences at [start, start+size)."""
+    masked = jnp.where(live, values, 0.0)
+    c = jnp.cumsum(masked)
+    end = jnp.clip(starts + sizes - 1, 0, masked.shape[0] - 1)
+    upper = jnp.take(c, end, mode="clip")
+    lower = jnp.where(
+        starts > 0, jnp.take(c, jnp.clip(starts - 1, 0, None), mode="clip"), 0.0
+    )
+    return jnp.where(sizes > 0, upper - lower, 0.0)
+
+
+def _cosine_similarity(ctx, expr: Call):
+    """cosine_similarity(map(K, double), map(K, double)) — dot product over
+    matching keys / (norm_a * norm_b).  Reference: prestosql
+    ArrayFunctions cosine_similarity over sparse vectors as maps.
+
+    Matching exploits map key uniqueness: one combined sort by (row, key,
+    source) places b's entry DIRECTLY before a's entry of the same key, so
+    the matched value is a shift-by-one compare — no scatter, no hash.
+    """
+    ra = _seg_arg(ctx, expr.args[0])
+    rb = _seg_arg(ctx, expr.args[1])
+    na = ra.values.normalized()
+    nb = rb.values.normalized()
+    ka, va = na.children[0], na.children[1]
+    kb, vb = nb.children[0], nb.children[1]
+    Pa, Pb = ka.pool_cap, kb.pool_cap
+    big = jnp.int32(_INT_MAX)
+    rid = jnp.concatenate(
+        [
+            jnp.where(na.emask, na.rowid, big),
+            jnp.where(nb.emask, nb.rowid, big),
+        ]
+    )
+    (kav, kbv), _ = _aligned_values([ka, kb])
+    key = jnp.concatenate([kav.astype(jnp.int64), kbv.astype(jnp.int64)])
+    src = jnp.concatenate(
+        [jnp.ones((Pa,), jnp.int32), jnp.zeros((Pb,), jnp.int32)]
+    )
+    val = jnp.concatenate(
+        [va.values.astype(jnp.float64), vb.values.astype(jnp.float64)]
+    )
+    # b's pool positions sort below a's so a post-sort slice [Pb:] is a-aligned
+    gpos = jnp.concatenate(
+        [
+            jnp.arange(Pa, dtype=jnp.int32) + Pb,
+            jnp.arange(Pb, dtype=jnp.int32),
+        ]
+    )
+    s_rid, s_key, s_src, s_val, s_pos = jax.lax.sort(
+        [rid, key, src, val, gpos], num_keys=3
+    )
+    prev_match = (
+        (s_src == 1)
+        & (jnp.roll(s_src, 1) == 0)
+        & (s_rid == jnp.roll(s_rid, 1))
+        & (s_key == jnp.roll(s_key, 1))
+    )
+    prev_match = prev_match.at[0].set(False)
+    prod = jnp.where(prev_match, s_val * jnp.roll(s_val, 1), 0.0)
+    # route products back to a-pool order
+    _, prod_by_pos = jax.lax.sort([s_pos, prod], num_keys=1)
+    prod_a = prod_by_pos[Pb:]
+    dot = _row_sums(prod_a, na.emask, na.starts, na.sizes)
+    va_live = na.emask & va.validity_or_true()
+    vb_live = nb.emask & vb.validity_or_true()
+    norm_a = jnp.sqrt(
+        _row_sums(va.values.astype(jnp.float64) ** 2, va_live, na.starts, na.sizes)
+    )
+    norm_b = jnp.sqrt(
+        _row_sums(vb.values.astype(jnp.float64) ** 2, vb_live, nb.starts, nb.sizes)
+    )
+    out = dot / (norm_a * norm_b)
+    return _result(ctx, out, _and(ra.validity, rb.validity), _or(ra.errors, rb.errors))
+
+
 def _map_concat(ctx, expr: Call):
     """map_concat(m1, m2): union of entries; later maps win on key clashes
     (reference: MapConcat.cpp)."""
@@ -1531,6 +1609,7 @@ COMPLEX_FNS: Dict[str, Callable] = {
     "array_except": _array_setop("except"),
     "arrays_overlap": _array_setop("overlap"),
     "map_concat": _map_concat,
+    "cosine_similarity": _cosine_similarity,
     "row": _row_constructor,
     "row_field": _row_field,
     "split": _split,
@@ -1608,6 +1687,7 @@ def _register_all():
         lambda ts: map_t(ts[0].element, ts[1].element),
         _stub,
     )
+    reg.register("cosine_similarity", [_M, _M], DOUBLE, _stub)
     # lambda-taking functions: the lambda arg matches ANY (its dtype is the
     # body's result type)
     reg.register(

@@ -936,6 +936,7 @@ _reg.register(
 )
 for _nname in ([STRINGY], [STRINGY, STRINGY]):
     _reg.register("normalize", _nname, _VARCHAR, _unbound_string_fn("normalize"))
+    _reg.register("word_stem", _nname, _VARCHAR, _unbound_string_fn("word_stem"))
 _reg.register(
     "strrpos", [STRINGY, STRINGY], BIGINT, _unbound_string_fn("strrpos")
 )
