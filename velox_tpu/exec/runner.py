@@ -836,6 +836,17 @@ def _sort_indices(table: Table, keys: Sequence[SortKey]) -> np.ndarray:
     return np.lexsort(tuple(arrays))
 
 
+
+def _host_widen(arr, dtype) -> np.ndarray:
+    """Cast a fetched narrow-on-the-wire array back to the schema's host
+    dtype (Column._widen's host-side twin)."""
+    if dtype.is_complex or dtype.is_long_decimal:
+        return arr
+    want = np.dtype(dtype.device_dtype)
+    a = np.asarray(arr)
+    return a if a.dtype == want else a.astype(want)
+
+
 def _prefetch_tiles(get_tile, n_tiles: int, depth: int = 2):
     """Iterate tiles with host->device transfers staged ``depth`` ahead.
 
@@ -1567,7 +1578,9 @@ class LocalExecutor:
                     parts = [c[n] for c in chunks]
                     cols[n] = type(parts[0]).concat(parts)
                 else:
-                    cols[n] = np.concatenate([c[n] for c in chunks])
+                    cols[n] = _host_widen(
+                        np.concatenate([c[n] for c in chunks]), t
+                    )
             validities = {}
             for n in self.out_schema.names:
                 if any(n in vc for vc in valid_chunks):
@@ -1854,7 +1867,10 @@ class LocalExecutor:
                 parts = [c[name] for c in chunks]
                 cols[name] = type(parts[0]).concat(parts)
             else:
-                cols[name] = np.concatenate([c[name] for c in chunks])
+                cols[name] = _host_widen(
+                    np.concatenate([c[name] for c in chunks]),
+                    in_schema.type_of(name),
+                )
             if any(name in vc for vc in vchunks):
                 vals[name] = np.concatenate(
                     [
@@ -2180,7 +2196,9 @@ def _window_one_tile(wnode, child: Table, capacity: int) -> Table:
     validities: Dict[str, np.ndarray] = {}
     k = 0
     for name, has_validity in spec:
-        cols[name] = fetched[k]
+        cols[name] = _host_widen(
+            fetched[k], wnode.output_schema.type_of(name)
+        )
         k += 1
         if has_validity:
             validities[name] = fetched[k]

@@ -140,6 +140,22 @@ class Table:
                 )
                 continue
             arr = self.columns[name][start:stop]
+            if (
+                np.asarray(arr).dtype == np.int64
+                and np.dtype(dtype.device_dtype) == np.int64
+                and not dtype.is_long_decimal
+            ):
+                # narrow transfer: int64 columns whose cached table-wide
+                # bounds fit int32 ship as int32 and widen on device at
+                # first decode — halves host-link bytes on the (slow)
+                # upload path (Column._widen)
+                b = self.column_bounds(name)
+                if (
+                    b is not None
+                    and b[0] >= -(2**31)
+                    and b[1] < 2**31
+                ):
+                    arr = np.asarray(arr).astype(np.int32)
             if n < tile_rows:
                 pad_shape = (tile_rows - n,) + np.shape(arr)[1:]
                 arr = np.concatenate(

@@ -118,20 +118,32 @@ class Column:
         gather fuses into the consuming computation.
         """
         if self.encoding == Encoding.FLAT:
-            return self.data, self.validity
+            return self._widen(self.data), self.validity
         if self.encoding == Encoding.CONSTANT:
             values = jnp.broadcast_to(self.data, (capacity,) + self.data.shape[1:])
+            values = self._widen(values)
             if self.validity is None:
                 return values, None
             return values, jnp.broadcast_to(self.validity, (capacity,))
         # DICTIONARY
         base_values, base_validity = self.base.data, self.base.validity
-        values = jnp.take(base_values, self.data, axis=0, mode="clip")
+        values = self._widen(jnp.take(base_values, self.data, axis=0, mode="clip"))
         validity = self.validity
         if base_validity is not None:
             inner = jnp.take(base_validity, self.data, axis=0, mode="clip")
             validity = inner if validity is None else (validity & inner)
         return values, validity
+
+    def _widen(self, values: jax.Array) -> jax.Array:
+        """Narrow-on-the-wire columns (int32 transfers of int64 data,
+        Table.tile) widen at first decode — the astype fuses into the
+        consuming program, so the win is pure host-link bytes."""
+        if self.dtype.is_complex:
+            return values
+        want = self.dtype.device_dtype
+        if values.dtype != want and not self.dtype.is_string:
+            return values.astype(want)
+        return values
 
     def values(self, capacity: int) -> jax.Array:
         return self.decode(capacity)[0]
@@ -205,7 +217,17 @@ class Column:
                 None if validity is None else jnp.asarray(validity, dtype=jnp.bool_),
                 table,
             )
-        data = jnp.asarray(np.asarray(arr), dtype=dtype.device_dtype)
+        np_arr = np.asarray(arr)
+        if (
+            np_arr.dtype == np.int32
+            and not dtype.is_string
+            and not dtype.is_complex
+            and np.dtype(dtype.device_dtype) == np.int64
+        ):
+            # narrow transfer: ship int32, decode() widens on device
+            data = jnp.asarray(np_arr)
+        else:
+            data = jnp.asarray(np_arr, dtype=dtype.device_dtype)
         v = None if validity is None else jnp.asarray(validity, dtype=jnp.bool_)
         return Column.flat(data, dtype, v, strings)
 
