@@ -22,7 +22,7 @@ Tables are HBM-resident before timing (the engine's steady-state regime);
 host->device ingest time is reported separately on stderr.
 
 Usage: python bench.py [--sf 1.0] [--queries 1,3,6,13] [--all] [--quick]
-                       [--tile 4194304] [--no-roofline]
+                       [--tile 0 (auto)] [--no-roofline]
 """
 
 import argparse
@@ -79,8 +79,15 @@ def query_min_bytes(plan, tables) -> int:
             t = node.table
             for name in node.output_schema.names:
                 arr = t.columns.get(name)
-                if arr is not None and hasattr(arr, "nbytes"):
-                    total += arr.nbytes
+                if arr is None or not hasattr(arr, "nbytes"):
+                    continue
+                nbytes = arr.nbytes
+                if np.asarray(arr).dtype == np.int64:
+                    # narrow-on-the-wire columns (Table.tile) scan as int32
+                    b = t.column_bounds(name)
+                    if b is not None and b[0] >= -(2**31) and b[1] < 2**31:
+                        nbytes //= 2
+                total += nbytes
         for s in getattr(node, "sources", ()):
             walk(s)
 
@@ -97,6 +104,13 @@ def bench_query(num, sf, tile_rows, repeats=3, hbm_gbps=None):
     tables = tp.load_query_tables(num, sf)
     plan = tp.build_query(num, tables)
     input_rows = max(t.num_rows for t in tables.values())
+
+    if tile_rows <= 0:
+        # auto: one tile covering the largest scan when it fits — each extra
+        # tile costs a dispatch round trip over the (slow) device tunnel
+        from velox_tpu.utils.transfer import bucket_of
+
+        tile_rows = min(1 << 24, bucket_of(max(input_rows, 1)))
 
     executor = LocalExecutor(plan, tile_rows=tile_rows)
 
@@ -160,7 +174,10 @@ def main():
     )
     ap.add_argument("--all", action="store_true", help="run all 22 TPC-H queries")
     ap.add_argument("--quick", action="store_true", help="SF0.01 smoke run")
-    ap.add_argument("--tile", type=int, default=1 << 22)
+    ap.add_argument(
+        "--tile", type=int, default=0,
+        help="rows per device tile; 0 = auto (one tile per scan when it fits)",
+    )
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--no-roofline", action="store_true")
     args = ap.parse_args()
