@@ -89,3 +89,34 @@ def test_local_roundtrip(tmp_path):
     t.save_parquet(p)
     back = Table.load_parquet(p)
     assert back.num_rows == 100
+
+
+def test_orc_roundtrip(tmp_path):
+    """ORC read/write (reference: dwio/dwrf + dwio/orc) via the Arrow
+    exporter; dictionary strings and decimals survive."""
+    from velox_tpu.dtypes import decimal
+
+    t = make_table(300, seed=7)
+    p = str(tmp_path / "x.orc")
+    t.save_orc(p)
+    back = Table.load_orc(p)
+    assert back.num_rows == 300
+    np.testing.assert_array_equal(
+        np.asarray(back.columns["v"]), np.asarray(t.columns["v"])
+    )
+    assert back.to_pandas()["c"].tolist() == t.to_pandas()["c"].tolist()
+    pruned = Table.load_orc(p, columns=["k"])
+    assert list(pruned.schema.names) == ["k"]
+
+
+def test_hive_dataset_with_orc_files(tmp_path):
+    from velox_tpu.connectors.hive import read_table
+
+    t = make_table(200, seed=8)
+    root = str(tmp_path / "tbl")
+    import os
+
+    os.makedirs(root)
+    t.save_orc(os.path.join(root, "part-0.orc"))
+    back = read_table(root)
+    assert back.num_rows == 200

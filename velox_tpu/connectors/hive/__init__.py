@@ -49,7 +49,7 @@ def _discover(root: str) -> List[ConnectorSplit]:
                 if m:
                     keys[m.group(1)] = m.group(2)
         for fn in sorted(filenames):
-            if fn.endswith(".parquet"):
+            if fn.endswith((".parquet", ".orc")):
                 splits.append(
                     ConnectorSplit(
                         dirpath + "/" + fn
@@ -90,9 +90,12 @@ class HiveDataSource(DataSource):
         file_cols = None
         if self.columns is not None:
             file_cols = [c for c in self.columns if c not in part_names]
-        from ...io.cache import cached_load_parquet
+        if split.path.endswith(".orc"):
+            t = Table.load_orc(split.path, columns=file_cols)
+        else:
+            from ...io.cache import cached_load_parquet
 
-        t = cached_load_parquet(split.path, columns=file_cols)
+            t = cached_load_parquet(split.path, columns=file_cols)
         # attach partition-key columns as constants (reference: HiveDataSource
         # synthesizes partition columns)
         want = self.columns or (list(t.schema.names) + part_names)

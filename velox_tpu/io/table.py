@@ -352,6 +352,43 @@ class Table:
             pa_table = pa.Table.from_batches(batches)
         return Table._from_arrow_table(pa_table, {})
 
+    # ---- ORC (reference: velox/dwio/dwrf + dwio/orc readers) --------------
+    def save_orc(self, path: str) -> None:
+        """Write as ORC — the reference's native DWRF/ORC family; here via
+        Arrow's ORC writer over the same export path as to_arrow()."""
+        import pyarrow as pa
+        import pyarrow.orc as orc
+
+        from .filesystems import filesystem_for
+
+        at = self.to_arrow()
+        # ORC has no dictionary encoding at the Arrow boundary: decode
+        # VARCHAR columns to plain strings (re-interned on read)
+        cols = []
+        for field, col in zip(at.schema, at.columns):
+            if pa.types.is_dictionary(field.type):
+                col = col.cast(pa.string())
+            cols.append(col)
+        at = pa.Table.from_arrays(cols, names=at.schema.names)
+        fs, local = filesystem_for(path)
+        with fs.open_output(local) as f:
+            orc.write_table(at, f)
+
+    @staticmethod
+    def load_orc(path: str, columns: Optional[Sequence[str]] = None) -> "Table":
+        """Read an ORC file (reference: dwio/orc/reader) — column-pruned at
+        the stripe reader, types inferred from the Arrow schema."""
+        import pyarrow.orc as orc
+
+        from .filesystems import filesystem_for
+
+        fs, local = filesystem_for(path)
+        with fs.open_input(local) as f:
+            pa_table = orc.ORCFile(f).read(
+                columns=list(columns) if columns else None
+            )
+        return Table._from_arrow_table(pa_table, {})
+
     @staticmethod
     def load_parquet(path: str, columns: Optional[Sequence[str]] = None) -> "Table":
         import pyarrow.parquet as pq
