@@ -1,0 +1,56 @@
+"""Distributed TPC-H parity sweep on the virtual 8-device mesh.
+
+Reference analog: velox/exec/tests/MultiFragmentTest.cpp — multi-node
+execution without a cluster, validated against the single-node engine.
+Round-1 feedback: only Q1/Q3/Q6 ran distributed; this sweeps a broader
+query mix (aggregation-only, join+agg, semi-join, multi-join) through
+DistributedExecutor and asserts bit-equality with LocalExecutor.
+"""
+
+import jax
+import pandas as pd
+import pytest
+
+from velox_tpu.connectors.tpch import load_table
+from velox_tpu.connectors.tpch import plans as tp
+from velox_tpu.exec.runner import LocalExecutor
+from velox_tpu.parallel.runner import DistributedExecutor, make_mesh
+
+SF = 0.01
+
+# a representative mix: scan+agg (1, 6), join+agg+topn (3, 10), EXISTS-shaped
+# semi join (4), multi-join (5), join+agg (12, 14), outer-join count (13)
+QUERIES = [1, 3, 4, 5, 6, 10, 12, 13, 14]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def tables_cache():
+    cache = {}
+
+    def get(num):
+        if num not in cache:
+            cache[num] = tp.load_query_tables(num, SF)
+        return cache[num]
+
+    return get
+
+
+@pytest.mark.parametrize("num", QUERIES)
+def test_tpch_distributed_matches_local(mesh, num, tables_cache):
+    tables = tables_cache(num)
+    plan = tp.build_query(num, tables)
+    local = LocalExecutor(plan, tile_rows=1 << 13).run().to_pandas()
+    dist = (
+        DistributedExecutor(plan, mesh, per_device_rows=1 << 11)
+        .run()
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(
+        local.reset_index(drop=True), dist.reset_index(drop=True)
+    )

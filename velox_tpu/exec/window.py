@@ -16,8 +16,9 @@ sort-mode aggregation (ops/segmented.py).
 Scope: ROWS and RANGE frames — UNBOUNDED PRECEDING .. CURRENT ROW (the SQL
 default, with correct RANGE peer semantics), full-partition frames, and
 k-bounded ROWS/RANGE frames (positional offsets / RMQ sparse tables; see
-_framed_agg below).  Input is materialized into one device program sized to the
-input (the reference's spill path is future work here).
+_framed_agg below).  Inputs larger than one tile chunk by WHOLE partitions
+with completed chunks spilling to disk past the threshold
+(runner._materialize_window — the SortWindowBuild + spill analog).
 """
 
 from __future__ import annotations
