@@ -146,3 +146,33 @@ class TestQueryConfigProperties:
 
         with pytest.raises(KeyError):
             cfg.connector("iceberg")
+
+
+def test_testing_utilities():
+    """velox_tpu.testing assertion helpers (QueryAssertions analog)."""
+    import numpy as np
+    import pandas as pd
+
+    import velox_tpu as vt
+    from velox_tpu.dtypes import RowType
+    from velox_tpu.io.table import Table
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.testing import assert_plan_result, run_at_tile_sizes
+
+    rng = np.random.default_rng(3)
+    t = Table(
+        RowType(["k", "v"], [vt.BIGINT, vt.BIGINT]),
+        {"k": rng.integers(0, 5, 5000), "v": rng.integers(0, 100, 5000)},
+    )
+    plan = (
+        PlanBuilder()
+        .table_scan(t, filter="v >= 50")
+        .aggregation(["k"], ["sum(v) as s"])
+        .build()
+    )
+    df = pd.DataFrame({"k": t.columns["k"], "v": t.columns["v"]})
+    oracle = (
+        df[df.v >= 50].groupby("k").v.sum().reset_index().rename(columns={"v": "s"})
+    )
+    assert_plan_result(plan, oracle, sort_by=["k"])
+    run_at_tile_sizes(plan, (512, 1 << 12, 1 << 16))
