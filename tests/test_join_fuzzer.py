@@ -223,3 +223,72 @@ def test_join_fuzz_empty_sides(seed):
     assert all(pd.isna(v) for v in got_left["ry"])
     got_anti = engine_join(left, empty, "anti", ["k", "lx"])
     assert len(got_anti) == len(ldf)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_left_join_non_equi_filter(seed):
+    """LEFT join filters null the build side of failing matches instead of
+    dropping rows (reference: HashProbe::applyFilter LEFT semantics)."""
+    rng = np.random.default_rng(400 + seed)
+    n_l, n_r = 600, 300
+    lk = rng.integers(0, 200, n_l)
+    lx = rng.integers(0, 100, n_l)
+    # unique build keys (N:M LEFT filters are unsupported by design)
+    rk = rng.permutation(400)[:n_r].astype(np.int64)
+    ry = rng.integers(0, 100, n_r)
+    left = Table(RowType(["k", "lx"], [BIGINT, BIGINT]), {"k": lk, "lx": lx})
+    right = Table(RowType(["rk", "ry"], [BIGINT, BIGINT]), {"rk": rk, "ry": ry})
+    got = run_plan(
+        PlanBuilder()
+        .table_scan(left)
+        .hash_join(
+            PlanBuilder().table_scan(right).build(),
+            ["k"],
+            ["rk"],
+            output=["k", "lx", "ry"],
+            join_type="left",
+            filter="ry > lx",
+        )
+        .build(),
+        tile_rows=256,
+    ).to_pandas()
+    ldf = pd.DataFrame({"k": lk, "lx": lx})
+    rdf = pd.DataFrame({"rk": rk, "ry": ry})
+    m = ldf.merge(rdf, left_on="k", right_on="rk", how="left")
+    m.loc[~(m.ry > m.lx), "ry"] = np.nan  # failing matches null out
+    assert len(got) == len(m) == n_l
+    a = sorted(
+        (int(k), int(x), None if pd.isna(y) else int(y))
+        for k, x, y in zip(got.k, got.lx, got.ry)
+    )
+    b = sorted(
+        (int(k), int(x), None if pd.isna(y) else int(y))
+        for k, x, y in zip(m.k, m.lx, m.ry)
+    )
+    assert a == b
+
+
+def test_left_join_filter_nm_raises():
+    rng = np.random.default_rng(7)
+    left = Table(
+        RowType(["k", "lx"], [BIGINT, BIGINT]),
+        {"k": rng.integers(0, 10, 100), "lx": rng.integers(0, 10, 100)},
+    )
+    dup = np.concatenate([np.arange(10), np.arange(10)]).astype(np.int64)
+    right = Table(
+        RowType(["rk", "ry"], [BIGINT, BIGINT]),
+        {"rk": dup, "ry": np.arange(20, dtype=np.int64)},
+    )
+    with pytest.raises(NotImplementedError, match="N:M"):
+        run_plan(
+            PlanBuilder()
+            .table_scan(left)
+            .hash_join(
+                PlanBuilder().table_scan(right).build(),
+                ["k"], ["rk"],
+                output=["k", "lx", "ry"],
+                join_type="left",
+                filter="ry > lx",
+            )
+            .build()
+        )

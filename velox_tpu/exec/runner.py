@@ -231,12 +231,27 @@ def _linearize(root: PlanNode) -> _Linear:
                     node.filter,
                     id=node.id,
                 )
-            if node.filter is not None and node.join_type == JoinType.INNER:
+            if node.filter is not None and node.join_type in (
+                JoinType.INNER,
+                JoinType.LEFT,
+            ):
                 # an INNER join's non-equi filter is semantically a filter
                 # above the join (the reference fuses it in HashProbe; same
-                # rows survive either way) — requires the referenced columns
-                # in the join output
-                steps_rev.append(("filter", node.filter))
+                # rows survive either way); a LEFT join's filter nulls the
+                # build side of failing matches instead of dropping rows —
+                # requires the referenced columns in the join output
+                if node.join_type == JoinType.INNER:
+                    steps_rev.append(("filter", node.filter))
+                else:
+                    ls = node.left.output_schema
+                    rs = node.right.output_schema
+                    build_cols = frozenset(
+                        c for c in node.output_columns
+                        if c in rs and c not in ls
+                    )
+                    steps_rev.append(
+                        ("left_join_filter", node.filter, build_cols)
+                    )
                 node = HashJoinNode(
                     node.left,
                     node.right,
@@ -324,6 +339,31 @@ def apply_streaming(batch: Batch, steps: Sequence[Tuple]):
             batch = batch.with_selection(keep)
         elif step[0] == "join":
             batch = step[1].probe(batch)
+        elif step[0] == "left_join_filter":
+            # LEFT join non-equi condition: matched rows failing the filter
+            # become UNMATCHED — probe rows stay, build-side columns null out
+            # (reference: HashProbe::applyFilter null-ing misses on LEFT).
+            # Unmatched rows evaluate the filter over nulls -> Kleene null ->
+            # already-null build columns stay null.
+            _, expr, build_cols = step
+            [r] = ExprSet([expr]).eval(batch)
+            if r.errors is not None:
+                err = err + jnp.sum((r.errors & active).astype(jnp.int64))
+            passed = r.values.astype(jnp.bool_)
+            if r.validity is not None:
+                passed = passed & r.validity
+            new_cols = []
+            for name, col in zip(batch.schema.names, batch.columns):
+                if name in build_cols:
+                    fc = col.flatten(batch.capacity)
+                    v = (
+                        passed
+                        if fc.validity is None
+                        else (fc.validity & passed)
+                    )
+                    col = Column.flat(fc.data, fc.dtype, v, fc.strings)
+                new_cols.append(col)
+            batch = dataclasses.replace(batch, columns=tuple(new_cols))
         elif step[0] == "expand":
             from ..plan.nodes import AssignUniqueIdNode, GroupIdNode, UnnestNode
             from .expand import (
@@ -1093,6 +1133,17 @@ class LocalExecutor:
                 )
             else:
                 resolved.append(step)
+        for i, step in enumerate(resolved):
+            if (
+                step[0] == "left_join_filter"
+                and i > 0
+                and resolved[i - 1][0] == "xjoin"
+            ):
+                raise NotImplementedError(
+                    "non-equi filters on LEFT joins with duplicate build keys "
+                    "(N:M expansion) are not supported; pre-aggregate the "
+                    "build side"
+                )
         # expansion (N:M) joins split the pipeline into phases: the output
         # row count is data-dependent, so each expansion is sized by one
         # per-tile scalar fetch and materialized into a power-of-two bucket
