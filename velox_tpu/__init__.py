@@ -75,4 +75,19 @@ from .vector import Batch, Column, Encoding, StringTable  # noqa: E402,F401
 from .functions import presto as _presto_functions  # noqa: E402,F401  (registers fns)
 from .functions import spark as _spark_functions  # noqa: E402,F401  (registers fns)
 
+
+def run_sql(sql, catalog, tile_rows=None):
+    """Plan + execute a SQL SELECT over host Tables (sql/planner.py)."""
+    from .sql import run_sql as _run
+
+    return _run(sql, catalog, tile_rows)
+
+
+def run_plan(plan, tile_rows=1 << 20):
+    """Execute a PlanNode on the default backend (exec/runner.py)."""
+    from .exec.runner import run_plan as _run
+
+    return _run(plan, tile_rows)
+
+
 __version__ = "0.1.0"
