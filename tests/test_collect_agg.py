@@ -297,3 +297,51 @@ def test_multimap_agg():
         {"a": [10, 11], "b": [20]},
         {"c": [30]},
     ]
+
+
+def test_approx_most_frequent_bounded_lowering():
+    """The lone approx_most_frequent lowers onto count -> windowed top-k ->
+    map_agg (PlanBuilder), so host state is groups x buckets rows instead of
+    all distinct values (reference: ApproxMostFrequentStreamSummary.h; here
+    the cut is exact)."""
+    import numpy as np
+
+    from velox_tpu.dtypes import RowType
+    from velox_tpu.exec.runner import run_plan
+    from velox_tpu.io.table import Table
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.plan.nodes import AggregationNode
+
+    rng = np.random.default_rng(5)
+    n = 60_000
+    # zipf-ish: heavy hitters + a long tail of ~20k distinct values
+    v = np.where(
+        rng.random(n) < 0.5,
+        rng.integers(0, 5, n),
+        rng.integers(5, 20_000, n),
+    ).astype(np.int64)
+    g = rng.integers(0, 4, n)
+    from velox_tpu.dtypes import BIGINT as _B
+    t = Table(RowType(["g", "v"], [_B, _B]), {"g": g, "v": v})
+    plan = (
+        PlanBuilder()
+        .table_scan(t)
+        .aggregation(["g"], ["approx_most_frequent(3, v, 100) as m"])
+        .build()
+    )
+    # lowered shape: the root aggregation is map_agg, not the collect path
+    assert isinstance(plan, AggregationNode)
+    assert plan.aggregates[0].name == "map_agg"
+    out = run_plan(plan).to_pandas().sort_values("g").reset_index(drop=True)
+    import pandas as pd
+
+    df = pd.DataFrame({"g": g, "v": v})
+    for gid in range(4):
+        counts = df[df.g == gid].v.value_counts()
+        got = out[out.g == gid]["m"].iloc[0]
+        assert len(got) == 3
+        # exact top-3 by (count desc, value asc)
+        top = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:3]
+        assert got == {k: c for k, c in top}, (gid, got, top)

@@ -243,6 +243,33 @@ class PlanBuilder:
                 args = _split_call_args(argtext)
             parsed.append((fn, args, name, distinct))
 
+        if (
+            len(parsed) == 1
+            and parsed[0][0] == "approx_most_frequent"
+            and re.fullmatch(
+                r"[A-Za-z_][A-Za-z_0-9]*", parsed[0][1][1].strip()
+            )
+        ):
+            # bounded-state lowering (reference:
+            # ApproxMostFrequentStreamSummary.h): exact per-(group, value)
+            # counts through the spill-capable grouped aggregation, then a
+            # windowed top-k cut so only groups x buckets rows reach the
+            # host map assembly — tighter than the reference's sketch
+            # (results are exact), bounded in HBM by the agg carry + spill
+            fn, args, name, _ = parsed[0]
+            buckets = int(args[0])
+            v = args[1].strip()
+            keys = list(grouping_keys)
+            self.filter(f"{v} is not null")
+            self._plain_aggregation(keys + [v], [("count", [], "__mf_c")], step)
+            self.topn_row_number(
+                keys, ["__mf_c desc", v], buckets, name="__mf_rn"
+            )
+            self.project(keys + [v, "__mf_c"])
+            return self._plain_aggregation(
+                keys, [("map_agg", [v, "__mf_c"], name)], step
+            )
+
         reduce_aggs = [
             (i, args, name)
             for i, (f, args, name, _) in enumerate(parsed)
