@@ -167,3 +167,44 @@ def test_window_spill():
         out = LocalExecutor(plan, tile_rows=4096, config=cfg).run().to_pandas()
     assert hits, "window spill threshold did not trigger"
     pd.testing.assert_frame_equal(out, baseline)
+
+
+def test_grace_join_single_hot_key_terminates():
+    """An all-duplicate-key build cannot be split by hashing: the grace path
+    must detect no progress and run that partition unbounded instead of
+    recursing forever (reference: Spiller max spill level)."""
+    rng = np.random.default_rng(31)
+    n_p, n_b = 800, 3000
+    probe = Table(
+        RowType(["k", "x"], [vt.BIGINT, vt.BIGINT]),
+        {"k": rng.integers(6, 9, n_p), "x": rng.integers(0, 100, n_p)},
+    )
+    build = Table(
+        RowType(["bk", "y"], [vt.BIGINT, vt.BIGINT]),
+        {
+            "bk": np.full(n_b, 7, dtype=np.int64),  # ONE hot key
+            "y": rng.integers(0, 1000, n_b),
+        },
+    )
+    plan = (
+        PlanBuilder()
+        .table_scan(probe)
+        .hash_join(
+            PlanBuilder().table_scan(build).build(),
+            ["k"],
+            ["bk"],
+            output=["k", "x", "y"],
+            join_type="inner",
+        )
+        .build()
+    )
+    cfg = DEFAULT_CONFIG.copy(query_memory_limit_bytes=40_000)
+    hits, noprog = [], []
+    with testvalue.scoped("LocalExecutor::graceJoin", lambda s: hits.append(1)):
+        with testvalue.scoped(
+            "LocalExecutor::graceNoProgress", lambda s: noprog.append(1)
+        ):
+            out = LocalExecutor(plan, tile_rows=4096, config=cfg).run()
+    assert hits and noprog
+    n_hot = int((np.asarray(probe.columns["k"]) == 7).sum())
+    assert out.num_rows == n_hot * n_b

@@ -180,6 +180,7 @@ def grace_join_table(
         table_nbytes(build_table), config.query_memory_limit_bytes
     )
     builds = partition_build(build_table, list(node.right_keys), P, salt)
+    total_rows = build_table.num_rows
     spiller = None
     parts: List[Table] = []
     acc = 0
@@ -189,7 +190,16 @@ def grace_join_table(
             left=FilterNode(node.left, probe_filter_expr(node, P, p, salt)),
             right=ValuesNode(builds[p]),
         )
-        part = LocalExecutor(sub, tile_rows, config).run()
+        sub_config = config
+        if total_rows and builds[p].num_rows >= max(1, (3 * total_rows) // 4):
+            # no-progress partition (one key dominates the build): hashing
+            # cannot split equal keys, so recursing would loop forever —
+            # run this partition unbounded instead (the reference hits the
+            # same wall and switches its last spill level to kNoMoreSpill,
+            # Spiller.cpp maxSpillLevel)
+            adjust("LocalExecutor::graceNoProgress", node)
+            sub_config = config.copy(query_memory_limit_bytes=None)
+        part = LocalExecutor(sub, tile_rows, sub_config).run()
         parts.append(part)
         acc += table_nbytes(part)
         if (
