@@ -398,15 +398,47 @@ class TestWindow:
             )
 
 
+class TestUnion:
+    def test_union_all(self):
+        t = make_t(300)
+        out = run_sql(
+            "select k, v from t where v > 0 union all "
+            "select k, v from t where v <= 0",
+            {"t": t},
+        ).to_pandas()
+        assert len(out) == 300
+        assert sorted(out["v"]) == sorted(df_of(t).v.tolist())
+
+    def test_union_distinct(self):
+        t = make_t(500)
+        out = run_sql(
+            "select k from t union select k from t", {"t": t}
+        ).to_pandas()
+        assert sorted(out["k"]) == sorted(set(df_of(t).k))
+
+    def test_union_in_subquery_with_order(self):
+        t = make_t(200)
+        out = run_sql(
+            "select a from (select k as a from t union all "
+            "select v + 1000 as a from t) u order by a limit 5",
+            {"t": t},
+        ).to_pandas()
+        df = df_of(t)
+        expect = sorted(list(df.k) + list(df.v + 1000))[:5]
+        assert out["a"].tolist() == expect
+
 class TestErrors:
     def test_unknown_table(self):
         with pytest.raises(KeyError, match="not in catalog"):
             plan_sql("select 1 as x from missing", {})
 
-    def test_union_unsupported(self):
+    def test_union_order_by_branch_raises(self):
         t = make_t(10)
-        with pytest.raises(NotImplementedError, match="UNION"):
-            plan_sql("select k from t union all select k from t", {"t": t})
+        with pytest.raises(NotImplementedError, match="set-op"):
+            plan_sql(
+                "select k from t order by k union all select k from t",
+                {"t": t},
+            )
 
     def test_window_over_empty_spec(self):
         t = make_t(10)

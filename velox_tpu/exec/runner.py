@@ -1191,6 +1191,26 @@ class LocalExecutor:
             )
         elif isinstance(lin.source, _arrow_stream_cls()):
             pass  # has .table / .output_schema: scan-like source
+        elif type(lin.source).__name__ == "UnionAllNode":
+            # UNION ALL barrier: materialize children, align by POSITION
+            # (SQL set-op semantics), concatenate rows
+            from .grouped import concat_tables
+
+            node = lin.source
+            first = node.output_schema
+            parts = []
+            for s in node.inputs:
+                p = LocalExecutor(s, tile_rows, config, pool=self.pool).run()
+                if list(p.schema.names) != list(first.names):
+                    ren = dict(zip(p.schema.names, first.names))
+                    p = Table(
+                        first,
+                        {ren[n]: v for n, v in p.columns.items()},
+                        {ren[n]: v for n, v in p.string_tables.items()},
+                        {ren[n]: v for n, v in p.validities.items()},
+                    )
+                parts.append(p)
+            lin.source = ValuesNode(concat_tables(parts), id=node.id)
         elif isinstance(lin.source, _merge_exchange_cls()):
             # sorted merge of sorted inputs (MergeExchange): concatenate child
             # results and re-establish the order through the DEVICE sort

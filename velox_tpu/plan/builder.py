@@ -498,6 +498,20 @@ class PlanBuilder:
         self.node = OrderByNode(self.node, self._sort_keys(keys))
         return self
 
+    def union_all(
+        self, inputs: Sequence[Union["PlanBuilder", PlanNode]]
+    ) -> "PlanBuilder":
+        """Row-concatenation of same-typed inputs (SQL UNION ALL; reference:
+        the LocalPartition round-robin lowering)."""
+        from .nodes import UnionAllNode
+
+        assert self.node is None, "union_all is a source"
+        nodes = tuple(
+            i.node if isinstance(i, PlanBuilder) else i for i in inputs
+        )
+        self.node = UnionAllNode(nodes)
+        return self
+
     def merge_exchange(
         self,
         inputs: Sequence[Union["PlanBuilder", PlanNode]],

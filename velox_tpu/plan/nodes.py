@@ -398,6 +398,27 @@ class PartitionedOutputNode(PlanNode):
 
 
 @dataclasses.dataclass
+class UnionAllNode(PlanNode):
+    """Row-concatenation of same-schema inputs (reference: the UNION ALL
+    lowering onto LocalPartition round-robin, velox/exec/LocalPartition.h:25 —
+    here a pipeline barrier that concatenates materialized children)."""
+
+    inputs: Tuple[PlanNode, ...]
+    id: str = dataclasses.field(default_factory=lambda: _next_id("unionall"))
+
+    def __post_init__(self):
+        self.sources = tuple(self.inputs)
+        first = self.inputs[0].output_schema
+        for other in self.inputs[1:]:
+            s = other.output_schema
+            if list(s.types) != list(first.types):
+                raise TypeError(
+                    f"UNION ALL input schemas differ: {first} vs {s}"
+                )
+        self.output_schema = first
+
+
+@dataclasses.dataclass
 class MergeExchangeNode(PlanNode):
     """Sorted merge of multiple already-sorted sources (reference:
     core::MergeExchangeNode PlanNode.h:890 + exec/Merge.h TreeOfLosers;

@@ -494,7 +494,34 @@ class _Parser:
         return None
 
     # -- SELECT ------------------------------------------------------------
-    def parse_select(self, outer_scope=None, correlated_out=None) -> PlanBuilder:
+    def parse_select(
+        self, outer_scope=None, correlated_out=None, in_setop=False
+    ) -> PlanBuilder:
+        first = self._parse_one_select(outer_scope, correlated_out, in_setop)
+        if self.peek() is None or self.peek().low != "union":
+            return first
+        # UNION [ALL] chain: branches align by position; apply ORDER BY /
+        # LIMIT to the whole set-op via a subquery:
+        #   select * from (... union ...) u order by ...
+        branches = [first]
+        distinct = False
+        while self.peek() is not None and self.peek().low == "union":
+            self.next()
+            if not self.accept("all"):
+                distinct = True
+            branches.append(
+                self._parse_one_select(outer_scope, correlated_out, True)
+            )
+        pb = PlanBuilder().union_all(branches)
+        if distinct:
+            names = list(pb.schema.names)
+            pb.aggregation(names, ["count(*) as __u"])
+            pb.project(names)
+        return pb
+
+    def _parse_one_select(
+        self, outer_scope=None, correlated_out=None, in_setop=False
+    ) -> PlanBuilder:
         self.expect("select")
         distinct = self.accept("distinct")
 
@@ -573,8 +600,15 @@ class _Parser:
             limit = int(self.next().text)
         if self.accept("offset"):
             offset = int(self.next().text)
-        if self.peek() is not None and self.peek().low == "union":
-            raise NotImplementedError("UNION is not supported yet")
+        if (order_items or limit is not None or offset) and (
+            in_setop
+            or (self.peek() is not None and self.peek().low == "union")
+        ):
+            raise NotImplementedError(
+                "ORDER BY / LIMIT on a UNION branch: apply them to the whole "
+                "set-op via a subquery — select * from (... union ...) u "
+                "order by ..."
+            )
         self.accept(";")
 
         return _assemble(
