@@ -221,13 +221,34 @@ class TestQueries:
         assert out["s"].iloc[0] == Decimal(sum(kept)).scaleb(-2)
         assert int(out["c"].iloc[0]) == len(kept)
 
+    def test_min_max_grouped(self):
+        """Exact lexicographic (hi, lo) extremes through the pair combiner."""
+        t, vals = long_table(5000, seed=21)
+        g = np.asarray(t.columns["g"])
+        out = (
+            run_plan(
+                PlanBuilder()
+                .table_scan(t)
+                .aggregation(["g"], ["min(v) as lo", "max(v) as hi"])
+                .build()
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        for gid in range(8):
+            sel = [v for v, gg in zip(vals, g) if gg == gid]
+            row = out[out.g == gid].iloc[0]
+            assert row["lo"] == Decimal(min(sel)).scaleb(-2), gid
+            assert row["hi"] == Decimal(max(sel)).scaleb(-2), gid
+
     def test_unsupported_raises(self):
         t, _ = long_table(100, seed=21)
         with pytest.raises(NotImplementedError, match="long decimal|long-decimal"):
             run_plan(
                 PlanBuilder()
                 .table_scan(t)
-                .aggregation(["g"], ["min(v) as m"])
+                .aggregation(["g"], ["arbitrary(v) as m"])
                 .build()
             )
 

@@ -424,17 +424,44 @@ def _rewrite_aggregation(node: AggregationNode, src: PlanNode) -> PlanNode:
     agg_names: List[str] = []
     agg_calls: List[Call] = []
     post: List[Tuple[str, DataType, List[str]]] = []  # (name, dtype, piece sums)
+    minmax: Dict[str, Tuple[str, str, Constant]] = {}
     for out_name, call in zip(node.agg_names, node.aggregates):
         if not any(_expr_long(a) for a in call.args):
             agg_names.append(out_name)
             agg_calls.append(call)
             continue
-        if call.name not in ("sum", "count", "avg"):
+        if call.name not in ("sum", "count", "avg", "min", "max"):
             raise NotImplementedError(
                 f"aggregate {call.name!r} over long decimals is not supported"
-                " yet (supported: sum, count, avg)"
+                " yet (supported: sum, count, avg, min, max)"
             )
         arg = call.args[0]
+        if call.name in ("min", "max"):
+            # exact lexicographic (hi, lo) extreme through the pair-combining
+            # min_by/max_by machinery: the hi limb is the ordering, the lo
+            # limb rides as the payload ENCODED so the machinery's min-payload
+            # tie-break realizes the unsigned lo extreme (min: lo^MIN_I64 is
+            # the unsigned order; max: additionally complemented)
+            hi, lo = lw.pair(arg)
+            enc = Constant(
+                BIGINT, -(2**63) if call.name == "min" else 2**63 - 1
+            )
+            hnm, lnm = f"__hg_{out_name}_h", f"__hg_{out_name}_l"
+            pre_names += [hnm, lnm]
+            pre_exprs += [hi, Call(BIGINT, "bitwise_xor", (lo, enc))]
+            agg_names += [f"{hnm}_m", f"{lnm}_m"]
+            agg_calls.append(
+                Call(BIGINT, call.name, (FieldAccess(BIGINT, hnm),))
+            )
+            agg_calls.append(
+                Call(
+                    BIGINT,
+                    "min_by" if call.name == "min" else "max_by",
+                    (FieldAccess(BIGINT, lnm), FieldAccess(BIGINT, hnm)),
+                )
+            )
+            minmax[out_name] = (f"{hnm}_m", f"{lnm}_m", enc)
+            continue
         if call.name == "count":
             # count only needs validity: the lo limb carries it
             _, lo = lw.pair(arg)
@@ -494,6 +521,14 @@ def _rewrite_aggregation(node: AggregationNode, src: PlanNode) -> PlanNode:
             out_exprs.append(FieldAccess(agg.output_schema.type_of(k), k))
     recombine = {name: sums for name, _, sums in post}
     for out_name, call in zip(node.agg_names, node.aggregates):
+        if out_name in minmax:
+            hnm, lnm, enc = minmax[out_name]
+            out_names += [_hi(out_name), _lo(out_name)]
+            out_exprs += [
+                FieldAccess(BIGINT, hnm),
+                Call(BIGINT, "bitwise_xor", (FieldAccess(BIGINT, lnm), enc)),
+            ]
+            continue
         if out_name not in recombine:
             out_names.append(out_name)
             out_exprs.append(
