@@ -292,3 +292,50 @@ class TestIO:
         )
         assert local["s"].tolist() == dist["s"].tolist()
         assert local["c"].tolist() == dist["c"].tolist()
+
+
+def test_join_on_long_decimal_key():
+    """Long-decimal equi-join keys expand to limb pairs (two-limb packed
+    lookup in joins.py handles the wide ranges)."""
+    distinct = rand_ints(40, seed=33)
+    rng = np.random.default_rng(34)
+    picks = rng.integers(0, 40, 3000)
+    pv = [distinct[i] for i in picks]
+    ph, pl = np_from_int(pv)
+    probe = Table(
+        RowType(["k", "x"], [D38, vt.BIGINT]),
+        {"k": np.stack([pl, ph], axis=1), "x": rng.integers(0, 100, 3000)},
+    )
+    bh, bl = np_from_int(distinct[:25])  # 25 of 40 keys present
+    build = Table(
+        RowType(["bk", "y"], [D38, vt.BIGINT]),
+        {
+            "bk": np.stack([bl, bh], axis=1),
+            "y": rng.integers(0, 1000, 25),
+        },
+    )
+    for jt in ("inner", "left", "left_semi", "anti"):
+        out = run_plan(
+            PlanBuilder()
+            .table_scan(probe)
+            .hash_join(
+                PlanBuilder().table_scan(build).build(),
+                ["k"],
+                ["bk"],
+                output=["x", "y"] if jt in ("inner", "left") else ["x"],
+                join_type=jt,
+            )
+            .build(),
+            tile_rows=512,
+        ).to_pandas()
+        present = set(distinct[:25])
+        matched = [v in present for v in pv]
+        if jt == "inner":
+            assert len(out) == sum(matched)
+        elif jt == "left":
+            assert len(out) == len(pv)
+            assert int(out["y"].isna().sum()) == len(pv) - sum(matched)
+        elif jt == "left_semi":
+            assert len(out) == sum(matched)
+        else:
+            assert len(out) == len(pv) - sum(matched)

@@ -383,6 +383,46 @@ def _rewrite(node: PlanNode) -> PlanNode:
             return dataclasses.replace(node, **kids)
         return _rewrite_aggregation(node, src)
 
+    from ..plan.nodes import HashJoinNode
+
+    if isinstance(node, HashJoinNode) and (
+        _schema_has_long(node.left.output_schema)
+        or _schema_has_long(node.right.output_schema)
+    ):
+        # long-decimal equi-join keys expand to their limb pairs: equality
+        # of (hi, lo) pairs IS equality of the 128-bit values (sign play in
+        # lo is irrelevant for equi comparison); payload columns expand too
+        if node.filter is not None and _expr_long(node.filter):
+            raise NotImplementedError(
+                "join filters over long decimals are not supported yet"
+            )
+
+        def expand_keys(keys, schema):
+            out = []
+            for k in keys:
+                if schema.type_of(k).is_long_decimal:
+                    out += [_hi(k), _lo(k)]
+                else:
+                    out.append(k)
+            return tuple(out)
+
+        ls, rs = node.left.output_schema, node.right.output_schema
+        outputs = []
+        for c in node.output_columns:
+            t = ls.type_of(c) if c in ls else rs.type_of(c)
+            if t.is_long_decimal:
+                outputs += [_hi(c), _lo(c)]
+            else:
+                outputs.append(c)
+        return dataclasses.replace(
+            node,
+            left=kids.get("left", node.left),
+            right=kids.get("right", node.right),
+            left_keys=expand_keys(node.left_keys, ls),
+            right_keys=expand_keys(node.right_keys, rs),
+            output_columns=tuple(outputs),
+        )
+
     if any(
         _schema_has_long(getattr(node, a).output_schema)
         if isinstance(getattr(node, a, None), PlanNode)

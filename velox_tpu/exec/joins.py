@@ -93,20 +93,29 @@ class _NormalizedKey:
             maxs.append(hi)
             bits.append(max(1, int(hi - lo).bit_length()))
         split = 0
-        if sum(bits) > 62:
-            # greedy: fill the high limb until the rest fits the low limb
+        if sum(bits) > 62 and len(bits) > 1:
+            # greedy: fill the high limb until the rest fits the low limb.
+            # A single field wider than 62 bits may occupy a limb ALONE:
+            # (v - min) then wraps int64, which is a bijection — equality
+            # and probe/build consistency are preserved (the lookup needs a
+            # consistent total order, not the natural one).
             acc = 0
             for i, b in enumerate(bits):
+                if acc == 0 and b > 62:
+                    split = i + 1  # oversized field takes the limb alone
+                    break
                 if acc + b > 62:
                     split = i
                     break
                 acc += b
             else:
                 split = len(bits)
-            if split == 0 or sum(bits[split:]) > 62:
+            lo_bits = bits[split:]
+            if split == 0 or (len(lo_bits) > 1 and sum(lo_bits) > 62):
                 raise JoinBuildError(
-                    f"multi-key join key ranges need {sum(bits)} bits; > 124 "
-                    "(add a pre-aggregation or split the join)"
+                    f"multi-key join key ranges need {sum(bits)} bits across "
+                    f"{len(bits)} keys; they do not fit two int64 limbs "
+                    "(reorder the keys, pre-aggregate, or split the join)"
                 )
         shifts = np.zeros(len(bits), dtype=np.int64)
         for limb_fields in ((range(0, split) if split else []),
