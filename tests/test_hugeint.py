@@ -5,7 +5,9 @@ DecimalArithmeticTest.cpp — exact 128-bit arithmetic, aggregation, and IO
 round-trips validated against python's arbitrary-precision ints.
 """
 
-from decimal import Decimal
+from decimal import Context, Decimal
+
+CX = Context(prec=60)
 
 import numpy as np
 import pytest
@@ -143,7 +145,7 @@ class TestQueries:
         for gid in range(8):
             sel = [v for v, gg in zip(vals, g) if gg == gid]
             row = out[out.g == gid].iloc[0]
-            assert row["s"] == Decimal(sum(sel)).scaleb(-2), gid
+            assert row["s"] == Decimal(sum(sel)).scaleb(-2, CX), gid
             assert int(row["c"]) == len(sel)
             np.testing.assert_allclose(
                 float(row["a"]), sum(sel) / len(sel) / 100, rtol=1e-9
@@ -156,7 +158,7 @@ class TestQueries:
         )
         for tile in (256, 1 << 16):
             out = LocalExecutor(plan, tile_rows=tile).run().to_pandas()
-            assert out["s"].iloc[0] == Decimal(sum(vals)).scaleb(-2), tile
+            assert out["s"].iloc[0] == Decimal(sum(vals)).scaleb(-2, CX), tile
 
     def test_group_by_long_key(self):
         # few distinct long values as grouping keys
@@ -180,7 +182,7 @@ class TestQueries:
         ).to_pandas()
         assert len(out) == 5
         expect = {
-            Decimal(d).scaleb(-2): int((picks == i).sum())
+            Decimal(d).scaleb(-2, CX): int((picks == i).sum())
             for i, d in enumerate(distinct)
         }
         got = {k: int(c) for k, c in zip(out["k"], out["c"])}
@@ -204,7 +206,7 @@ class TestQueries:
             .build()
         ).to_pandas()
         exact = sum(int(x) * int(y) for x, y in zip(a, b))
-        assert out["s"].iloc[0] == Decimal(exact).scaleb(-4)
+        assert out["s"].iloc[0] == Decimal(exact).scaleb(-4, CX)
 
     def test_nulls(self):
         t, vals = long_table(1000, seed=19, with_group=False)
@@ -218,7 +220,7 @@ class TestQueries:
             .build()
         ).to_pandas()
         kept = [v for v, ok in zip(vals, valid) if ok]
-        assert out["s"].iloc[0] == Decimal(sum(kept)).scaleb(-2)
+        assert out["s"].iloc[0] == Decimal(sum(kept)).scaleb(-2, CX)
         assert int(out["c"].iloc[0]) == len(kept)
 
     def test_min_max_grouped(self):
@@ -239,8 +241,8 @@ class TestQueries:
         for gid in range(8):
             sel = [v for v, gg in zip(vals, g) if gg == gid]
             row = out[out.g == gid].iloc[0]
-            assert row["lo"] == Decimal(min(sel)).scaleb(-2), gid
-            assert row["hi"] == Decimal(max(sel)).scaleb(-2), gid
+            assert row["lo"] == Decimal(min(sel)).scaleb(-2, CX), gid
+            assert row["hi"] == Decimal(max(sel)).scaleb(-2, CX), gid
 
     def test_unsupported_raises(self):
         t, _ = long_table(100, seed=21)
@@ -339,3 +341,26 @@ def test_join_on_long_decimal_key():
             assert len(out) == sum(matched)
         else:
             assert len(out) == len(pv) - sum(matched)
+
+
+def test_order_by_long_decimal():
+    """ORDER BY a long decimal sorts by (hi, unsigned lo) limb pairs."""
+    t, vals = long_table(3000, seed=41, with_group=False)
+    for clause, reverse in ((["v"], False), (["v desc"], True)):
+        out = run_plan(
+            PlanBuilder().table_scan(t).orderby(clause).build(),
+            tile_rows=512,
+        ).to_pandas()
+        expect = sorted(vals, reverse=reverse)
+        got = [int(d.scaleb(2, CX)) for d in out["v"]]
+        assert got == expect, clause
+
+
+def test_topn_long_decimal():
+    t, vals = long_table(2000, seed=43, with_group=False)
+    out = run_plan(
+        PlanBuilder().table_scan(t).topn(["v desc"], 7).build(),
+        tile_rows=512,
+    ).to_pandas()
+    got = [int(d.scaleb(2, CX)) for d in out["v"]]
+    assert got == sorted(vals, reverse=True)[:7]

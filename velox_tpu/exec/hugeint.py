@@ -383,7 +383,55 @@ def _rewrite(node: PlanNode) -> PlanNode:
             return dataclasses.replace(node, **kids)
         return _rewrite_aggregation(node, src)
 
-    from ..plan.nodes import HashJoinNode
+    from ..plan.nodes import HashJoinNode, OrderByNode, SortKey, TopNNode
+
+    if isinstance(node, (OrderByNode, TopNNode)) and any(
+        node.source.output_schema.type_of(k.name).is_long_decimal
+        for k in node.keys
+        if k.name in node.source.output_schema
+    ):
+        # ORDER BY a long decimal: sort by (hi, lo-as-unsigned) — the lo limb
+        # compares unsigned, so a projected XOR with the sign bit makes it
+        # int64-orderable; the helper column drops after the sort
+        src = kids.get("source", node.source)
+        names = list(src.output_schema.names)
+        pre_names = list(names)
+        pre_exprs: List[Expr] = [
+            FieldAccess(src.output_schema.type_of(n), n) for n in names
+        ]
+        keys2: List[SortKey] = []
+        for k in node.keys:
+            t = node.source.output_schema.type_of(k.name) if (
+                k.name in node.source.output_schema
+            ) else None
+            if t is not None and t.is_long_decimal:
+                ordn = f"{k.name}__ord"
+                pre_names.append(ordn)
+                pre_exprs.append(
+                    Call(
+                        BIGINT,
+                        "bitwise_xor",
+                        (
+                            FieldAccess(BIGINT, _lo(k.name)),
+                            Constant(BIGINT, -(2**63)),
+                        ),
+                    )
+                )
+                keys2.append(
+                    SortKey(_hi(k.name), k.ascending, k.nulls_first)
+                )
+                keys2.append(SortKey(ordn, k.ascending, k.nulls_first))
+            else:
+                keys2.append(k)
+        pre = ProjectNode(src, tuple(pre_names), tuple(pre_exprs))
+        sorted_node = dataclasses.replace(node, source=pre, keys=tuple(keys2))
+        return ProjectNode(
+            sorted_node,
+            tuple(names),
+            tuple(
+                FieldAccess(pre.output_schema.type_of(n), n) for n in names
+            ),
+        )
 
     if isinstance(node, HashJoinNode) and (
         _schema_has_long(node.left.output_schema)

@@ -208,14 +208,17 @@ class Table:
             if decode and dtype.is_string and name in self.string_tables:
                 arr = self.string_tables[name].decode(arr)
             elif decode and dtype.is_long_decimal:
-                from decimal import Decimal
+                from decimal import Context, Decimal
 
                 from ..ops.int128 import np_to_int
 
+                # 50-digit context: the default (28) would round 38-digit
+                # unscaled values during the scaleb
+                cx = Context(prec=50)
                 ints = np_to_int(arr[:, 1], arr[:, 0])
                 obj = np.empty(len(ints), dtype=object)
                 obj[:] = [
-                    Decimal(v).scaleb(-dtype.scale) for v in ints
+                    Decimal(v).scaleb(-dtype.scale, cx) for v in ints
                 ]
                 arr = obj
             elif decode and dtype.kind == TypeKind.DECIMAL:
