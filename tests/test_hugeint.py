@@ -244,6 +244,158 @@ class TestQueries:
             assert row["lo"] == Decimal(min(sel)).scaleb(-2, CX), gid
             assert row["hi"] == Decimal(max(sel)).scaleb(-2, CX), gid
 
+    def test_long_multiply_exact(self):
+        """long x long full 128-bit truncated product (scales add)."""
+        n = 800
+        a = rand_ints(n, seed=51, digits=17)
+        b = rand_ints(n, seed=52, digits=17)
+        ah, al = np_from_int(a)
+        bh, bl = np_from_int(b)
+        t = Table(
+            RowType(["a", "b"], [decimal(20, 2), decimal(20, 3)]),
+            {"a": np.stack([al, ah], axis=1), "b": np.stack([bl, bh], axis=1)},
+        )
+        out = run_plan(
+            PlanBuilder().table_scan(t).project(["a * b as p"]).build()
+        )
+        p = out.columns["p"]
+        assert out.schema.type_of("p").scale == 5
+        assert np_to_int(p[:, 1], p[:, 0]) == [x * y for x, y in zip(a, b)]
+
+    def test_long_divide_exact(self):
+        """Exact decimal division with round-half-away (DecimalUtil twin)."""
+        from velox_tpu.ops.int128 import np_div_round
+
+        n = 700
+        a = rand_ints(n, seed=53, digits=30)
+        b = [v or 7 for v in rand_ints(n, seed=54, digits=12)]
+        ah, al = np_from_int(a)
+        bh, bl = np_from_int(b)
+        t = Table(
+            RowType(["a", "b"], [decimal(38, 2), decimal(20, 2)]),
+            {"a": np.stack([al, ah], axis=1), "b": np.stack([bl, bh], axis=1)},
+        )
+        out = run_plan(
+            PlanBuilder().table_scan(t).project(["a / b as q"]).build()
+        )
+        q = out.columns["q"]
+        assert out.schema.type_of("q").scale == 2
+        # rScale=2, k = 2 + 2 - 2 = 2: q = round_half_away(a*100 / b)
+        expect = np_div_round([x * 100 for x in a], b)
+        assert np_to_int(q[:, 1], q[:, 0]) == expect
+
+    def test_divide_by_zero_raises(self):
+        from velox_tpu.exec.runner import QueryError
+
+        ah, al = np_from_int([100, 200])
+        t = Table(
+            RowType(["a", "b"], [decimal(38, 2), decimal(20, 2)]),
+            {
+                "a": np.stack([al, ah], axis=1),
+                "b": np.zeros((2, 2), np.int64),
+            },
+        )
+        with pytest.raises(QueryError):
+            run_plan(
+                PlanBuilder().table_scan(t).project(["a / b as q"]).build()
+            )
+
+    def test_rescale_casts(self):
+        """long->long up/down rescales, long->short narrow, long->bigint."""
+        vals = rand_ints(600, seed=55, digits=24)
+        hi, lo = np_from_int(vals)
+        t = Table(
+            RowType(["v"], [decimal(30, 2)]),
+            {"v": np.stack([lo, hi], axis=1)},
+        )
+        out = run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .project(
+                [
+                    "cast(v as decimal(38, 5)) as up",
+                    "cast(v as decimal(38, 0)) as down",
+                ]
+            )
+            .build()
+        )
+        up = out.columns["up"]
+        assert np_to_int(up[:, 1], up[:, 0]) == [v * 1000 for v in vals]
+
+        def rha(v, d):  # round half away from zero
+            q, r = divmod(abs(v), d)
+            if 2 * r >= d:
+                q += 1
+            return -q if v < 0 else q
+
+        down = out.columns["down"]
+        assert np_to_int(down[:, 1], down[:, 0]) == [rha(v, 100) for v in vals]
+
+        # BIGINT narrowing needs int64-representable rounded values
+        small = [int(x) for x in RNG.integers(-(10**17), 10**17, 300)]
+        sh, sl = np_from_int(small)
+        ts = Table(
+            RowType(["v"], [decimal(30, 2)]),
+            {"v": np.stack([sl, sh], axis=1)},
+        )
+        out2 = run_plan(
+            PlanBuilder().table_scan(ts).project(["cast(v as bigint) as i"]).build()
+        )
+        np.testing.assert_array_equal(
+            out2.columns["i"], [rha(v, 100) for v in small]
+        )
+
+    def test_narrow_overflow_raises(self):
+        """BIGINT narrowing of a >63-bit value errors (reference throws)."""
+        from velox_tpu.exec.runner import QueryError
+
+        hi, lo = np_from_int([10**24])
+        t = Table(
+            RowType(["v"], [decimal(30, 2)]),
+            {"v": np.stack([lo, hi], axis=1)},
+        )
+        with pytest.raises(QueryError):
+            run_plan(
+                PlanBuilder()
+                .table_scan(t)
+                .project(["cast(v as bigint) as i"])
+                .build()
+            )
+
+    def test_narrow_to_short_decimal(self):
+        vals = [int(x) for x in RNG.integers(-(10**15), 10**15, 500)]
+        hi, lo = np_from_int(vals)
+        t = Table(
+            RowType(["v"], [decimal(30, 2)]),
+            {"v": np.stack([lo, hi], axis=1)},
+        )
+        out = run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .project(["cast(v as decimal(18, 4)) as s"])
+            .build()
+        )
+        np.testing.assert_array_equal(
+            out.columns["s"], [v * 100 for v in vals]
+        )
+
+    def test_rescale_overflow_raises(self):
+        from velox_tpu.exec.runner import QueryError
+
+        vals = [10**36]
+        hi, lo = np_from_int(vals)
+        t = Table(
+            RowType(["v"], [decimal(38, 0)]),
+            {"v": np.stack([lo, hi], axis=1)},
+        )
+        with pytest.raises(QueryError):
+            run_plan(
+                PlanBuilder()
+                .table_scan(t)
+                .project(["cast(v as decimal(38, 3)) as up"])
+                .build()
+            )
+
     def test_unsupported_raises(self):
         t, _ = long_table(100, seed=21)
         with pytest.raises(NotImplementedError, match="long decimal|long-decimal"):

@@ -11,11 +11,16 @@ the HLL sketch (exec/sketch.py).  Everything downstream (tiling, joins,
 distribution, spill) then sees plain BIGINT columns.
 
 Covered: scans/Values with long-decimal columns, filter/project expressions
-(+, -, negation, comparisons, cast to DOUBLE), GROUP BY on long-decimal
-keys, and sum()/count()/avg() aggregation — sums accumulate in four 32-bit
-pieces per value (each piece sum is exact in int64 for < 2^31 rows) and
-recombine into limbs on device.  Unsupported shapes raise NotImplementedError
-naming the construct.  Results surface as (n, 2) [lo, hi] numpy columns;
+(+, -, negation, full 128x128 multiply, exact round-half-away division,
+comparisons, rescaling casts in both directions, narrowing casts to short
+DECIMAL / BIGINT / DOUBLE), GROUP BY and equi-join on long-decimal keys,
+ORDER BY/TopN, and sum/count/avg/min/max aggregation — sums accumulate in
+four 32-bit pieces per value (each piece sum is exact in int64 for < 2^31
+rows) and recombine into limbs on device.  Rescale overflow and narrow
+overflow surface as per-row query errors (the reference throws
+VeloxUserError); long x long multiply overflow past 128 bits wraps
+(documented deviation — the reference checks via __int128 builtins).
+Unsupported shapes raise NotImplementedError naming the construct.  Results surface as (n, 2) [lo, hi] numpy columns;
 Table.to_pandas renders them as exact ``decimal.Decimal`` objects.
 """
 
@@ -115,11 +120,52 @@ def _widen_const(e: Expr, target: DataType) -> Expr:
     )
 
 
+def _const_limbs(v: int) -> Tuple[Constant, Constant]:
+    h, l = np_from_int([int(v)])
+    return Constant(BIGINT, int(h[0])), Constant(BIGINT, int(l[0]))
+
+
 class _Lowerer:
     """Expression lowering against a physical (limb-split) schema."""
 
     def __init__(self, schema: RowType):
         self.schema = schema
+
+    def _mul_pow10(self, hi: Expr, lo: Expr, k: int) -> Tuple[Expr, Expr]:
+        """(hi, lo) * 10**k, exact, with a per-row overflow error lane
+        (reference: DecimalUtil rescale throws on overflow)."""
+        if k == 0:
+            return hi, lo
+        if k > 38:
+            raise NotImplementedError(
+                f"decimal rescale by 10^{k} exceeds the 38-digit surface"
+            )
+        factor = 10**k
+        fh, fl = _const_limbs(factor)
+        th, tl = _const_limbs((2**127 - 1) // factor)
+        out_lo = Call(BIGINT, "__i128_mul64_lo", (lo, fl))
+        out_lo = Call(BIGINT, "__i128_guard_abs_le", (out_lo, hi, lo, th, tl))
+        out_hi = Call(BIGINT, "__i128_mul_hi", (hi, lo, fh, fl))
+        return out_hi, out_lo
+
+    def _div_pair(
+        self, nh: Expr, nl: Expr, dh: Expr, dl: Expr
+    ) -> Tuple[Expr, Expr]:
+        """Round-half-away 128/128 quotient limbs (err lane on divide-by-0)."""
+        return (
+            Call(BIGINT, "__i128_div_hi", (nh, nl, dh, dl)),
+            Call(BIGINT, "__i128_div_lo", (nh, nl, dh, dl)),
+        )
+
+    def _rescale(
+        self, hi: Expr, lo: Expr, shift: int
+    ) -> Tuple[Expr, Expr]:
+        """Scale a limb pair by 10**shift: up = exact guarded multiply,
+        down = round-half-away divide (reference: rescaleWithRoundUp)."""
+        if shift >= 0:
+            return self._mul_pow10(hi, lo, shift)
+        dh, dl = _const_limbs(10 ** (-shift))
+        return self._div_pair(hi, lo, dh, dl)
 
     def pair(self, e: Expr) -> Tuple[Expr, Expr]:
         """(hi, lo) expressions of a long-decimal-typed node."""
@@ -164,6 +210,36 @@ class _Lowerer:
                 Call(BIGINT, "__i128_mul64_hi", (a, b)),
                 Call(BIGINT, "__i128_mul64_lo", (a, b)),
             )
+        if isinstance(e, Call) and e.name == "multiply" and (
+            e.args[0].dtype.is_long_decimal or e.args[1].dtype.is_long_decimal
+        ):
+            # full 128x128 truncated product (scales add, no alignment).
+            # Documented deviation: overflow past 128 bits wraps where the
+            # reference throws (a full 256-bit upper-half check is pending).
+            ah, al = self.pair(e.args[0])
+            bh, bl = self.pair(e.args[1])
+            return (
+                Call(BIGINT, "__i128_mul_hi", (ah, al, bh, bl)),
+                Call(BIGINT, "__i128_mul64_lo", (al, bl)),
+            )
+        if isinstance(e, Call) and e.name == "divide":
+            # exact decimal division: rescale the dividend by
+            # 10^(rScale - s1 + s2), divide with round-half-away
+            # (reference: DecimalUtil::divideWithRoundUp)
+            from ..dtypes import TypeKind
+
+            a, b = e.args
+            s1 = a.dtype.scale if a.dtype.kind == TypeKind.DECIMAL else 0
+            s2 = b.dtype.scale if b.dtype.kind == TypeKind.DECIMAL else 0
+            k = e.dtype.scale + s2 - s1
+            if k < 0:
+                raise NotImplementedError(
+                    "decimal division with negative rescale"
+                )
+            ah, al = self.pair(a)
+            bh, bl = self.pair(b)
+            nh, nl = self._mul_pow10(ah, al, k)
+            return self._div_pair(nh, nl, bh, bl)
         if (
             isinstance(e, Special)
             and e.form in (SpecialForm.CAST, SpecialForm.TRY_CAST)
@@ -171,29 +247,20 @@ class _Lowerer:
         ):
             child = e.children[0]
             if child.dtype.is_long_decimal:
-                if child.dtype.scale != e.dtype.scale:
-                    raise NotImplementedError(
-                        "long-decimal rescaling casts are not supported yet"
-                    )
-                return self.pair(child)
+                ch, cl = self.pair(child)
+                return self._rescale(ch, cl, e.dtype.scale - child.dtype.scale)
+            if child.dtype.is_floating:
+                raise NotImplementedError(
+                    "casts from floating point to long decimals are not "
+                    "supported yet"
+                )
             shift = (
                 e.dtype.scale - child.dtype.scale
                 if child.dtype.kind.name == "DECIMAL"
                 else e.dtype.scale
             )
-            if shift < 0 or shift > 18:
-                raise NotImplementedError(
-                    "casts to long decimals support scale shifts in [0, 18]"
-                )
             x = self.scalar(child)
-            if shift == 0:
-                return Call(BIGINT, "__i128_sar63", (x,)), x
-            # exact widening rescale: 64x64 -> 128 product with 10^shift
-            ten = Constant(BIGINT, 10**shift)
-            return (
-                Call(BIGINT, "__i128_mul64_hi", (x, ten)),
-                Call(BIGINT, "__i128_mul64_lo", (x, ten)),
-            )
+            return self._rescale(Call(BIGINT, "__i128_sar63", (x,)), x, shift)
         if not e.dtype.is_long_decimal and not e.dtype.is_floating:
             # short (int64-representable) value in a long context: exact
             # sign-extension widening (callers align scales first)
@@ -242,36 +309,14 @@ class _Lowerer:
                 and e.children[0].dtype.is_long_decimal
                 and not e.dtype.is_long_decimal
             ):
-                src = e.children[0]
-                if e.dtype.kind.name != "DOUBLE":
-                    raise NotImplementedError(
-                        "long-decimal cast targets other than DOUBLE are not "
-                        "supported yet"
-                    )
-                hi, lo = self.pair(src)
-                dbl = Call(DOUBLE, "__i128_to_double", (hi, lo))
-                return Call(
-                    DOUBLE, "divide",
-                    (dbl, Constant(DOUBLE, float(10 ** src.dtype.scale))),
-                )
+                return self._narrow_cast(e.children[0], e.dtype)
             if any(self._has_long(a) for a in e.children):
                 args = tuple(self.scalar(a) for a in e.children)
                 return Special(e.dtype, e.form, args)
             return e
         if isinstance(e, Call):
             if e.name == "cast" and e.args and e.args[0].dtype.is_long_decimal:
-                src = e.args[0]
-                if e.dtype.kind.name != "DOUBLE":
-                    raise NotImplementedError(
-                        "long-decimal cast targets other than DOUBLE are not "
-                        "supported yet"
-                    )
-                hi, lo = self.pair(src)
-                dbl = Call(DOUBLE, "__i128_to_double", (hi, lo))
-                return Call(
-                    DOUBLE, "divide",
-                    (dbl, Constant(DOUBLE, float(10 ** src.dtype.scale))),
-                )
+                return self._narrow_cast(e.args[0], e.dtype)
             if e.dtype.is_long_decimal:
                 raise NotImplementedError(
                     f"long-decimal-valued call {e.name!r} in a scalar context"
@@ -285,6 +330,31 @@ class _Lowerer:
                 "is not supported here"
             )
         return e
+
+    def _narrow_cast(self, src: Expr, target: DataType) -> Expr:
+        """Cast a long-decimal value to a narrower type: DOUBLE (scaled
+        float), short DECIMAL (rescale + range-checked narrow), or an
+        integer type (round to scale 0 + narrow).  Reference: CastExpr's
+        decimal paths + DecimalUtil::rescaleWithRoundUp."""
+        from ..dtypes import TypeKind
+
+        hi, lo = self.pair(src)
+        if target.kind == TypeKind.DOUBLE:
+            dbl = Call(DOUBLE, "__i128_to_double", (hi, lo))
+            return Call(
+                DOUBLE, "divide",
+                (dbl, Constant(DOUBLE, float(10 ** src.dtype.scale))),
+            )
+        if target.kind == TypeKind.DECIMAL:
+            hi, lo = self._rescale(hi, lo, target.scale - src.dtype.scale)
+            return Call(target, "__i128_narrow", (hi, lo))
+        if target.kind == TypeKind.BIGINT:
+            hi, lo = self._rescale(hi, lo, -src.dtype.scale)
+            return Call(target, "__i128_narrow", (hi, lo))
+        raise NotImplementedError(
+            f"long-decimal cast to {target!r} is not supported yet "
+            "(supported: DOUBLE, short DECIMAL, BIGINT)"
+        )
 
     @staticmethod
     def _has_long(e: Expr) -> bool:

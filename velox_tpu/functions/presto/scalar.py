@@ -105,9 +105,29 @@ def _divide_int(ctx, out_t, arg_ts, a, b):
     return q.astype(out_t.device_dtype), errors
 
 
+def _decimal_div_type(arg_types):
+    # Long inputs get exact decimal division (Presto rule: scale =
+    # max(s1, s2), precision = p1 + s2 + max(0, s2 - s1)), lowered by
+    # exec/hugeint.py.  Short/short keeps the DOUBLE deviation (the int64
+    # surface cannot hold the rescaled dividend exactly).
+    a, b = arg_types[0], arg_types[1]
+    if a.kind != TypeKind.DECIMAL or b.kind != TypeKind.DECIMAL:
+        return DOUBLE
+    if a.precision > 18 or b.precision > 18:
+        prec = a.precision + b.scale + max(0, b.scale - a.scale)
+        # force the long surface so one lowering path handles all cases
+        return decimal(min(38, max(19, prec)), max(a.scale, b.scale))
+    return DOUBLE
+
+
 def _divide_decimal(ctx, out_t, arg_ts, a, b):
-    # DECIMAL / DECIMAL -> DOUBLE (documented deviation: Presto keeps decimals;
-    # exact decimal division lands with the long-decimal work).
+    if out_t.kind == TypeKind.DECIMAL:
+        raise NotImplementedError(
+            "long-decimal division must be lowered by exec/hugeint.py "
+            "(LocalExecutor and DistributedExecutor apply it automatically)"
+        )
+    # short DECIMAL / DECIMAL -> DOUBLE (documented deviation: Presto keeps
+    # decimals; the exact path requires the 128-bit rescaled dividend).
     sa, sb = arg_ts[0].scale, arg_ts[1].scale
     errors = b == 0
     safe_b = jnp.where(errors, jnp.ones_like(b), b)
@@ -145,7 +165,7 @@ _reg.register(
 _reg.register("multiply", [NUMERIC, NUMERIC], _decimal_mul_type, _multiply, coerce_common_numeric=True)
 _reg.register("divide", [TypeKind.DOUBLE, TypeKind.DOUBLE], DOUBLE, _divide_float)
 _reg.register("divide", [TypeKind.REAL, TypeKind.REAL], _same_type, _divide_float, coerce_common_numeric=True)
-_reg.register("divide", [TypeKind.DECIMAL, TypeKind.DECIMAL], DOUBLE, _divide_decimal)
+_reg.register("divide", [TypeKind.DECIMAL, TypeKind.DECIMAL], _decimal_div_type, _divide_decimal)
 _reg.register("divide", [INT_M, INT_M], _same_type, _divide_int, coerce_common_numeric=True)
 _reg.register("mod", [NUMERIC, NUMERIC], _same_type, _mod, coerce_common_numeric=True)
 _reg.register("negate", [NUMERIC], _same_type, _negate)

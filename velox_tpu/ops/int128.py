@@ -90,6 +90,33 @@ def np_mul_i64(a, b):
     return hi, lo.astype(np.int64)
 
 
+def np_mul(ah, al, bh, bl):
+    """Truncated (mod 2**128) product of two limb pairs — the semantics of
+    the reference's __int128 multiply (DecimalUtil.h); overflow past 128 bits
+    wraps (the lowering adds explicit guards where the reference throws)."""
+    vals_a = np_to_int(np.asarray(ah), np.asarray(al))
+    vals_b = np_to_int(np.asarray(bh), np.asarray(bl))
+    prods = [
+        ((a * b) + (1 << 128)) % (1 << 129) - (1 << 128)
+        if ((a * b) % (1 << 128)) >> 127
+        else (a * b) % (1 << 128)
+        for a, b in zip(vals_a, vals_b)
+    ]
+    return np_from_int(prods)
+
+
+def np_div_round(a_ints, b_ints):
+    """Round-half-away-from-zero integer division (python ints, exact) — the
+    oracle twin of __i128_div_* (reference: DecimalUtil::divideWithRoundUp)."""
+    out = []
+    for a, b in zip(a_ints, b_ints):
+        q, r = divmod(abs(int(a)), abs(int(b)))
+        if 2 * r >= abs(int(b)):
+            q += 1
+        out.append(-q if (a < 0) != (b < 0) else q)
+    return out
+
+
 def np_lt(ah, al, bh, bl):
     return (ah < bh) | (
         (ah == bh) & (al.astype(np.uint64) < bl.astype(np.uint64))
@@ -190,3 +217,115 @@ def register_i128_functions() -> None:
     f("__i128_sar63", 1, BIGINT, lambda x: x >> 63)
     f("__i128_shl32", 1, BIGINT, lambda x: x << 32)
     f("__i128_cast_double", 1, DOUBLE, lambda x: x.astype(jnp.float64))
+
+    # --- full 128x128 truncated multiply ---------------------------------
+    # (ah*2^64+al)*(bh*2^64+bl) mod 2^128: lo = wrap(al*bl) (=mul64_lo);
+    # hi = mulhi_u(al,bl) + wrap(al*bh) + wrap(ah*bl).  Wrapping products
+    # are sign-agnostic; only the 64x64 high word needs unsigned care.
+    def _mulhi_u(a, b):
+        au, bu = _u(a), _u(b)
+        m32 = jnp.uint64(_MASK32)
+        s32 = jnp.uint64(32)
+        a0, a1 = au & m32, au >> s32
+        b0, b1 = bu & m32, bu >> s32
+        p00 = a0 * b0
+        p01 = a0 * b1
+        p10 = a1 * b0
+        mid = (p00 >> s32) + (p01 & m32) + (p10 & m32)
+        return (a1 * b1 + (p01 >> s32) + (p10 >> s32) + (mid >> s32)).astype(
+            jnp.int64
+        )
+
+    f(
+        "__i128_mul_hi", 4, BIGINT,
+        lambda ah, al, bh, bl: _mulhi_u(al, bl) + al * bh + ah * bl,
+    )
+
+    # --- rounded signed division -----------------------------------------
+    # Shift-subtract 128/128 long division on magnitudes (128 fori_loop
+    # iterations of fused u64 VPU ops — branch-free, data-parallel), then
+    # round half away from zero.  Reference: DecimalUtil::divideWithRoundUp.
+    from jax import lax
+
+    def _mag(hi, lo):
+        neg = hi < 0
+        nlo = -lo
+        nhi = ~hi + (lo == 0).astype(jnp.int64)
+        return (
+            _u(jnp.where(neg, nhi, hi)),
+            _u(jnp.where(neg, nlo, lo)),
+            neg,
+        )
+
+    def _div_signed(ah, al, bh, bl):
+        """(q_hi, q_lo, err) — round-half-away quotient; err on b == 0."""
+        err = (bh == 0) & (bl == 0)
+        bl_s = jnp.where(err, jnp.ones_like(bl), bl)
+        bh_s = jnp.where(err, jnp.zeros_like(bh), bh)
+        nh, nl, na = _mag(ah, al)
+        dh, dl, nb = _mag(bh_s, bl_s)
+        one = jnp.uint64(1)
+        s63 = jnp.uint64(63)
+        zero = jnp.zeros_like(nh)
+
+        def body(_, st):
+            qh, ql, rh, rl, xh, xl = st
+            rh = (rh << one) | (rl >> s63)
+            rl = (rl << one) | (xh >> s63)
+            xh = (xh << one) | (xl >> s63)
+            xl = xl << one
+            ge = (rh > dh) | ((rh == dh) & (rl >= dl))
+            borrow = (rl < dl).astype(jnp.uint64)
+            rh2, rl2 = rh - dh - borrow, rl - dl
+            rh = jnp.where(ge, rh2, rh)
+            rl = jnp.where(ge, rl2, rl)
+            qh = (qh << one) | (ql >> s63)
+            ql = (ql << one) | ge.astype(jnp.uint64)
+            return (qh, ql, rh, rl, xh, xl)
+
+        qh, ql, rh, rl, _, _ = lax.fori_loop(
+            0, 128, body, (zero, zero, zero, zero, nh, nl)
+        )
+        # round half away: 2*r >= d  (r < d < 2^127, so 2r fits u128)
+        r2h = (rh << one) | (rl >> s63)
+        r2l = rl << one
+        bump = ((r2h > dh) | ((r2h == dh) & (r2l >= dl))).astype(jnp.uint64)
+        ql2 = ql + bump
+        qh = qh + (ql2 < ql).astype(jnp.uint64)
+        ql = ql2
+        # apply sign
+        neg = na ^ nb
+        sh, sl = qh.astype(jnp.int64), ql.astype(jnp.int64)
+        nql = -sl
+        nqh = ~sh + (sl == 0).astype(jnp.int64)
+        return (
+            jnp.where(neg, nqh, sh),
+            jnp.where(neg, nql, sl),
+            err,
+        )
+
+    def _div_lo(*a):
+        r = _div_signed(*a)
+        return r[1], r[2]
+
+    f("__i128_div_hi", 4, BIGINT, lambda *a: _div_signed(*a)[0])
+    f("__i128_div_lo", 4, BIGINT, _div_lo)
+
+    # --- guards ------------------------------------------------------------
+    # passthrough-with-error-lane helper: the lowering attaches this to one
+    # limb expression so overflow surfaces as a per-row query error (the
+    # reference throws VeloxUserError on decimal overflow)
+    def _guard_abs_le(x, ah, al, th, tl):
+        neg = ah < 0
+        mh = _u(jnp.where(neg, ~ah + (al == 0).astype(jnp.int64), ah))
+        ml = _u(jnp.where(neg, -al, al))
+        over = (mh > _u(th)) | ((mh == _u(th)) & (ml > _u(tl)))
+        return x, over
+
+    f("__i128_guard_abs_le", 5, BIGINT, _guard_abs_le)
+
+    # narrow a 128-bit value into int64 (err when it does not fit)
+    f(
+        "__i128_narrow", 2, BIGINT,
+        lambda hi, lo: (lo, hi != (lo >> 63)),
+    )
