@@ -117,6 +117,103 @@ def test_semi_and_anti_join():
     )
 
 
+def test_null_aware_anti_join():
+    """NOT IN three-valued semantics (reference: HashJoinNode nullAware).
+
+    - build contains a NULL -> empty result
+    - NULL probe keys never pass a non-empty build set
+    - empty build set -> every probe row passes, NULL keys included
+    """
+    from velox_tpu.dtypes import RowType
+    from velox_tpu.io.table import Table
+
+    probe = Table(
+        RowType(["k"], [vt.BIGINT]),
+        {"k": np.array([1, 2, 3, 4], np.int64)},
+        validities={"k": np.array([True, True, False, True])},
+    )
+
+    def anti(build_vals, build_valid=None):
+        build = Table(
+            RowType(["k2"], [vt.BIGINT]),
+            {"k2": np.asarray(build_vals, np.int64)},
+            validities=(
+                {"k2": np.asarray(build_valid)} if build_valid is not None else {}
+            ),
+        )
+        plan = (
+            PlanBuilder().table_scan(probe)
+            .hash_join(PlanBuilder().table_scan(build), ["k"], ["k2"],
+                       output=["k"], join_type="anti", null_aware=True)
+            .build()
+        )
+        return sorted(run_plan(plan).to_pandas()["k"].fillna(-99).astype(int))
+
+    # non-empty build, no nulls: k=3 (NULL) is dropped, unlike plain anti
+    assert anti([2, 4]) == [1]
+    # build contains a NULL key: nothing can pass
+    assert anti([2, 9], [True, False]) == []
+    # empty build set: NOT IN () is true for every row, NULL included
+    assert anti(np.array([], np.int64)) == [-99, 1, 2, 4]
+    # plain (NOT EXISTS) anti for contrast: NULL probe keys are kept
+    plain = (
+        PlanBuilder().table_scan(probe)
+        .hash_join(
+            PlanBuilder().table_scan(
+                Table(RowType(["k2"], [vt.BIGINT]),
+                      {"k2": np.array([2, 4], np.int64)})
+            ),
+            ["k"], ["k2"], output=["k"], join_type="anti",
+        )
+        .build()
+    )
+    assert sorted(
+        run_plan(plain).to_pandas()["k"].fillna(-99).astype(int)
+    ) == [-99, 1]
+
+
+def test_semi_anti_join_with_filter():
+    """Non-equi filters on existence joins (rewrite_filtered_existence_joins):
+    a probe row passes SEMI iff >=1 match satisfies the filter, ANTI iff no
+    match does — checked against a pandas oracle with duplicate build keys."""
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    n, m = 700, 300
+    probe = make_table(
+        k=(rng.integers(0, 40, n), vt.BIGINT),
+        x=(rng.integers(0, 100, n), vt.BIGINT),
+    )
+    build = make_table(
+        bk=(rng.integers(0, 40, m), vt.BIGINT),
+        y=(rng.integers(0, 100, m), vt.BIGINT),
+    )
+    dfp = pd.DataFrame({c: np.asarray(probe.columns[c]) for c in ("k", "x")})
+    dfb = pd.DataFrame({c: np.asarray(build.columns[c]) for c in ("bk", "y")})
+    merged = dfp.reset_index().merge(dfb, left_on="k", right_on="bk")
+    ok = merged[merged.x < merged.y]["index"].unique()
+    expect_semi = dfp.loc[sorted(ok)]
+    for jt, expect in (
+        ("left_semi", expect_semi),
+        ("anti", dfp.drop(index=ok)),
+    ):
+        plan = (
+            PlanBuilder().table_scan(probe)
+            .hash_join(
+                PlanBuilder().table_scan(build), ["k"], ["bk"],
+                output=["k", "x"], join_type=jt, filter="x < y",
+            )
+            .build()
+        )
+        got = (
+            run_plan(plan, tile_rows=256).to_pandas()
+            .sort_values(["k", "x"]).reset_index(drop=True)
+        )
+        exp = expect.sort_values(["k", "x"]).reset_index(drop=True)
+        assert got["k"].tolist() == exp["k"].tolist(), jt
+        assert got["x"].tolist() == exp["x"].tolist(), jt
+
+
 def test_duplicate_build_keys_semi_dedupes_inner_expands():
     left = make_table(k=([1, 2], vt.BIGINT))
     right = make_table(k2=([2, 2], vt.BIGINT))

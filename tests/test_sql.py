@@ -298,6 +298,34 @@ class TestSubqueries:
         keys = set(dd[dd.label == 2].k)
         assert len(out) == int((~df.k.isin(keys)).sum())
 
+    def test_not_in_null_semantics(self):
+        """NOT IN lowers to a NULL-AWARE anti join: a NULL from the subquery
+        empties the result; NULL probe values never pass (3-valued logic)."""
+        probe = Table(
+            RowType(["k"], [vt.BIGINT]),
+            {"k": np.array([1, 2, 3], np.int64)},
+            validities={"k": np.array([True, True, False])},
+        )
+        clean = Table(
+            RowType(["j"], [vt.BIGINT]), {"j": np.array([2, 5], np.int64)}
+        )
+        out = run_sql(
+            "select k from probe where k not in (select j from d)",
+            {"probe": probe, "d": clean},
+        ).to_pandas()
+        # k=2 matches, k=NULL is unknown -> only k=1 survives
+        assert out["k"].tolist() == [1]
+        dirty = Table(
+            RowType(["j"], [vt.BIGINT]),
+            {"j": np.array([2, 5], np.int64)},
+            validities={"j": np.array([True, False])},
+        )
+        out = run_sql(
+            "select k from probe where k not in (select j from d)",
+            {"probe": probe, "d": dirty},
+        ).to_pandas()
+        assert len(out) == 0  # NULL in the list: nothing is NOT IN it
+
     def test_scalar_subquery(self):
         t = make_t(500)
         out = run_sql(

@@ -170,6 +170,13 @@ def grace_join_table(
     import dataclasses
 
     from ..utils.testvalue import adjust
+
+    if node.null_aware:
+        raise NotImplementedError(
+            "null-aware ANTI joins do not spill through the Grace partition "
+            "path yet (a NULL build key empties every partition globally); "
+            "raise the memory limit"
+        )
     from .grouped import concat_tables
     from .memory import Spiller, table_nbytes
     from .runner import LocalExecutor

@@ -30,8 +30,10 @@ resolves to a span over the build array, and the output is produced by the
 same scatter-free span-expansion machinery as Unnest (ops/segpool) into a
 power-of-two output bucket sized by one per-tile scalar fetch.  LEFT_SEMI and
 ANTI deduplicate the build keys, so any build side works there.  Non-equi join
-filters are expressed as FilterNode above an INNER join (semantically identical;
-the reference fuses them in HashProbe instead).
+filters lower to FilterNode above an INNER join (semantically identical; the
+reference fuses them in HashProbe instead); on LEFT they null-out failing
+matches, and on LEFT_SEMI/ANTI they lower through
+rewrite_filtered_existence_joins (bottom of this file).
 """
 
 from __future__ import annotations
@@ -237,6 +239,12 @@ class HashJoinExec:
     # host-known (min, max) of the VALID build keys: enables the packed
     # single-operand probe sorts (_pack_probe_sort below); None = unknown
     key_range: Optional[Tuple[int, int]] = None
+    # null-aware ANTI state (reference: HashJoinNode nullAware): whether any
+    # live build row carried a NULL key, and how many valid-key build rows
+    # exist (an EMPTY build set means NOT IN () = true for every probe row,
+    # null keys included)
+    build_has_null_key: bool = dataclasses.field(default=False, kw_only=True)
+    n_valid_build_keys: int = dataclasses.field(default=0, kw_only=True)
 
     @staticmethod
     def build(node: HashJoinNode, build_result: Table) -> "HashJoinExec":
@@ -362,6 +370,8 @@ class HashJoinExec:
             build_keys_hi=(
                 None if keys_hi_sorted is None else jnp.asarray(keys_hi_sorted)
             ),
+            build_has_null_key=keep is not None,
+            n_valid_build_keys=n_valid_keys,
         )
 
     @staticmethod
@@ -486,7 +496,7 @@ class HashJoinExec:
                 n_valid = jnp.sum(keep.astype(jnp.int32))
                 return (
                     u_sorted, u_hi, {}, n_valid, jnp.zeros((), jnp.int32),
-                    err, kmin, kmax,
+                    err, kmin, kmax, jnp.sum(mask.astype(jnp.int32)),
                 )
             n_valid = jnp.sum(s_valid.astype(jnp.int32))
             dup = jnp.sum(prev_eq.astype(jnp.int32))
@@ -500,13 +510,17 @@ class HashJoinExec:
                     else jnp.take(validity, s_orig, mode="clip")
                 )
                 cols[name] = (g, gv)
-            return (s_key, s_hi, cols, n_valid, dup, err, kmin, kmax)
+            return (
+                s_key, s_hi, cols, n_valid, dup, err, kmin, kmax,
+                jnp.sum(mask.astype(jnp.int32)),
+            )
 
-        s_key, s_hi, cols, n_valid_d, dup_d, err_d, kmin_d, kmax_d = prepare(
-            batches, err_scalar
-        )
-        n_valid, dup, err, kmin, kmax = fetch_tree(
-            (n_valid_d, dup_d, err_d, kmin_d, kmax_d)
+        (
+            s_key, s_hi, cols, n_valid_d, dup_d, err_d, kmin_d, kmax_d,
+            n_live_d,
+        ) = prepare(batches, err_scalar)
+        n_valid, dup, err, kmin, kmax, n_live = fetch_tree(
+            (n_valid_d, dup_d, err_d, kmin_d, kmax_d, n_live_d)
         )  # round trip
         if int(err):
             from .runner import _raise_on_errors
@@ -550,6 +564,8 @@ class HashJoinExec:
                 (int(kmin), int(kmax)) if n and keys_hi_cut is None else None
             ),
             build_keys_hi=keys_hi_cut,
+            build_has_null_key=int(n_live) > int(n_valid),
+            n_valid_build_keys=n,
         )
 
     # ---- sort-merge lookup --------------------------------------------
@@ -670,7 +686,8 @@ class HashJoinExec:
             # device builds pad to a bucket; sentinel tail slots never match
             hit = hit & jnp.take(self.build_valid, cand, mode="clip")
         # null/out-of-range probe keys never match
-        hit = hit & jnp.take(key_ok, jnp.clip(o_s, 0, cap - 1), mode="clip")
+        ok_s = jnp.take(key_ok, jnp.clip(o_s, 0, cap - 1), mode="clip")
+        hit = hit & ok_s
         # classify: live probe rows first (key-ordered), dead probe rows next,
         # build rows last; one stable flag sort compacts all three classes
         live_s = (p_s == 1) & jnp.take(
@@ -681,6 +698,10 @@ class HashJoinExec:
             live_s = live_s & hit
         elif jt == JoinType.ANTI:
             live_s = live_s & ~hit
+            if self.node.null_aware and self.n_valid_build_keys > 0:
+                # NOT IN over a non-empty set: a NULL probe key compares
+                # unknown against every element -> the row never passes
+                live_s = live_s & ok_s
         # LEFT: probe-preserving — every live probe row stays live
         cb = _index_bits(B)
         if idxb + cb + 2 <= 63:
@@ -986,6 +1007,17 @@ class HashJoinExec:
         ):
             raise NotImplementedError(f"join type {jt} not yet supported")
         assert not self.expansion, "expansion joins go through probe_spans/expand"
+        if node.null_aware and self.build_has_null_key:
+            # NOT IN (..., NULL): x NOT IN S is never TRUE when S holds a
+            # NULL (it is FALSE or UNKNOWN) — the whole result is empty
+            out_cols = [batch.column(n) for n in node.output_schema.names]
+            return Batch(
+                tuple(out_cols),
+                jnp.asarray(0, dtype=jnp.int32),
+                jnp.zeros((cap,), jnp.bool_),
+                node.output_schema,
+                cap,
+            )
 
         probe_vals: List[jax.Array] = []
         key_ok = jnp.ones((cap,), dtype=jnp.bool_)
@@ -1065,3 +1097,114 @@ class HashJoinExec:
             node.output_schema,
             cap,
         )
+
+
+# ---------------------------------------------------------------------------
+# Non-equi filters on existence joins (semi/anti): plan rewrite
+
+
+def _filter_refs(e) -> set:
+    from ..expr.ir import FieldAccess
+
+    out = set()
+
+    def walk(x):
+        if isinstance(x, FieldAccess):
+            out.add(x.name)
+        for c in x.children:
+            walk(c)
+
+    walk(e)
+    return out
+
+
+def rewrite_filtered_existence_joins(node):
+    """Lower LEFT_SEMI / ANTI joins that carry a non-equi filter.
+
+    The reference evaluates the filter per candidate match inside HashProbe
+    (velox/exec/HashProbe.cpp filter evaluation); this engine's existence
+    joins deduplicate the build side and keep a single candidate per probe
+    row, so a filter needs ALL matches.  Rewrite (plan-level, before
+    linearization):
+
+        uid     = AssignUniqueId(probe)
+        matched = distinct uids of (uid INNER JOIN build ON keys, filter f)
+        result  = uid SEMI/ANTI JOIN matched ON uid
+
+    The probe subtree executes twice (once inside ``matched``); uids derive
+    from global row offsets, so both executions agree.  RIGHT_SEMI flips to
+    LEFT_SEMI first (the same lowering _linearize applies).
+    """
+    import dataclasses as _dc
+
+    from ..plan.nodes import (
+        AggregationNode,
+        AggregationStep,
+        AssignUniqueIdNode,
+        PlanNode,
+    )
+
+    kids = {}
+    for attr in ("source", "left", "right"):
+        child = getattr(node, attr, None)
+        if isinstance(child, PlanNode):
+            kids[attr] = rewrite_filtered_existence_joins(child)
+    inputs = getattr(node, "inputs", None)
+    if inputs and all(isinstance(i, PlanNode) for i in inputs):
+        kids["inputs"] = tuple(
+            rewrite_filtered_existence_joins(i) for i in inputs
+        )
+    if kids:
+        node = _dc.replace(node, **kids)
+    if not isinstance(node, HashJoinNode) or node.filter is None:
+        return node
+    jt = node.join_type
+    if jt == JoinType.RIGHT_SEMI:
+        node = _dc.replace(
+            node,
+            left=node.right,
+            right=node.left,
+            left_keys=node.right_keys,
+            right_keys=node.left_keys,
+            join_type=JoinType.LEFT_SEMI,
+        )
+        jt = JoinType.LEFT_SEMI
+    if jt not in (JoinType.LEFT_SEMI, JoinType.ANTI):
+        return node
+    if node.null_aware:
+        raise NotImplementedError(
+            "filters on null-aware ANTI joins are not supported yet"
+        )
+    uid_name = f"__ejf_{node.id}"
+    probe, build = node.left, node.right
+    uid = AssignUniqueIdNode(probe, uid_name)
+    # the INNER join's output must carry every column the filter reads
+    # (_linearize evaluates the filter above the join)
+    refs = _filter_refs(node.filter)
+    inner_out = [uid_name] + [
+        c
+        for c in refs
+        if c != uid_name
+        and (c in probe.output_schema or c in build.output_schema)
+    ]
+    inner = HashJoinNode(
+        uid,
+        build,
+        JoinType.INNER,
+        node.left_keys,
+        node.right_keys,
+        tuple(inner_out),
+        node.filter,
+    )
+    matched = AggregationNode(
+        inner, AggregationStep.SINGLE, (uid_name,), (), ()
+    )
+    return HashJoinNode(
+        uid,
+        matched,
+        jt,
+        (uid_name,),
+        (uid_name,),
+        tuple(node.output_columns),
+        id=node.id,
+    )

@@ -1051,6 +1051,9 @@ class LocalExecutor:
         from .sketch import rewrite_sketch_aggregates
 
         root = rewrite_sketch_aggregates(root)
+        from .joins import rewrite_filtered_existence_joins
+
+        root = rewrite_filtered_existence_joins(root)
         from .hugeint import rewrite_long_decimals
 
         root, self._hugeint_logical = rewrite_long_decimals(root)

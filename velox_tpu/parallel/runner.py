@@ -93,6 +93,9 @@ class DistributedExecutor:
         self.n = mesh.devices.size
         self.config = config or DEFAULT_CONFIG
         root = rewrite_sketch_aggregates(root)
+        from ..exec.joins import rewrite_filtered_existence_joins
+
+        root = rewrite_filtered_existence_joins(root)
         from ..exec.hugeint import rewrite_long_decimals
 
         root, self._hugeint_logical = rewrite_long_decimals(root)

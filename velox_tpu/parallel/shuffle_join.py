@@ -103,6 +103,10 @@ def partition_build(
     jt = node.join_type
     if jt not in (JoinType.INNER, JoinType.LEFT, JoinType.LEFT_SEMI, JoinType.ANTI):
         raise JoinBuildError(f"shuffle join does not support {jt}")
+    if node.null_aware:
+        # a NULL build key must empty EVERY partition's output — a global
+        # property the per-partition probes cannot see; broadcast instead
+        raise JoinBuildError("null-aware ANTI joins broadcast the build side")
 
     # NULL build keys never match (see HashJoinExec.build)
     keep = None

@@ -571,6 +571,7 @@ class PlanBuilder:
         output: Sequence[str],
         join_type: Union[str, JoinType] = JoinType.INNER,
         filter: Optional[str] = None,
+        null_aware: bool = False,
     ) -> "PlanBuilder":
         right_node = right.node if isinstance(right, PlanBuilder) else right
         node = HashJoinNode(
@@ -580,6 +581,7 @@ class PlanBuilder:
             tuple(left_keys),
             tuple(right_keys),
             tuple(output),
+            null_aware=null_aware,
         )
         if filter:
             combined = RowType(

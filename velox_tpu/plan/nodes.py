@@ -343,9 +343,19 @@ class HashJoinNode(PlanNode):
     right_keys: Tuple[str, ...]
     output_columns: Tuple[str, ...]  # names drawn from left ++ right schemas
     filter: Optional[Expr] = None
+    # NOT IN three-valued-NULL semantics (reference: HashJoinNode nullAware,
+    # PlanNode.h:1476): a NULL build key empties the result; NULL probe keys
+    # never pass once the build set is non-empty
+    null_aware: bool = False
     id: str = dataclasses.field(default_factory=lambda: _next_id("hashjoin"))
 
     def __post_init__(self):
+        if self.null_aware and self.join_type != JoinType.ANTI:
+            raise ValueError(
+                "null_aware is only supported on ANTI joins (NOT IN); the "
+                "reference also allows left-semi-project, which this engine "
+                "expresses as IN-list predicates instead"
+            )
         self.sources = (self.left, self.right)
         ls, rs = self.left.output_schema, self.right.output_schema
         types = []

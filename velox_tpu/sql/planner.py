@@ -916,16 +916,18 @@ def _apply_subquery_ops(plan: PlanBuilder, ops, catalog, scope) -> PlanBuilder:
             _, positive, lhs, sub_toks = op
             sub, _ = _plan_subquery(sub_toks, catalog, scope, False)
             lhs_name = scope.resolve(lhs.text) or lhs.text
-            # standard (non-null-aware) semi/anti join: a NULL on either side
-            # never matches; NOT IN over a subquery that yields NULLs deviates
-            # from SQL's three-valued semantics (reference: nullAware flag on
-            # core::HashJoinNode)
+            # IN -> left-semi (a NULL on either side never matches, which
+            # already realizes IN's three-valued outcome of "not kept");
+            # NOT IN -> NULL-AWARE anti join (reference: nullAware flag on
+            # core::HashJoinNode): a NULL in the subquery empties the result,
+            # NULL probe values never pass a non-empty list
             plan.hash_join(
                 sub,
                 [lhs_name],
                 [sub.schema.names[0]],
                 output=list(plan.schema.names),
                 join_type="left_semi" if positive else "anti",
+                null_aware=not positive,
             )
         else:  # scalar
             _, conj, ph, sub_toks = op
