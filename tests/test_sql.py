@@ -335,6 +335,77 @@ class TestSubqueries:
         df = df_of(t)
         assert int(out["c"].iloc[0]) == int((df.w > df.w.mean()).sum())
 
+    def test_correlated_scalar_q17_shape(self):
+        """Correlated scalar aggregate decorrelates: group by the correlation
+        key, LEFT-join back, filter (reference plan shape: TPC-H Q17)."""
+        rng = np.random.default_rng(11)
+        n = 800
+        li = Table(
+            RowType(
+                ["l_partkey", "l_quantity", "l_price"],
+                [vt.BIGINT, vt.BIGINT, vt.BIGINT],
+            ),
+            {
+                "l_partkey": rng.integers(0, 50, n),
+                "l_quantity": rng.integers(1, 50, n),
+                "l_price": rng.integers(1, 1000, n),
+            },
+        )
+        part = Table(
+            RowType(["p_partkey", "p_size"], [vt.BIGINT, vt.BIGINT]),
+            {"p_partkey": np.arange(50), "p_size": rng.integers(1, 10, 50)},
+        )
+        out = run_sql(
+            "select sum(l_price) as s from lineitem, part "
+            "where p_partkey = l_partkey and p_size < 5 and l_quantity < "
+            "(select 0.2 * avg(l_quantity) from lineitem "
+            " where l_partkey = p_partkey)",
+            {"lineitem": li, "part": part},
+        ).to_pandas()
+        dfl = pd.DataFrame(
+            {c: np.asarray(li.columns[c]) for c in li.schema.names}
+        )
+        dfp = pd.DataFrame(
+            {c: np.asarray(part.columns[c]) for c in part.schema.names}
+        )
+        m = dfl.merge(dfp, left_on="l_partkey", right_on="p_partkey")
+        avg = dfl.groupby("l_partkey").l_quantity.mean()
+        m = m[(m.p_size < 5) & (m.l_quantity < 0.2 * m.l_partkey.map(avg))]
+        assert int(out.s.fillna(0).iloc[0]) == int(m.l_price.sum())
+
+    def test_exists_nonequality_q21_shape(self):
+        """EXISTS with colliding inner/outer names and a non-equality
+        correlated predicate (TPC-H Q21 shape) -> semi/anti join filter."""
+        rng = np.random.default_rng(12)
+        n = 500
+        t = Table(
+            RowType(["l_orderkey", "l_suppkey"], [vt.BIGINT, vt.BIGINT]),
+            {
+                "l_orderkey": rng.integers(0, 200, n),
+                "l_suppkey": rng.integers(0, 4, n),
+            },
+        )
+        df = pd.DataFrame(
+            {c: np.asarray(t.columns[c]) for c in t.schema.names}
+        )
+        cnt = 0
+        for _, r in df.iterrows():
+            cnt += bool(
+                (
+                    (df.l_orderkey == r.l_orderkey)
+                    & (df.l_suppkey != r.l_suppkey)
+                ).any()
+            )
+        for neg, want in (("", cnt), ("not ", len(df) - cnt)):
+            out = run_sql(
+                f"select count(*) as c from l1 where {neg}exists ("
+                "select l_orderkey from l2 "
+                "where l2.l_orderkey = l1.l_orderkey "
+                "and l2.l_suppkey <> l1.l_suppkey)",
+                {"l1": t, "l2": t},
+            ).to_pandas()
+            assert int(out.c.iloc[0]) == want, neg
+
     def test_exists_correlated_q4(self):
         """TPC-H Q4's EXISTS shape vs the hand-built plan."""
         from velox_tpu.connectors.tpch import load_table
@@ -416,14 +487,17 @@ class TestWindow:
         expect = df.groupby("k").v.max()
         assert out["v"].tolist() == expect.tolist()
 
-    def test_window_plus_groupby_raises(self):
+    def test_window_plus_groupby(self):
         t = make_t(100)
-        with pytest.raises(NotImplementedError, match="window functions"):
-            run_sql(
-                "select k, sum(v) as s, row_number() over (order by k) as rn"
-                " from t group by k",
-                {"t": t},
-            )
+        out = run_sql(
+            "select k, sum(v) as s, row_number() over (order by k) as rn"
+            " from t group by k order by k",
+            {"t": t},
+        ).to_pandas()
+        df = df_of(t)
+        gs = df.groupby("k").v.sum().sort_index()
+        assert out["s"].tolist() == gs.tolist()
+        assert out["rn"].tolist() == list(range(1, len(gs) + 1))
 
 
 class TestUnion:
@@ -454,6 +528,143 @@ class TestUnion:
         df = df_of(t)
         expect = sorted(list(df.k) + list(df.v + 1000))[:5]
         assert out["a"].tolist() == expect
+
+    def test_union_trailing_order_by_limit(self):
+        """Trailing ORDER BY / LIMIT applies to the whole UNION (SQL rule)."""
+        t = make_t(200)
+        df = df_of(t)
+        out = run_sql(
+            "select k as a from t union all select v + 1000 as a from t "
+            "order by a limit 5",
+            {"t": t},
+        ).to_pandas()
+        expect = sorted(list(df.k) + list(df.v + 1000))[:5]
+        assert out["a"].tolist() == expect
+        out = run_sql(
+            "select k as a from t union all select v + 1000 as a from t "
+            "order by 1 desc",
+            {"t": t},
+        ).to_pandas()
+        expect = sorted(list(df.k) + list(df.v + 1000), reverse=True)
+        assert out["a"].tolist() == expect
+        out = run_sql(
+            "select k as a from t union select k as a from t order by a "
+            "limit 3 offset 2",
+            {"t": t},
+        ).to_pandas()
+        assert out["a"].tolist() == sorted(set(df.k))[2:5]
+
+
+class TestGroupingSets:
+    """GROUPING SETS / ROLLUP / CUBE lower through GroupIdNode
+    (reference: core::GroupIdNode + exec/GroupId.cpp)."""
+
+    def _table(self, n=600, seed=3):
+        rng = np.random.default_rng(seed)
+        return Table(
+            RowType(["a", "b", "x"], [vt.BIGINT, vt.BIGINT, vt.BIGINT]),
+            {
+                "a": rng.integers(0, 4, n),
+                "b": rng.integers(0, 3, n),
+                "x": rng.integers(0, 100, n),
+            },
+        )
+
+    @staticmethod
+    def _df(t):
+        return pd.DataFrame({c: np.asarray(t.columns[c]) for c in t.schema.names})
+
+    def test_rollup(self):
+        t = self._table()
+        df = self._df(t)
+        out = run_sql(
+            "select a, b, sum(x) as s from t group by rollup(a, b)", {"t": t}
+        ).to_pandas()
+        ab = df.groupby(["a", "b"]).x.sum()
+        a = df.groupby("a").x.sum()
+        assert len(out) == len(ab) + len(a) + 1
+        lvl_a = out[out.a.notna() & out.b.isna()].set_index("a")["s"]
+        for k, v in a.items():
+            assert int(lvl_a[k]) == int(v)
+        tot = out[out.a.isna() & out.b.isna()]
+        assert len(tot) == 1 and int(tot.s.iloc[0]) == int(df.x.sum())
+
+    def test_cube(self):
+        t = self._table(seed=4)
+        df = self._df(t)
+        out = run_sql(
+            "select a, b, count(*) as c from t group by cube(a, b)", {"t": t}
+        ).to_pandas()
+        ab = df.groupby(["a", "b"]).size()
+        assert len(out) == len(ab) + df.a.nunique() + df.b.nunique() + 1
+        lvl_b = out[out.a.isna() & out.b.notna()].set_index("b")["c"]
+        for k, v in df.groupby("b").size().items():
+            assert int(lvl_b[k]) == int(v)
+
+    def test_grouping_sets_explicit(self):
+        t = self._table(seed=5)
+        df = self._df(t)
+        out = run_sql(
+            "select a, b, sum(x) as s from t "
+            "group by grouping sets ((a, b), (b), ())",
+            {"t": t},
+        ).to_pandas()
+        assert len(out) == len(df.groupby(["a", "b"])) + df.b.nunique() + 1
+        lvl_b = out[out.a.isna() & out.b.notna()].set_index("b")["s"]
+        for k, v in df.groupby("b").x.sum().items():
+            assert int(lvl_b[k]) == int(v)
+
+    def test_plain_keys_with_rollup(self):
+        """GROUP BY a, ROLLUP(b): 'a' is a fixed prefix of every set."""
+        t = self._table(seed=6)
+        df = self._df(t)
+        out = run_sql(
+            "select a, b, sum(x) as s from t group by a, rollup(b)", {"t": t}
+        ).to_pandas()
+        assert len(out) == len(df.groupby(["a", "b"])) + df.a.nunique()
+        lvl_a = out[out.b.isna()].set_index("a")["s"]
+        for k, v in df.groupby("a").x.sum().items():
+            assert int(lvl_a[k]) == int(v)
+
+
+class TestWindowWithGroupBy:
+    """Window functions evaluate over the aggregated rows (SQL order of
+    evaluation: GROUP BY -> HAVING -> window -> SELECT)."""
+
+    def test_rank_over_aggregate(self):
+        rng = np.random.default_rng(8)
+        t = Table(
+            RowType(["g", "x"], [vt.BIGINT, vt.BIGINT]),
+            {"g": rng.integers(0, 6, 400), "x": rng.integers(0, 100, 400)},
+        )
+        df = pd.DataFrame({c: np.asarray(t.columns[c]) for c in ("g", "x")})
+        out = run_sql(
+            "select g, sum(x) as s, rank() over (order by sum(x) desc) as r "
+            "from t group by g order by g",
+            {"t": t},
+        ).to_pandas()
+        gs = df.groupby("g").x.sum().sort_index()
+        assert out["s"].tolist() == gs.tolist()
+        assert (
+            out["r"].tolist()
+            == gs.rank(method="min", ascending=False).astype(int).tolist()
+        )
+
+    def test_running_total_of_group_sums(self):
+        rng = np.random.default_rng(9)
+        t = Table(
+            RowType(["g", "x"], [vt.BIGINT, vt.BIGINT]),
+            {"g": rng.integers(0, 8, 500), "x": rng.integers(0, 50, 500)},
+        )
+        df = pd.DataFrame({c: np.asarray(t.columns[c]) for c in ("g", "x")})
+        out = run_sql(
+            "select g, sum(sum(x)) over (order by g) as running "
+            "from t group by g order by g",
+            {"t": t},
+        ).to_pandas()
+        expect = df.groupby("g").x.sum().sort_index().cumsum()
+        assert out["running"].tolist() == expect.tolist()
+
 
 class TestErrors:
     def test_unknown_table(self):

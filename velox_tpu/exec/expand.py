@@ -95,6 +95,10 @@ def apply_groupid(batch: Batch, node: GroupIdNode) -> Batch:
                     for s in node.grouping_sets
                 ]
             )
+            # zero the VALUES too: downstream grouping compares raw values,
+            # so out-of-set keys must collapse to one constant per set (the
+            # planner restores their NULL-ness from group_id afterwards)
+            tiled = jnp.where(in_set, tiled, jnp.zeros_like(tiled))
             base_validity = (
                 in_set if base_validity is None else (base_validity & in_set)
             )

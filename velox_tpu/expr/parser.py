@@ -517,21 +517,27 @@ class ExprParser:
             else_e = self._parse_or()
         self._expect("end")
         values = args[1::2] + ([else_e] if else_e is not None else [])
-        target = values[0].dtype
-        for v in values[1:]:
+        # NULL branches adopt the other branches' type (typed-null constants)
+        typed = [v for v in values if v.dtype.kind != TypeKind.UNKNOWN]
+        if not typed:
+            raise ValueError("CASE needs at least one non-NULL branch")
+        target = typed[0].dtype
+        for v in typed[1:]:
             if not v.dtype.equivalent(target):
                 from ..dtypes import common_numeric_type
 
                 target = common_numeric_type(target, v.dtype)
+
+        def coerce(e: Expr) -> Expr:
+            if e.dtype.kind == TypeKind.UNKNOWN:
+                return Constant(target, None)
+            return e if e.dtype.equivalent(target) else cast(e, target)
+
         new_args = []
         for i, a in enumerate(args):
-            if i % 2 == 1 and not a.dtype.equivalent(target):
-                a = cast(a, target)
-            new_args.append(a)
+            new_args.append(coerce(a) if i % 2 == 1 else a)
         if else_e is not None:
-            if not else_e.dtype.equivalent(target):
-                else_e = cast(else_e, target)
-            new_args.append(else_e)
+            new_args.append(coerce(else_e))
         return Special(target, SpecialForm.SWITCH, tuple(new_args))
 
     def _align_branches(self, a: Expr, b: Expr):

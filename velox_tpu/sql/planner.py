@@ -291,6 +291,8 @@ class _WinExtractor:
                 while j < len(spec) and spec[j].low not in ("order", "rows", "range"):
                     if spec[j].text != ",":
                         nm = self.scope.resolve(spec[j].text)
+                        if nm is None and spec[j].text.startswith("__agg"):
+                            nm = spec[j].text  # extracted aggregate column
                         if nm is None:
                             raise NotImplementedError(
                                 "PARTITION BY supports plain columns only"
@@ -309,6 +311,8 @@ class _WinExtractor:
                         cur.append(tok.low)
                     else:
                         nm = self.scope.resolve(tok.text)
+                        if nm is None and tok.text.startswith("__agg"):
+                            nm = tok.text  # extracted aggregate column
                         if nm is None:
                             raise NotImplementedError(
                                 "window ORDER BY supports plain columns only"
@@ -360,10 +364,15 @@ class _AggExtractor:
             ):
                 close = _match_paren(tokens, i + 1)
                 if close + 1 < len(tokens) and tokens[close + 1].low == "over":
-                    raise NotImplementedError(
-                        "window functions (OVER) are not supported in the SQL "
-                        "frontend yet; use PlanBuilder.window"
-                    )
+                    # a windowed aggregate (sum(x) OVER ...) is not a group
+                    # aggregate — leave the outer call for _WinExtractor, but
+                    # still extract group aggregates from its arguments
+                    # (sum(sum(x)) OVER ... over grouped rows)
+                    out.extend(tokens[i : i + 2])
+                    out.extend(self.extract(tokens[i + 2 : close]))
+                    out.append(tokens[close])
+                    i = close + 1
+                    continue
                 text = _detok(tokens[i : close + 1])
                 if text in self.calls:
                     name = self.outs[self.calls.index(text)]
@@ -517,6 +526,50 @@ class _Parser:
             names = list(pb.schema.names)
             pb.aggregation(names, ["count(*) as __u"])
             pb.project(names)
+        # trailing ORDER BY / LIMIT applies to the whole set-op (SQL rule:
+        # only the last branch may carry them, and they order the union)
+        order_items: List[List[_Tok]] = []
+        if self.accept("order"):
+            self.expect("by")
+            order_items = _split_top_level(
+                self._slice_until({"limit", "offset", ";"}), ","
+            )
+        limit = offset = None
+        if self.accept("limit"):
+            limit = int(self.next().text)
+        if self.accept("offset"):
+            offset = int(self.next().text)
+        self.accept(";")
+        if order_items:
+            scope = _Scope()
+            scope.add(None, pb.schema.names)
+            specs = []
+            for item in order_items:
+                toks, asc, nf = _parse_order_item(item, scope)
+                if len(toks) == 1 and toks[0].kind == "number":
+                    key = pb.schema.names[int(toks[0].text) - 1]
+                elif len(toks) == 1 and toks[0].kind == "name":
+                    key = scope.resolve(toks[0].text) or toks[0].text
+                else:
+                    raise NotImplementedError(
+                        "ORDER BY on a UNION supports output columns / "
+                        "ordinals only"
+                    )
+                specs.append(
+                    key
+                    + ("" if asc else " desc")
+                    + (" nulls first" if nf else "")
+                )
+            if limit is not None and not offset:
+                pb.topn(specs, limit)
+            else:
+                pb.orderby(specs)
+                if limit is not None or offset:
+                    pb.limit(
+                        limit if limit is not None else (1 << 62), offset or 0
+                    )
+        elif limit is not None or offset:
+            pb.limit(limit if limit is not None else (1 << 62), offset or 0)
         return pb
 
     def _parse_one_select(
@@ -590,26 +643,28 @@ class _Parser:
                 {"order", "limit", "offset", "union", ";"}
             )
         order_items: List[List[_Tok]] = []
-        if self.accept("order"):
-            self.expect("by")
-            order_items = _split_top_level(
-                self._slice_until({"limit", "offset", "union", ";"}), ","
-            )
         limit = offset = None
-        if self.accept("limit"):
-            limit = int(self.next().text)
-        if self.accept("offset"):
-            offset = int(self.next().text)
-        if (order_items or limit is not None or offset) and (
-            in_setop
-            or (self.peek() is not None and self.peek().low == "union")
-        ):
-            raise NotImplementedError(
-                "ORDER BY / LIMIT on a UNION branch: apply them to the whole "
-                "set-op via a subquery — select * from (... union ...) u "
-                "order by ..."
-            )
-        self.accept(";")
+        if not in_setop:
+            # inside a set-op, trailing ORDER BY / LIMIT belongs to the whole
+            # UNION (parse_select consumes it); a non-final branch cannot
+            # carry one (clause slicing stops at UNION, so it never does)
+            if self.accept("order"):
+                self.expect("by")
+                order_items = _split_top_level(
+                    self._slice_until({"limit", "offset", "union", ";"}), ","
+                )
+            if self.accept("limit"):
+                limit = int(self.next().text)
+            if self.accept("offset"):
+                offset = int(self.next().text)
+            if (order_items or limit is not None or offset) and (
+                self.peek() is not None and self.peek().low == "union"
+            ):
+                raise NotImplementedError(
+                    "ORDER BY / LIMIT before UNION is not valid SQL; apply "
+                    "them after the last branch to order the whole set-op"
+                )
+            self.accept(";")
 
         return _assemble(
             sources, joins, where_toks, select_items, distinct,
@@ -878,20 +933,31 @@ def _extract_subquery_ops(conjuncts: List[List[_Tok]]):
 
 
 def _plan_subquery(sub_toks, catalog, scope, want_correlations: bool):
-    """Plan a nested SELECT; returns (PlanBuilder, correlations) where
-    correlations are (outer_col, inner_col) equality pairs pulled out of the
-    subquery's WHERE against the outer scope."""
-    correlated: List[Tuple[str, str]] = []  # (outer col, inner col)
+    """Plan a nested SELECT; returns (PlanBuilder, entries) where entries are
+    tagged correlations pulled from the subquery's WHERE against the outer
+    scope: ("eq", outer_col, inner_col) equality pairs (they become join
+    keys) and ("pred", tokens, inner_refs) non-equality predicates (they
+    become the enclosing join's non-equi filter)."""
+    correlated: List[tuple] = []
     p = _Parser(list(sub_toks), catalog)
     pb = p.parse_select(outer_scope=scope, correlated_out=correlated)
     if p.peek() is not None:
         raise ValueError(f"trailing tokens in subquery: {p.peek().text!r}")
-    pairs = list(correlated)
-    if pairs and not want_correlations:
+    entries = list(correlated)
+    if entries and not want_correlations:
         raise NotImplementedError(
-            "correlated subqueries are only supported under EXISTS"
+            "correlated subqueries are only supported under EXISTS and "
+            "scalar comparisons"
         )
-    return pb, pairs
+    return pb, entries
+
+
+def _has_aggregation(node) -> bool:
+    from ..plan.nodes import AggregationNode
+
+    if isinstance(node, AggregationNode):
+        return True
+    return any(_has_aggregation(s) for s in node.sources)
 
 
 def _apply_subquery_ops(plan: PlanBuilder, ops, catalog, scope) -> PlanBuilder:
@@ -899,18 +965,50 @@ def _apply_subquery_ops(plan: PlanBuilder, ops, catalog, scope) -> PlanBuilder:
         kind = op[0]
         if kind == "exists":
             _, positive, sub_toks = op
-            sub, pairs = _plan_subquery(sub_toks, catalog, scope, True)
-            if not pairs:
+            sub, entries = _plan_subquery(sub_toks, catalog, scope, True)
+            eqs = [(e[1], e[2]) for e in entries if e[0] == "eq"]
+            preds = [e for e in entries if e[0] == "pred"]
+            if not eqs:
                 raise NotImplementedError(
                     "uncorrelated EXISTS is not supported; use a scalar "
                     "count(*) comparison"
                 )
+            filter_text = None
+            renames: Dict[str, str] = {}
+            if preds:
+                # the join filter evaluates over probe ++ build columns:
+                # rename any subquery output colliding with the outer plan
+                used = set(plan.schema.names) | set(sub.schema.names)
+                for n in sub.schema.names:
+                    if n in plan.schema.names:
+                        renames[n] = _unique_name(f"__sq_{n}", used)
+                        used.add(renames[n])
+                if renames:
+                    sub.project(
+                        [
+                            f"{n} as {renames[n]}" if n in renames else n
+                            for n in sub.schema.names
+                        ]
+                    )
+                parts_all: List[str] = []
+                for _, toks, _refs in preds:
+                    parts = []
+                    for t in toks:
+                        if t.kind == "name" and t.text.startswith("__outer__"):
+                            parts.append(t.text[len("__outer__"):])
+                        elif t.kind == "name" and t.text in renames:
+                            parts.append(renames[t.text])
+                        else:
+                            parts.append(t.text)
+                    parts_all.append("( " + " ".join(parts) + " )")
+                filter_text = " and ".join(parts_all)
             plan.hash_join(
                 sub,
-                [scope.resolve(o) or o for o, _ in pairs],
-                [i for _, i in pairs],
+                [scope.resolve(o) or o for o, _ in eqs],
+                [renames.get(i, i) for _, i in eqs],
                 output=list(plan.schema.names),
                 join_type="left_semi" if positive else "anti",
+                filter=filter_text,
             )
         elif kind == "in":
             _, positive, lhs, sub_toks = op
@@ -931,14 +1029,45 @@ def _apply_subquery_ops(plan: PlanBuilder, ops, catalog, scope) -> PlanBuilder:
             )
         else:  # scalar
             _, conj, ph, sub_toks = op
-            sub, _ = _plan_subquery(sub_toks, catalog, scope, False)
-            if len(sub.schema.names) != 1:
-                raise ValueError("scalar subquery must produce one column")
-            sub.enforce_single_row()
-            sub.project([f"{sub.schema.names[0]} as {ph}"])
-            plan.cross_join(
-                sub, output=list(plan.schema.names) + [ph]
-            )
+            sub, entries = _plan_subquery(sub_toks, catalog, scope, True)
+            eqs = [(e[1], e[2]) for e in entries if e[0] == "eq"]
+            if any(e[0] == "pred" for e in entries):
+                raise NotImplementedError(
+                    "correlated scalar subqueries support equality "
+                    "correlations only"
+                )
+            if not eqs:
+                if len(sub.schema.names) != 1:
+                    raise ValueError("scalar subquery must produce one column")
+                sub.enforce_single_row()
+                sub.project([f"{sub.schema.names[0]} as {ph}"])
+                plan.cross_join(
+                    sub, output=list(plan.schema.names) + [ph]
+                )
+            else:
+                # correlated scalar (Q17/Q20 shape): the subquery aggregated
+                # grouped by its correlation columns (decorrelation in
+                # _assemble), so each key yields exactly one row; LEFT join
+                # on the keys makes a missing group a NULL scalar
+                inner_keys = [i for _, i in eqs]
+                value_cols = [
+                    n for n in sub.schema.names if n not in set(inner_keys)
+                ]
+                if len(value_cols) != 1:
+                    raise ValueError("scalar subquery must produce one column")
+                if not _has_aggregation(sub.node):
+                    raise NotImplementedError(
+                        "correlated scalar subqueries must be aggregates "
+                        "(one value per correlation key)"
+                    )
+                sub.project([f"{value_cols[0]} as {ph}"] + inner_keys)
+                plan.hash_join(
+                    sub,
+                    [scope.resolve(o) or o for o, _ in eqs],
+                    inner_keys,
+                    output=list(plan.schema.names) + [ph],
+                    join_type="left",
+                )
             plan.filter(_detok(scope.rewrite(conj)))
             plan.project([n for n in plan.schema.names if n != ph])
     return plan
@@ -995,21 +1124,43 @@ def _assemble(
                 continue
             if correlated_out is None:
                 raise ValueError(f"cannot resolve column(s) in {_detok(c)!r}")
-            if _is_equality(c) is None or len(outer_pos) != 1:
-                raise NotImplementedError(
-                    f"correlated subquery predicate {_detok(c)!r} is not a "
-                    "simple inner = outer equality"
-                )
-            outer_tok = c[outer_pos[0]]
-            inner_tok = c[2] if outer_pos[0] == 0 else c[0]
-            if inner_tok.text not in local_cols:
-                raise NotImplementedError(
-                    f"cannot split correlated equality {_detok(c)!r}"
-                )
-            correlated_out.append(
-                (outer_scope.resolve(outer_tok.text), inner_tok.text)
-            )
-            correlations.append(inner_tok.text)
+            if _is_equality(c) is not None and len(outer_pos) == 1:
+                outer_tok = c[outer_pos[0]]
+                inner_tok = c[2] if outer_pos[0] == 0 else c[0]
+                if inner_tok.text in local_cols:
+                    correlated_out.append(
+                        (
+                            "eq",
+                            outer_scope.resolve(outer_tok.text),
+                            inner_tok.text,
+                        )
+                    )
+                    correlations.append(inner_tok.text)
+                    continue
+            # non-equality correlated predicate (the Q21 shape): it becomes
+            # the enclosing semi/anti join's non-equi FILTER.  Rewrite outer
+            # refs to their resolved names; inner refs resolve locally and
+            # must survive the subquery projection.
+            pred_toks: List[_Tok] = []
+            inner_refs: List[str] = []
+            outer_set = set(outer_pos)
+            for i, t in enumerate(c):
+                if i in outer_set:
+                    # the __outer__ marker disambiguates colliding inner /
+                    # outer spellings (the Q21 shape: l2.col <> l1.col)
+                    pred_toks.append(
+                        _Tok("name", "__outer__" + outer_scope.resolve(t.text))
+                    )
+                elif t.kind == "name" and t.text not in _CLAUSE_KW:
+                    nm = scope.resolve(t.text) or t.text
+                    if nm in local_cols and nm not in inner_refs:
+                        inner_refs.append(nm)
+                    pred_toks.append(_Tok("name", nm))
+                else:
+                    pred_toks.append(t)
+            correlated_out.append(("pred", pred_toks, inner_refs))
+            for nm in inner_refs:
+                correlations.append(nm)
         plain = kept
     plan, leftovers = _join_sources(sources, joins2, plain, scope)
     for c in leftovers:
@@ -1048,7 +1199,19 @@ def _assemble(
     # GROUP BY position / expression handling
     gk_exprs: List[Tuple[str, List[_Tok]]] = []  # (key name, expr tokens)
     keys: List[str] = []
+    set_lists: Optional[List[List[str]]] = None  # GROUPING SETS/ROLLUP/CUBE
     for gi, g in enumerate(group_items):
+        if g and g[0].kind == "name" and (
+            g[0].low in ("rollup", "cube")
+            or (g[0].low == "grouping" and len(g) > 1 and g[1].low == "sets")
+        ):
+            if set_lists is not None:
+                raise NotImplementedError(
+                    "multiple GROUPING SETS / ROLLUP / CUBE constructs in one "
+                    "GROUP BY are not supported"
+                )
+            set_lists = _parse_grouping_construct(g, plan.schema)
+            continue
         if len(g) == 1 and g[0].kind == "number":
             g = items[int(g[0].text) - 1][0]
         if len(g) == 1 and g[0].kind == "name" and g[0].text in plan.schema:
@@ -1058,30 +1221,31 @@ def _assemble(
         gk_exprs.append((name, g))
         keys.append(name)
 
-    # window functions: fn(args) OVER (...) -> WindowNode columns
-    wex = _WinExtractor(scope)
-    items = [(wex.extract(toks), alias) for toks, alias in items]
-    order_parsed = [
-        (wex.extract(toks), asc, nf) for toks, asc, nf in order_parsed
-    ]
-
+    # aggregates extract FIRST (windowed aggregate calls are skipped), then
+    # windows: SQL evaluates window functions over the grouped/aggregated
+    # rows, so their args/specs may reference grouping keys and extracted
+    # __aggN columns
     ex = _AggExtractor()
     items = [(ex.extract(toks), alias) for toks, alias in items]
     having_x = ex.extract(having_toks) if having_toks else []
-    order_x = [
+    order_parsed = [
         (ex.extract(toks), asc, nf) for toks, asc, nf in order_parsed
     ]
 
-    if wex.found:
-        if group_items or ex.found:
-            raise NotImplementedError(
-                "window functions combined with GROUP BY / aggregates in one "
-                "SELECT are not supported; use a subquery in FROM"
-            )
-        for part, order, calls in wex.windows:
-            plan.window(part, order, [f"{c} as {n}" for c, n in calls])
+    wex = _WinExtractor(scope)
+    items = [(wex.extract(toks), alias) for toks, alias in items]
+    order_x = [
+        (wex.extract(toks), asc, nf) for toks, asc, nf in order_parsed
+    ]
 
     aggregated = bool(group_items) or ex.found
+    if aggregated and correlations:
+        # decorrelation: an aggregated correlated subquery groups by its
+        # correlation columns (select avg(x) where k = outer.k -> avg per k,
+        # joined back on k by the enclosing EXISTS/IN/scalar op)
+        for c in correlations:
+            if c not in keys:
+                keys.append(c)
     if aggregated:
         if gk_exprs:
             base_cols = list(plan.schema.names)
@@ -1095,12 +1259,60 @@ def _assemble(
                 order_x = [
                     (_subst(t, e, n), asc, nf) for t, asc, nf in order_x
                 ]
+        if set_lists is not None:
+            # GROUPING SETS: replicate input per set with a group-id column
+            # (reference: core::GroupIdNode + exec/GroupId.cpp), then group by
+            # every key + the group id; keys outside a set aggregate as NULL
+            grouping_sets = [list(keys) + s for s in set_lists]
+            union_keys = list(keys)
+            for s in set_lists:
+                for k in s:
+                    if k not in union_keys:
+                        union_keys.append(k)
+            ref_cols: List[str] = []
+            for call in ex.calls:
+                for tk in _tokenize(call):
+                    if (
+                        tk.kind == "name"
+                        and tk.text in plan.schema
+                        and tk.text not in union_keys
+                        and tk.text not in ref_cols
+                    ):
+                        ref_cols.append(tk.text)
+            gid = "__grouping_id"
+            plan.group_id(grouping_sets, ref_cols, name=gid)
+            keys = union_keys + [gid]
         plan.aggregation(
             keys,
             [f"{call} as {out}" for call, out in zip(ex.calls, ex.outs)],
         )
+        if set_lists is not None:
+            # restore NULL-ness of out-of-set keys from the group id (the
+            # GroupId executor zeroed their values so grouping is by the
+            # in-set keys only)
+            restore: List[str] = []
+            for col in plan.schema.names:
+                ids = [
+                    i
+                    for i, s in enumerate(grouping_sets)
+                    if col != gid and col in union_keys and col in s
+                ]
+                if col in union_keys and len(ids) < len(grouping_sets):
+                    pred = " or ".join(f"{gid} = {i}" for i in ids)
+                    restore.append(
+                        f"case when {pred} then {col} else null end as {col}"
+                    )
+                else:
+                    restore.append(col)
+            plan.project(restore)
         if having_x:
             plan.filter(_detok(having_x))
+
+    if wex.found:
+        # windows run over the (possibly aggregated) rows, before the final
+        # projection that consumes their __winN outputs
+        for part, order, calls in wex.windows:
+            plan.window(part, order, [f"{c} as {n}" for c, n in calls])
 
     # ---- final projection -------------------------------------------------
     out_names: List[str] = []
@@ -1184,6 +1396,46 @@ def _assemble(
         plan.limit(limit if limit is not None else (1 << 62), offset or 0)
 
     return plan
+
+
+def _parse_grouping_construct(g: List[_Tok], schema) -> List[List[str]]:
+    """GROUPING SETS ((a,b),(a),()) / ROLLUP(a,b) / CUBE(a,b) -> list of
+    key-name lists (reference: core::GroupIdNode lowering, exec/GroupId.cpp).
+    Members must be plain columns of the current plan schema."""
+
+    def col_of(toks: List[_Tok]) -> str:
+        if len(toks) == 1 and toks[0].kind == "name" and toks[0].text in schema:
+            return toks[0].text
+        raise NotImplementedError(
+            f"grouping-set member {_detok(toks)!r} must be a plain column"
+        )
+
+    head = g[0].low
+    if head in ("rollup", "cube"):
+        if len(g) < 3 or g[1].text != "(" or g[-1].text != ")":
+            raise ValueError(f"malformed {head.upper()} clause: {_detok(g)!r}")
+        cols = [col_of(e) for e in _split_top_level(g[2:-1], ",")]
+        if head == "rollup":
+            return [cols[:i] for i in range(len(cols), -1, -1)]
+        out: List[List[str]] = []
+        for mask in range((1 << len(cols)) - 1, -1, -1):
+            out.append([c for i, c in enumerate(cols) if mask & (1 << i)])
+        return out
+    # GROUPING SETS ( set [, set ...] ); a set is (a, b), (a), () or bare a
+    if len(g) < 4 or g[1].low != "sets" or g[2].text != "(" or g[-1].text != ")":
+        raise ValueError(f"malformed GROUPING SETS clause: {_detok(g)!r}")
+    sets: List[List[str]] = []
+    for el in _split_top_level(g[3:-1], ","):
+        if el and el[0].kind == "op" and el[0].text == "(":
+            inner = el[1:-1]
+            sets.append(
+                [col_of(e) for e in _split_top_level(inner, ",")]
+                if inner
+                else []
+            )
+        else:
+            sets.append([col_of(el)])
+    return sets
 
 
 def _parse_order_item(tokens: List[_Tok], scope: _Scope):
