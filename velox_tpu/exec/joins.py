@@ -1208,3 +1208,58 @@ def rewrite_filtered_existence_joins(node):
         tuple(node.output_columns),
         id=node.id,
     )
+
+
+def rewrite_left_filter_nm(node: HashJoinNode) -> HashJoinNode:
+    """LEFT join + non-equi filter over a duplicate-key (N:M) build.
+
+    The single-candidate null-out path (runner left_join_filter) cannot see
+    all matches, so lower to supported primitives (reference behavior:
+    HashProbe evaluates the filter per expanded match and emits the probe
+    row null-extended when every match fails):
+
+        uid     = AssignUniqueId(probe)
+        inner   = uid INNER JOIN build ON keys, filter f   (N:M, filtered)
+        result  = uid LEFT JOIN inner ON uid               (N:M, no filter)
+    """
+    import dataclasses as _dc
+
+    from ..plan.nodes import AssignUniqueIdNode
+
+    if node.join_type == JoinType.RIGHT:
+        node = _dc.replace(
+            node,
+            left=node.right,
+            right=node.left,
+            left_keys=node.right_keys,
+            right_keys=node.left_keys,
+            join_type=JoinType.LEFT,
+        )
+    assert node.join_type == JoinType.LEFT and node.filter is not None
+    uid_name = f"__ljf_{node.id}"
+    uid = AssignUniqueIdNode(node.left, uid_name)
+    rs = node.right.output_schema
+    refs = _filter_refs(node.filter)
+    inner_out = [uid_name] + [
+        c
+        for c in dict.fromkeys(list(node.output_columns) + sorted(refs))
+        if c in rs
+    ]
+    inner = HashJoinNode(
+        uid,
+        node.right,
+        JoinType.INNER,
+        node.left_keys,
+        node.right_keys,
+        tuple(inner_out),
+        node.filter,
+    )
+    return HashJoinNode(
+        uid,
+        inner,
+        JoinType.LEFT,
+        (uid_name,),
+        (uid_name,),
+        tuple(node.output_columns),
+        id=node.id + "_ljf",
+    )

@@ -250,7 +250,7 @@ def _linearize(root: PlanNode) -> _Linear:
                         if c in rs and c not in ls
                     )
                     steps_rev.append(
-                        ("left_join_filter", node.filter, build_cols)
+                        ("left_join_filter", node.filter, build_cols, node)
                     )
                 node = HashJoinNode(
                     node.left,
@@ -345,7 +345,7 @@ def apply_streaming(batch: Batch, steps: Sequence[Tuple]):
             # (reference: HashProbe::applyFilter null-ing misses on LEFT).
             # Unmatched rows evaluate the filter over nulls -> Kleene null ->
             # already-null build columns stay null.
-            _, expr, build_cols = step
+            expr, build_cols = step[1], step[2]
             [r] = ExprSet([expr]).eval(batch)
             if r.errors is not None:
                 err = err + jnp.sum((r.errors & active).astype(jnp.int64))
@@ -921,7 +921,9 @@ def _replace_plan_node(
     import dataclasses as _dc
 
     def walk(node: PlanNode) -> PlanNode:
-        if node is target:
+        # match by identity or id: _linearize may hand back a reconstructed
+        # node (e.g. a RIGHT join flipped to LEFT) that kept the tree id
+        if node is target or node.id == target.id:
             return replacement
         changed = {}
         for attr in ("source", "left", "right"):
@@ -1142,11 +1144,19 @@ class LocalExecutor:
                 and i > 0
                 and resolved[i - 1][0] == "xjoin"
             ):
-                raise NotImplementedError(
-                    "non-equi filters on LEFT joins with duplicate build keys "
-                    "(N:M expansion) are not supported; pre-aggregate the "
-                    "build side"
+                # non-equi filter on an N:M LEFT join: the single-candidate
+                # null-out path cannot see every match — re-plan through the
+                # uid/inner/left composition (joins.rewrite_left_filter_nm)
+                from .joins import rewrite_left_filter_nm
+
+                orig = step[3]
+                if self._own_pool:
+                    self.pool.detach()
+                new_root = _replace_plan_node(
+                    self.root, orig, rewrite_left_filter_nm(orig)
                 )
+                self.__init__(new_root, tile_rows, config, pool=None)
+                return
         # expansion (N:M) joins split the pipeline into phases: the output
         # row count is data-dependent, so each expansion is sized by one
         # per-tile scalar fetch and materialized into a power-of-two bucket

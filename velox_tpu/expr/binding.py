@@ -155,7 +155,23 @@ def _rewrite(expr: Expr, tables, context_table: Optional[StringTable]) -> Expr:
         return StringsCall(expr.dtype, expr.name, (child, delim), out_table)
     if isinstance(expr, (Call, Special)):
         local = _find_table(expr, tables) or context_table
-        new_args = tuple(_rewrite(a, tables, local) for a in expr.children)
+        # two-phase: rewrite non-literal children first, then bind literals
+        # against a rewritten sibling's DERIVED dictionary when one exists —
+        # substr(col, 1, 2) = '13' must intern '13' into substr's table,
+        # not the raw column's
+        rewritten = {
+            i: _rewrite(a, tables, local)
+            for i, a in enumerate(expr.children)
+            if not isinstance(a, Constant)
+        }
+        for r in rewritten.values():
+            if isinstance(r, DictLookup) and r.strings is not None:
+                local = r.strings
+                break
+        new_args = tuple(
+            rewritten[i] if i in rewritten else _rewrite(a, tables, local)
+            for i, a in enumerate(expr.children)
+        )
         if isinstance(expr, Call):
             return Call(expr.dtype, expr.name, new_args)
         return Special(expr.dtype, expr.form, new_args)

@@ -588,7 +588,13 @@ class PlanBuilder:
                 list(self.schema.names) + list(right_node.output_schema.names),
                 list(self.schema.types) + list(right_node.output_schema.types),
             )
-            node.filter = parse_expr(filter, combined)
+            # bind string literals against BOTH sides' dictionaries (the
+            # filter evaluates over probe ++ build columns)
+            tables = PlanBuilder(self.node)._string_tables()
+            tables.update(PlanBuilder(right_node)._string_tables())
+            node.filter = bind_string_literals(
+                parse_expr(filter, combined), tables
+            )
         self.node = node
         return self
 

@@ -730,13 +730,22 @@ def _join_sources(
     """Assemble the join tree; returns (plan, leftover conjuncts).
 
     ``conjuncts``: WHERE conjuncts already rewritten to internal names."""
+    ncomma = len(sources)
     col_owner: Dict[str, int] = {}
     for i, (_, pb) in enumerate(sources):
         for n in pb.schema.names:
             col_owner[n] = i
+    # explicit-JOIN sources own ids >= ncomma so WHERE conjuncts touching
+    # their columns place correctly (above the join, or pushed into an
+    # INNER join's side — never below a LEFT/RIGHT/FULL join, where
+    # pre-filtering the null-padded side would change semantics)
+    for j, (_jt, _alias, rb, _cond) in enumerate(joins):
+        for n in rb.schema.names:
+            col_owner[n] = ncomma + j
     universe = set(col_owner)
 
     pushed: List[List[List[_Tok]]] = [[] for _ in sources]
+    pushed_joins: List[List[List[_Tok]]] = [[] for _ in joins]
     equis: List[Tuple[str, str]] = []
     leftovers: List[List[_Tok]] = []
     for c in conjuncts:
@@ -744,11 +753,23 @@ def _join_sources(
         owners = {col_owner[x] for x in cols}
         eq = _is_equality(c)
         if len(owners) <= 1:
-            if owners:
-                pushed[owners.pop()].append(c)
-            else:
+            if not owners:
                 leftovers.append(c)  # constant predicate
-        elif eq and len(owners) == 2 and eq[0] in universe and eq[1] in universe:
+            else:
+                o = owners.pop()
+                if o < ncomma:
+                    pushed[o].append(c)
+                elif joins[o - ncomma][0] == "inner":
+                    pushed_joins[o - ncomma].append(c)
+                else:
+                    leftovers.append(c)
+        elif (
+            eq
+            and len(owners) == 2
+            and all(o < ncomma for o in owners)
+            and eq[0] in universe
+            and eq[1] in universe
+        ):
             equis.append(eq)
         else:
             leftovers.append(c)
@@ -758,6 +779,21 @@ def _join_sources(
         for c in pushed[i]:
             pb = PlanBuilder(pb.node).filter(_detok(c))
         builders.append(pb)
+    joins = [
+        (
+            jt,
+            alias,
+            (
+                PlanBuilder(rb.node).filter(
+                    " and ".join(_detok(c) for c in pushed_joins[j])
+                )
+                if pushed_joins[j]
+                else rb
+            ),
+            cond,
+        )
+        for j, (jt, alias, rb, cond) in enumerate(joins)
+    ]
 
     plan = builders[0]
     in_plan = set(builders[0].schema.names)
@@ -871,13 +907,13 @@ def _find_subquery(tokens: Sequence[_Tok]) -> Optional[Tuple[int, int]]:
     return None
 
 
-def _extract_subquery_ops(conjuncts: List[List[_Tok]]):
+def _extract_subquery_ops(conjuncts: List[List[_Tok]], prefix: str = "__sq"):
     """Split WHERE conjuncts into plain predicates and subquery operations.
 
     Returns (plain, ops) with ops one of
       ('exists',  positive, sub_tokens)
       ('in',      positive, lhs_name_tok, sub_tokens)
-      ('scalar',  conjunct_with_placeholder, placeholder, sub_tokens)
+      ('scalar',  conjunct_with_placeholders, [(placeholder, sub_tokens)...])
     Reference analog: the reference plans these shapes as semi/anti joins and
     cross joins of single-row subqueries (DuckDB does the decorrelation there).
     """
@@ -919,13 +955,21 @@ def _extract_subquery_ops(conjuncts: List[List[_Tok]]):
                     ops.append(("in", not neg, c[0], c[j + 2 : -1]))
                     break
         else:
-            sq = _find_subquery(c)
-            if sq is not None:
-                open_i, close_i = sq
-                ph = _Tok("name", f"__sq{n_scalar}")
-                n_scalar += 1
-                new_c = c[:open_i] + [ph] + c[close_i + 1 :]
-                ops.append(("scalar", new_c, ph.text, c[open_i + 1 : close_i]))
+            if _find_subquery(c) is not None:
+                # one conjunct may hold several scalar subqueries
+                # (Q11: sum(v) > (select ...) / (select count(*) ...))
+                subs: List[Tuple[str, List[_Tok]]] = []
+                new_c = c
+                while True:
+                    sq = _find_subquery(new_c)
+                    if sq is None:
+                        break
+                    open_i, close_i = sq
+                    ph = _Tok("name", f"{prefix}{n_scalar}")
+                    n_scalar += 1
+                    subs.append((ph.text, new_c[open_i + 1 : close_i]))
+                    new_c = new_c[:open_i] + [ph] + new_c[close_i + 1 :]
+                ops.append(("scalar", new_c, subs))
             else:
                 plain.append(c)
             continue
@@ -1027,49 +1071,59 @@ def _apply_subquery_ops(plan: PlanBuilder, ops, catalog, scope) -> PlanBuilder:
                 join_type="left_semi" if positive else "anti",
                 null_aware=not positive,
             )
-        else:  # scalar
-            _, conj, ph, sub_toks = op
-            sub, entries = _plan_subquery(sub_toks, catalog, scope, True)
-            eqs = [(e[1], e[2]) for e in entries if e[0] == "eq"]
-            if any(e[0] == "pred" for e in entries):
-                raise NotImplementedError(
-                    "correlated scalar subqueries support equality "
-                    "correlations only"
-                )
-            if not eqs:
-                if len(sub.schema.names) != 1:
-                    raise ValueError("scalar subquery must produce one column")
-                sub.enforce_single_row()
-                sub.project([f"{sub.schema.names[0]} as {ph}"])
-                plan.cross_join(
-                    sub, output=list(plan.schema.names) + [ph]
-                )
-            else:
-                # correlated scalar (Q17/Q20 shape): the subquery aggregated
-                # grouped by its correlation columns (decorrelation in
-                # _assemble), so each key yields exactly one row; LEFT join
-                # on the keys makes a missing group a NULL scalar
-                inner_keys = [i for _, i in eqs]
-                value_cols = [
-                    n for n in sub.schema.names if n not in set(inner_keys)
-                ]
-                if len(value_cols) != 1:
-                    raise ValueError("scalar subquery must produce one column")
-                if not _has_aggregation(sub.node):
+        else:  # scalar — one conjunct, one or more scalar subqueries
+            _, conj, subs = op
+            phs: List[str] = []
+            for ph, sub_toks in subs:
+                phs.append(ph)
+                sub, entries = _plan_subquery(sub_toks, catalog, scope, True)
+                eqs = [(e[1], e[2]) for e in entries if e[0] == "eq"]
+                if any(e[0] == "pred" for e in entries):
                     raise NotImplementedError(
-                        "correlated scalar subqueries must be aggregates "
-                        "(one value per correlation key)"
+                        "correlated scalar subqueries support equality "
+                        "correlations only"
                     )
-                sub.project([f"{value_cols[0]} as {ph}"] + inner_keys)
-                plan.hash_join(
-                    sub,
-                    [scope.resolve(o) or o for o, _ in eqs],
-                    inner_keys,
-                    output=list(plan.schema.names) + [ph],
-                    join_type="left",
-                )
+                if not eqs:
+                    if len(sub.schema.names) != 1:
+                        raise ValueError(
+                            "scalar subquery must produce one column"
+                        )
+                    sub.enforce_single_row()
+                    sub.project([f"{sub.schema.names[0]} as {ph}"])
+                    plan.cross_join(
+                        sub, output=list(plan.schema.names) + [ph]
+                    )
+                else:
+                    # correlated scalar (Q17/Q20 shape): the subquery
+                    # aggregated grouped by its correlation columns
+                    # (decorrelation in _assemble), so each key yields
+                    # exactly one row; LEFT join on the keys makes a
+                    # missing group a NULL scalar
+                    inner_keys = [i for _, i in eqs]
+                    value_cols = [
+                        n
+                        for n in sub.schema.names
+                        if n not in set(inner_keys)
+                    ]
+                    if len(value_cols) != 1:
+                        raise ValueError(
+                            "scalar subquery must produce one column"
+                        )
+                    if not _has_aggregation(sub.node):
+                        raise NotImplementedError(
+                            "correlated scalar subqueries must be aggregates "
+                            "(one value per correlation key)"
+                        )
+                    sub.project([f"{value_cols[0]} as {ph}"] + inner_keys)
+                    plan.hash_join(
+                        sub,
+                        [scope.resolve(o) or o for o, _ in eqs],
+                        inner_keys,
+                        output=list(plan.schema.names) + [ph],
+                        join_type="left",
+                    )
             plan.filter(_detok(scope.rewrite(conj)))
-            plan.project([n for n in plan.schema.names if n != ph])
+            plan.project([n for n in plan.schema.names if n not in phs])
     return plan
 
 
@@ -1225,9 +1279,27 @@ def _assemble(
     # windows: SQL evaluates window functions over the grouped/aggregated
     # rows, so their args/specs may reference grouping keys and extracted
     # __aggN columns
+    # HAVING may carry scalar subqueries (TPC-H Q11: sum(v) > (select ...));
+    # extract them BEFORE aggregate extraction so inner aggregates stay in
+    # their subquery, and apply them after the aggregation
+    having_ops: List[tuple] = []
+    if having_toks:
+        hp, having_ops = _extract_subquery_ops(
+            _split_conjuncts(having_toks), prefix="__hq"
+        )
+        having_toks = []
+        for ci, c in enumerate(hp):
+            if ci:
+                having_toks.append(_Tok("name", "and"))
+            having_toks += [_Tok("op", "(")] + c + [_Tok("op", ")")]
+
     ex = _AggExtractor()
     items = [(ex.extract(toks), alias) for toks, alias in items]
     having_x = ex.extract(having_toks) if having_toks else []
+    having_ops = [
+        ("scalar", ex.extract(op[1]), op[2]) if op[0] == "scalar" else op
+        for op in having_ops
+    ]
     order_parsed = [
         (ex.extract(toks), asc, nf) for toks, asc, nf in order_parsed
     ]
@@ -1307,6 +1379,14 @@ def _assemble(
             plan.project(restore)
         if having_x:
             plan.filter(_detok(having_x))
+        if having_ops:
+            if any(op[0] != "scalar" for op in having_ops):
+                raise NotImplementedError(
+                    "only scalar subqueries are supported in HAVING"
+                )
+            plan = _apply_subquery_ops(plan, having_ops, catalog, scope)
+    elif having_ops:
+        raise ValueError("HAVING requires GROUP BY or aggregates")
 
     if wex.found:
         # windows run over the (possibly aggregated) rows, before the final
