@@ -214,6 +214,52 @@ def test_semi_anti_join_with_filter():
         assert got["x"].tolist() == exp["x"].tolist(), jt
 
 
+def test_full_join_with_filter():
+    """FULL join + non-equi filter (rewrite_full_filter): failing matches
+    null-extend BOTH sides — oracle is a pandas outer merge with the filter
+    applied to matched pairs."""
+    import pandas as pd
+
+    rng = np.random.default_rng(6)
+    n, m = 300, 200
+    probe = make_table(
+        k=(rng.integers(0, 25, n), vt.BIGINT),
+        x=(rng.integers(0, 100, n), vt.BIGINT),
+    )
+    build = make_table(
+        bk=(rng.integers(0, 25, m), vt.BIGINT),
+        y=(rng.integers(0, 100, m), vt.BIGINT),
+    )
+    dfp = pd.DataFrame(
+        {c: np.asarray(probe.columns[c]) for c in ("k", "x")}
+    ).reset_index(names="pi")
+    dfb = pd.DataFrame(
+        {c: np.asarray(build.columns[c]) for c in ("bk", "y")}
+    ).reset_index(names="bi")
+    mm = dfp.merge(dfb, left_on="k", right_on="bk")
+    mm = mm[mm.x < mm.y]
+    probe_un = dfp[~dfp.pi.isin(mm.pi)]
+    build_un = dfb[~dfb.bi.isin(mm.bi)]
+    expect = sorted(
+        [(int(r.x), int(r.y)) for r in mm.itertuples()]
+        + [(int(r.x), -1) for r in probe_un.itertuples()]
+        + [(-1, int(r.y)) for r in build_un.itertuples()]
+    )
+    plan = (
+        PlanBuilder().table_scan(probe)
+        .hash_join(
+            PlanBuilder().table_scan(build), ["k"], ["bk"],
+            output=["x", "y"], join_type="full", filter="x < y",
+        )
+        .build()
+    )
+    out = run_plan(plan, tile_rows=128).to_pandas()
+    got = sorted(
+        zip(out["x"].fillna(-1).astype(int), out["y"].fillna(-1).astype(int))
+    )
+    assert got == expect
+
+
 def test_duplicate_build_keys_semi_dedupes_inner_expands():
     left = make_table(k=([1, 2], vt.BIGINT))
     right = make_table(k2=([2, 2], vt.BIGINT))

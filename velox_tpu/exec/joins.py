@@ -249,6 +249,17 @@ class HashJoinExec:
     @staticmethod
     def build(node: HashJoinNode, build_result: Table) -> "HashJoinExec":
         """Construct the bridge from the executed build-side pipeline result."""
+        if node.filter is not None and node.join_type not in (
+            JoinType.INNER, JoinType.LEFT
+        ):
+            # INNER/LEFT filters are stripped by _linearize; semi/anti/full
+            # lower through the plan rewrites — reaching here means a
+            # lowering was skipped, and silently dropping the filter would
+            # return wrong rows
+            raise NotImplementedError(
+                f"join filter on {node.join_type} must be lowered before "
+                "execution (rewrite_filtered_existence_joins)"
+            )
         key_names = list(node.right_keys)
         key_arrays = [np.asarray(build_result.columns[k]) for k in key_names]
 
@@ -1169,6 +1180,8 @@ def rewrite_filtered_existence_joins(node):
             join_type=JoinType.LEFT_SEMI,
         )
         jt = JoinType.LEFT_SEMI
+    if jt == JoinType.FULL:
+        return rewrite_full_filter(node)
     if jt not in (JoinType.LEFT_SEMI, JoinType.ANTI):
         return node
     if node.null_aware:
@@ -1238,12 +1251,13 @@ def rewrite_left_filter_nm(node: HashJoinNode) -> HashJoinNode:
     assert node.join_type == JoinType.LEFT and node.filter is not None
     uid_name = f"__ljf_{node.id}"
     uid = AssignUniqueIdNode(node.left, uid_name)
+    ls = node.left.output_schema
     rs = node.right.output_schema
     refs = _filter_refs(node.filter)
     inner_out = [uid_name] + [
         c
         for c in dict.fromkeys(list(node.output_columns) + sorted(refs))
-        if c in rs
+        if c in rs or (c in refs and c in ls)
     ]
     inner = HashJoinNode(
         uid,
@@ -1263,3 +1277,54 @@ def rewrite_left_filter_nm(node: HashJoinNode) -> HashJoinNode:
         tuple(node.output_columns),
         id=node.id + "_ljf",
     )
+
+
+def rewrite_full_filter(node: HashJoinNode) -> "PlanNode":
+    """FULL join + non-equi filter: matched pairs failing the filter count as
+    unmatched on BOTH sides (reference: HashProbe filter + the FULL epilogue
+    re-checking match flags).  Lowered to supported primitives:
+
+        uidl  = AssignUniqueId(probe);  uidr = AssignUniqueId(build)
+        inner = uidl INNER JOIN uidr ON keys, filter f
+        left  = uidl LEFT JOIN inner ON uidl       (probe side + matches)
+        ub    = uidr ANTI inner ON uidr            (builds with no pass)
+        out   = left UNION ALL project(ub, probe cols as typed NULLs)
+    """
+    from ..expr.ir import Constant, FieldAccess
+    from ..plan.nodes import AssignUniqueIdNode, ProjectNode, UnionAllNode
+
+    ul, ur = f"__ffl_{node.id}", f"__ffr_{node.id}"
+    uidl = AssignUniqueIdNode(node.left, ul)
+    uidr = AssignUniqueIdNode(node.right, ur)
+    ls, rs = node.left.output_schema, node.right.output_schema
+    refs = _filter_refs(node.filter)
+    inner_out = [ul, ur] + [
+        c
+        for c in dict.fromkeys(list(node.output_columns) + sorted(refs))
+        if c in rs or (c in refs and c in ls)
+    ]
+    inner = HashJoinNode(
+        uidl,
+        uidr,
+        JoinType.INNER,
+        node.left_keys,
+        node.right_keys,
+        tuple(inner_out),
+        node.filter,
+    )
+    left = HashJoinNode(
+        uidl, inner, JoinType.LEFT, (ul,), (ul,), tuple(node.output_columns)
+    )
+    build_cols = [c for c in node.output_columns if c in rs]
+    unmatched = HashJoinNode(
+        uidr, inner, JoinType.ANTI, (ur,), (ur,), tuple(build_cols)
+    )
+    names, exprs = [], []
+    for c in node.output_columns:
+        names.append(c)
+        if c in rs:
+            exprs.append(FieldAccess(rs.type_of(c), c))
+        else:
+            exprs.append(Constant(ls.type_of(c), None))
+    ub = ProjectNode(unmatched, tuple(names), tuple(exprs))
+    return UnionAllNode((left, ub), id=node.id + "_ff")
