@@ -172,6 +172,82 @@ def test_null_aware_anti_join():
     ) == [-99, 1]
 
 
+def test_null_aware_anti_join_with_filter():
+    """Null-aware ANTI (NOT IN) + non-equi filter
+    (rewrite_null_aware_anti_filter): probe row passes iff NO build row with
+    (keys equal OR either key NULL) satisfies the filter — checked against a
+    brute-force oracle over every (probe, build) pair, including NULL keys on
+    both sides."""
+    from velox_tpu.dtypes import RowType
+    from velox_tpu.io.table import Table
+
+    pk = np.array([1, 2, 3, 0, 5], np.int64)
+    pkv = np.array([True, True, True, False, True])
+    pv = np.array([10, 20, 30, 40, 50], np.int64)
+    bk = np.array([2, 3, 0, 5], np.int64)
+    bkv = np.array([True, True, False, True])
+    bv = np.array([25, 15, 45, 99], np.int64)
+    probe = Table(
+        RowType(["k", "pv"], [vt.BIGINT, vt.BIGINT]),
+        {"k": pk, "pv": pv}, validities={"k": pkv},
+    )
+    build = Table(
+        RowType(["k2", "bv"], [vt.BIGINT, vt.BIGINT]),
+        {"k2": bk, "bv": bv}, validities={"k2": bkv},
+    )
+    plan = (
+        PlanBuilder().table_scan(probe)
+        .hash_join(PlanBuilder().table_scan(build), ["k"], ["k2"],
+                   output=["k", "pv"], join_type="anti", null_aware=True,
+                   filter="pv < bv")
+        .build()
+    )
+    got = sorted(run_plan(plan).to_pandas()["pv"].astype(int))
+    expect = []
+    for i in range(len(pk)):
+        matched = False
+        for j in range(len(bk)):
+            keys_may_match = (
+                (not pkv[i]) or (not bkv[j]) or pk[i] == bk[j]
+            )
+            if keys_may_match and pv[i] < bv[j]:
+                matched = True
+        if not matched:
+            expect.append(int(pv[i]))
+    # oracle by hand: pv=10 matches k=2/bv=25 -> out; pv=20 matches NULL-key
+    # bv=45 -> out; pv=30 matches NULL-key bv=45 -> out; pv=40 (NULL probe
+    # key) matches bv=45,99 -> out; pv=50 matches k=5/bv=99 -> out
+    assert got == sorted(expect) == []
+
+    # drop the NULL-key build row: NULL-probe row survives only if no build
+    # row passes the filter; pv=50 < 99 still matches its key
+    build2 = Table(
+        RowType(["k2", "bv"], [vt.BIGINT, vt.BIGINT]),
+        {"k2": bk[bkv], "bv": bv[bkv]},
+    )
+    plan2 = (
+        PlanBuilder().table_scan(probe)
+        .hash_join(PlanBuilder().table_scan(build2), ["k"], ["k2"],
+                   output=["k", "pv"], join_type="anti", null_aware=True,
+                   filter="pv < bv")
+        .build()
+    )
+    got2 = sorted(run_plan(plan2).to_pandas()["pv"].astype(int))
+    expect2 = []
+    for i in range(len(pk)):
+        matched = False
+        for j in range(len(bk)):
+            if not bkv[j]:
+                continue
+            if ((not pkv[i]) or pk[i] == bk[j]) and pv[i] < bv[j]:
+                matched = True
+        if not matched:
+            expect2.append(int(pv[i]))
+    # pv=10 (k=1, no key match) and pv=30 (30<15 fails) survive; pv=20
+    # matches k=2 (20<25), pv=40's NULL key may-match bv=99, pv=50 < 99
+    assert got2 == sorted(expect2) == [10, 30]
+
+
 def test_semi_anti_join_with_filter():
     """Non-equi filters on existence joins (rewrite_filtered_existence_joins):
     a probe row passes SEMI iff >=1 match satisfies the filter, ANTI iff no

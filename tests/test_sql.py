@@ -93,6 +93,27 @@ class TestBasics:
         assert out.iloc[:, 0].tolist() == g.index.tolist()
         assert out["s"].tolist() == g.tolist()
 
+    def test_group_by_select_list_alias(self):
+        """GROUP BY an alias defined in the select list (standard scoping)."""
+        t = make_t()
+        out = run_sql(
+            "select k % 3 as bucket, sum(v) as s from t "
+            "group by bucket order by bucket",
+            {"t": t},
+        ).to_pandas()
+        df = df_of(t)
+        g = (df.v.groupby(df.k % 3).sum()).sort_index()
+        assert out["bucket"].tolist() == g.index.tolist()
+        assert out["s"].tolist() == g.tolist()
+        # alias over a bare column works too
+        out2 = run_sql(
+            "select k as kk, count(*) as c from t group by kk order by kk",
+            {"t": t},
+        ).to_pandas()
+        g2 = df.groupby("k").size()
+        assert out2["kk"].tolist() == g2.index.tolist()
+        assert out2["c"].tolist() == g2.tolist()
+
     def test_distinct(self):
         t = make_t()
         out = run_sql("select distinct k from t order by k", {"t": t}).to_pandas()

@@ -213,13 +213,13 @@ class _Lowerer:
         if isinstance(e, Call) and e.name == "multiply" and (
             e.args[0].dtype.is_long_decimal or e.args[1].dtype.is_long_decimal
         ):
-            # full 128x128 truncated product (scales add, no alignment).
-            # Documented deviation: overflow past 128 bits wraps where the
-            # reference throws (a full 256-bit upper-half check is pending).
+            # full 128x128 product (scales add, no alignment); overflow past
+            # 128 bits raises a per-row error through the checked-hi kernel's
+            # error lane (reference: DecimalUtil.h __builtin_mul_overflow)
             ah, al = self.pair(e.args[0])
             bh, bl = self.pair(e.args[1])
             return (
-                Call(BIGINT, "__i128_mul_hi", (ah, al, bh, bl)),
+                Call(BIGINT, "__i128_mul_chk_hi", (ah, al, bh, bl)),
                 Call(BIGINT, "__i128_mul64_lo", (al, bl)),
             )
         if isinstance(e, Call) and e.name == "divide":
@@ -250,9 +250,20 @@ class _Lowerer:
                 ch, cl = self.pair(child)
                 return self._rescale(ch, cl, e.dtype.scale - child.dtype.scale)
             if child.dtype.is_floating:
-                raise NotImplementedError(
-                    "casts from floating point to long decimals are not "
-                    "supported yet"
+                # round(x * 10^scale) half away from zero; non-finite inputs
+                # and values past 128 bits raise per-row errors (reference:
+                # DecimalUtil::rescaleDouble)
+                scaled = Call(
+                    DOUBLE,
+                    "multiply",
+                    (
+                        self.scalar(child),
+                        Constant(DOUBLE, float(10 ** e.dtype.scale)),
+                    ),
+                )
+                return (
+                    Call(BIGINT, "__i128_from_double_hi", (scaled,)),
+                    Call(BIGINT, "__i128_from_double_lo", (scaled,)),
                 )
             shift = (
                 e.dtype.scale - child.dtype.scale

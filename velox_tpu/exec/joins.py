@@ -1185,9 +1185,7 @@ def rewrite_filtered_existence_joins(node):
     if jt not in (JoinType.LEFT_SEMI, JoinType.ANTI):
         return node
     if node.null_aware:
-        raise NotImplementedError(
-            "filters on null-aware ANTI joins are not supported yet"
-        )
+        return rewrite_null_aware_anti_filter(node)
     uid_name = f"__ejf_{node.id}"
     probe, build = node.left, node.right
     uid = AssignUniqueIdNode(probe, uid_name)
@@ -1216,6 +1214,103 @@ def rewrite_filtered_existence_joins(node):
         uid,
         matched,
         jt,
+        (uid_name,),
+        (uid_name,),
+        tuple(node.output_columns),
+        id=node.id,
+    )
+
+
+def rewrite_null_aware_anti_filter(node: HashJoinNode) -> "PlanNode":
+    """Null-aware ANTI join (NOT IN) carrying a non-equi filter.
+
+    Reference semantics (velox/exec/HashProbe.cpp null-aware anti-join filter
+    handling): a probe row is emitted iff NO build row b satisfies
+    ``(keys equal OR probe key IS NULL OR build key IS NULL) AND filter(p,b)``
+    — a NULL on either side makes the key comparison UNKNOWN, which NOT IN
+    treats as a possible match, but the filter can still disqualify it.
+    Lowered to supported primitives:
+
+        uid = AssignUniqueId(probe)
+        m1  = distinct uid of (uid INNER JOIN build ON keys, filter)
+        m2  = distinct uid of (uid CROSS build[key IS NULL], filter)
+        m3  = distinct uid of (uid[key IS NULL] CROSS build, filter)
+        out = uid ANTI JOIN (m1 UNION ALL m2 UNION ALL m3) ON uid
+
+    The cross joins only touch the NULL-key subsets (m2's build side, m3's
+    probe side), so they stay small in practice — the same degradation the
+    reference accepts for null-aware filter evaluation.
+    """
+    from ..dtypes import BIGINT, BOOLEAN
+    from ..expr.ir import Call, Constant, FieldAccess, Special, SpecialForm
+    from ..plan.nodes import (
+        AggregationNode,
+        AggregationStep,
+        AssignUniqueIdNode,
+        FilterNode,
+        ProjectNode,
+        UnionAllNode,
+    )
+
+    probe, build = node.left, node.right
+    ls, rs = probe.output_schema, build.output_schema
+    uid_name = f"__naf_{node.id}"
+    uid = AssignUniqueIdNode(probe, uid_name)
+    refs = _filter_refs(node.filter)
+    probe_cols = [uid_name] + [c for c in refs if c in ls or c in node.left_keys]
+    build_cols = [c for c in rs.names if c in refs or c in node.right_keys]
+    inner_out = tuple(dict.fromkeys(probe_cols + build_cols))
+
+    def distinct_uids(join):
+        return AggregationNode(
+            join, AggregationStep.SINGLE, (uid_name,), (), ()
+        )
+
+    def any_null(schema, keys):
+        tests = [
+            Call(BOOLEAN, "is_null", (FieldAccess(schema.type_of(k), k),))
+            for k in keys
+        ]
+        return tests[0] if len(tests) == 1 else Special(
+            BOOLEAN, SpecialForm.OR, tuple(tests)
+        )
+
+    def with_const_key(src, cols, key_name):
+        names, exprs = [], []
+        for c in cols:
+            names.append(c)
+            exprs.append(FieldAccess(src.output_schema.type_of(c), c))
+        names.append(key_name)
+        exprs.append(Constant(BIGINT, 1))
+        return ProjectNode(src, tuple(names), tuple(exprs))
+
+    def cross_matches(left_src, right_src):
+        xl, xr = f"__naf_xl_{node.id}", f"__naf_xr_{node.id}"
+        cl = with_const_key(left_src, probe_cols, xl)
+        cr = with_const_key(right_src, build_cols, xr)
+        join = HashJoinNode(
+            cl, cr, JoinType.INNER, (xl,), (xr,), inner_out, node.filter
+        )
+        return distinct_uids(join)
+
+    m1 = distinct_uids(
+        HashJoinNode(
+            uid,
+            build,
+            JoinType.INNER,
+            node.left_keys,
+            node.right_keys,
+            inner_out,
+            node.filter,
+        )
+    )
+    m2 = cross_matches(uid, FilterNode(build, any_null(rs, node.right_keys)))
+    m3 = cross_matches(FilterNode(uid, any_null(ls, node.left_keys)), build)
+    matched = UnionAllNode((m1, m2, m3))
+    return HashJoinNode(
+        uid,
+        matched,
+        JoinType.ANTI,
         (uid_name,),
         (uid_name,),
         tuple(node.output_columns),

@@ -241,6 +241,87 @@ def register_i128_functions() -> None:
         lambda ah, al, bh, bl: _mulhi_u(al, bl) + al * bh + ah * bl,
     )
 
+    # checked 128x128 multiply: same hi limb plus a per-row overflow lane
+    # (reference: DecimalUtil.h multiply uses __builtin_mul_overflow on
+    # __int128 and throws).  Overflow is detected on magnitudes: the 256-bit
+    # unsigned product |a|*|b| must fit in 127 bits (128 for the -2^127 edge).
+    def _umul128(au, bu):
+        """uint64 x uint64 -> (hi, lo) uint64 words of the exact product."""
+        m32 = jnp.uint64(_MASK32)
+        s32 = jnp.uint64(32)
+        a0, a1 = au & m32, au >> s32
+        b0, b1 = bu & m32, bu >> s32
+        p00 = a0 * b0
+        p01 = a0 * b1
+        p10 = a1 * b0
+        mid = (p00 >> s32) + (p01 & m32) + (p10 & m32)
+        lo = ((mid & m32) << s32) | (p00 & m32)
+        hi = a1 * b1 + (p01 >> s32) + (p10 >> s32) + (mid >> s32)
+        return hi, lo
+
+    def _mag_u(hi, lo):
+        neg = hi < 0
+        nlo = -lo
+        nhi = ~hi + (lo == 0).astype(jnp.int64)
+        return (
+            jnp.where(neg, nhi, hi).astype(jnp.uint64),
+            jnp.where(neg, nlo, lo).astype(jnp.uint64),
+            neg,
+        )
+
+    def _mul_chk_hi(ah, al, bh, bl):
+        mah, mal, na = _mag_u(ah, al)
+        mbh, mbl, nb = _mag_u(bh, bl)
+        p_hi, p_lo = _umul128(mal, mbl)  # Al*Bl
+        c1_hi, c1_lo = _umul128(mah, mbl)  # Ah*Bl
+        c2_hi, c2_lo = _umul128(mal, mbh)  # Al*Bh
+        cross = c1_lo + c2_lo
+        hi = p_hi + cross
+        zero = jnp.uint64(0)
+        over = (
+            ((mah != zero) & (mbh != zero))
+            | (c1_hi != zero)
+            | (c2_hi != zero)
+            | (cross < c1_lo)
+            | (hi < p_hi)
+        )
+        neg = na ^ nb
+        top_set = (hi >> jnp.uint64(63)) != zero
+        edge = neg & (hi == (jnp.uint64(1) << jnp.uint64(63))) & (p_lo == zero)
+        over = over | (top_set & ~edge)
+        sh = hi.astype(jnp.int64)
+        sl = p_lo.astype(jnp.int64)
+        nsh = ~sh + (sl == 0).astype(jnp.int64)
+        return jnp.where(neg, nsh, sh), over
+
+    f("__i128_mul_chk_hi", 4, BIGINT, _mul_chk_hi)
+
+    # double -> i128 limbs with round-half-away (reference:
+    # DecimalUtil::rescaleDouble — the scale factor is multiplied in by the
+    # lowering as a DOUBLE expression before this conversion)
+    def _from_double(x, which):
+        r = jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+        err = ~jnp.isfinite(x) | (jnp.abs(r) >= 2.0**127)
+        rs = jnp.where(err, 0.0, r)
+        hi_f = jnp.floor(rs / 2.0**64)
+        lo_f = rs - hi_f * 2.0**64  # in [0, 2^64)
+        if which == "hi":
+            return hi_f.astype(jnp.int64), err
+        return lo_f.astype(jnp.uint64).astype(jnp.int64)
+
+    reg.register(
+        "__i128_from_double_hi", [NUMERIC], BIGINT,
+        lambda ctx, out_t, arg_ts, x: _from_double(
+            x.astype(jnp.float64), "hi"
+        ),
+    )
+    reg.register(
+        "__i128_from_double_lo", [NUMERIC], BIGINT,
+        lambda ctx, out_t, arg_ts, x: _from_double(
+            x.astype(jnp.float64), "lo"
+        ),
+    )
+
     # --- rounded signed division -----------------------------------------
     # Shift-subtract 128/128 long division on magnitudes (128 fori_loop
     # iterations of fused u64 VPU ops — branch-free, data-parallel), then

@@ -1271,6 +1271,20 @@ def _assemble(
         if len(g) == 1 and g[0].kind == "name" and g[0].text in plan.schema:
             keys.append(g[0].text)
             continue
+        if (
+            len(g) == 1
+            and g[0].kind == "name"
+            and g[0].text not in plan.schema
+        ):
+            # GROUP BY a select-list alias (standard SQL scoping: the alias
+            # is visible in GROUP BY): substitute the aliased expression
+            for toks, alias in items:
+                if alias is not None and alias.lower() == g[0].low:
+                    g = toks
+                    break
+            if len(g) == 1 and g[0].kind == "name" and g[0].text in plan.schema:
+                keys.append(g[0].text)
+                continue
         name = f"__gk{gi}"
         gk_exprs.append((name, g))
         keys.append(name)
