@@ -46,19 +46,55 @@ def time_best(fn, repeats):
     return best
 
 
+# Plausibility ceiling for the HBM measurement: no current single TPU chip
+# exceeds ~3 TB/s (v5e ~0.82, v5p ~2.8).  A "measured" number past this means
+# the timing did not actually block on device work (round-2 VERDICT: a
+# block_until_ready no-op through the device tunnel produced 27.5 TB/s) and
+# every roofline derived from it would be fiction — refuse instead.
+HBM_PLAUSIBLE_GBPS = 3000.0
+
+
 def measure_hbm_bandwidth():
-    """Achievable HBM read bandwidth (GB/s) via a jitted streaming reduction
-    over an array sized far beyond any cache tier."""
+    """Achievable HBM read bandwidth (GB/s), measured honestly.
+
+    Methodology (round-2 VERDICT item 1): run K dependent full passes over a
+    buffer far beyond any cache tier INSIDE one dispatched program — each
+    iteration's reduction feeds the next, so neither XLA nor a lazy device
+    tunnel can skip work — then divide the K-vs-1 time difference by K-1.
+    This subtracts the host round-trip floor (~30 ms through the tunnel)
+    that single-dispatch timing would otherwise attribute to bandwidth.
+    """
     import velox_tpu  # noqa: F401  (enables jax_enable_x64 — real float64)
     import jax
     import jax.numpy as jnp
 
-    n = 1 << 27  # 128M float64 = 1 GiB
+    n = 1 << 26  # 64M float64 = 512 MiB
     x = jnp.ones((n,), jnp.float64)
-    f = jax.jit(lambda a: jnp.sum(a))
-    jax.block_until_ready(f(x))
-    best = time_best(lambda: jax.block_until_ready(f(x)), 3)
-    return (n * 8) / best / 1e9
+    K = 17
+
+    def chain(a, k):
+        def body(_, acc):
+            # full pass over `a`; depends on acc so passes cannot collapse
+            return jnp.sum(a + acc) * 1e-12
+
+        return jax.lax.fori_loop(0, k, body, 0.0)
+
+    f1 = jax.jit(lambda a: chain(a, 1))
+    fk = jax.jit(lambda a: chain(a, K))
+    float(f1(x))  # compile + warm
+    float(fk(x))
+    t1 = time_best(lambda: float(f1(x)), 3)
+    tk = time_best(lambda: float(fk(x)), 3)
+    per_pass = max((tk - t1) / (K - 1), 1e-9)
+    gbps = (n * 8) / per_pass / 1e9
+    if gbps > HBM_PLAUSIBLE_GBPS:
+        log(
+            f"HBM measurement implausible ({gbps:.0f} GB/s > "
+            f"{HBM_PLAUSIBLE_GBPS:.0f}); timing is not blocking on device "
+            "work — roofline reporting disabled"
+        )
+        return None
+    return gbps
 
 
 def query_min_bytes(plan, tables) -> int:
@@ -112,7 +148,11 @@ def bench_query(num, sf, tile_rows, repeats=3, hbm_gbps=None):
 
         tile_rows = min(1 << 24, bucket_of(max(input_rows, 1)))
 
+    # build = join-bridge construction + jit wrapper setup (VERDICT r2 weak
+    # #4: these multi-second costs must be counted, not hidden)
+    t0 = time.perf_counter()
     executor = LocalExecutor(plan, tile_rows=tile_rows)
+    build_s = time.perf_counter() - t0
 
     # Source-scan tiles HBM-resident up front (steady-state regime).
     t0 = time.perf_counter()
@@ -123,7 +163,10 @@ def bench_query(num, sf, tile_rows, repeats=3, hbm_gbps=None):
     ingest_s = time.perf_counter() - t0
 
     # Warm-up (compile) + parity check.
+    t0 = time.perf_counter()
     result = executor.run(prefetched_tiles=tiles).to_pandas()
+    first_run_s = time.perf_counter() - t0
+    result_rows = len(result)
     if num in tp.ENGINE_OUTPUT_ORDER:
         result = result[tp.ENGINE_OUTPUT_ORDER[num]]
     oracle = tp.oracle_result(num, tables)
@@ -141,6 +184,11 @@ def bench_query(num, sf, tile_rows, repeats=3, hbm_gbps=None):
         "engine_seconds": round(engine_s, 6),
         "oracle_seconds": round(oracle_s, 6),
         "ingest_seconds": round(ingest_s, 6),
+        "build_seconds": round(build_s, 6),
+        "compile_seconds": round(max(first_run_s - engine_s, 0.0), 6),
+        "cold_to_first_result_seconds": round(
+            build_s + ingest_s + first_run_s, 6
+        ),
         "rows_per_sec": round(input_rows / engine_s, 1),
         "vs_oracle": round(oracle_s / engine_s, 3),
     }
@@ -153,7 +201,8 @@ def bench_query(num, sf, tile_rows, repeats=3, hbm_gbps=None):
     log(
         f"q{num} sf{sf:g}: engine {engine_s*1e3:.1f} ms, oracle(numpy) "
         f"{oracle_s*1e3:.1f} ms, ingest {ingest_s*1e3:.1f} ms, "
-        f"rows {input_rows}"
+        f"build {build_s*1e3:.0f} ms, compile "
+        f"{row['compile_seconds']*1e3:.0f} ms, rows {input_rows}"
         + (
             f", bytes {row['min_bytes']/1e6:.0f} MB, "
             f"SoL {row['sol_seconds']*1e3:.2f} ms, "

@@ -268,27 +268,50 @@ def test_left_join_non_equi_filter(seed):
     assert a == b
 
 
-def test_left_join_filter_nm_raises():
+def test_left_join_filter_nm():
+    # N:M LEFT joins with non-equi filters: a probe row whose matches all
+    # fail the filter still emits one row with NULL right columns.
     rng = np.random.default_rng(7)
+    lk = rng.integers(0, 10, 100)
+    lx = rng.integers(0, 10, 100)
     left = Table(
         RowType(["k", "lx"], [BIGINT, BIGINT]),
-        {"k": rng.integers(0, 10, 100), "lx": rng.integers(0, 10, 100)},
+        {"k": lk, "lx": lx},
     )
     dup = np.concatenate([np.arange(10), np.arange(10)]).astype(np.int64)
+    ry = np.arange(20, dtype=np.int64)
     right = Table(
         RowType(["rk", "ry"], [BIGINT, BIGINT]),
-        {"rk": dup, "ry": np.arange(20, dtype=np.int64)},
+        {"rk": dup, "ry": ry},
     )
-    with pytest.raises(NotImplementedError, match="N:M"):
-        run_plan(
-            PlanBuilder()
-            .table_scan(left)
-            .hash_join(
-                PlanBuilder().table_scan(right).build(),
-                ["k"], ["rk"],
-                output=["k", "lx", "ry"],
-                join_type="left",
-                filter="ry > lx",
-            )
-            .build()
+    got = run_plan(
+        PlanBuilder()
+        .table_scan(left)
+        .hash_join(
+            PlanBuilder().table_scan(right).build(),
+            ["k"], ["rk"],
+            output=["k", "lx", "ry"],
+            join_type="left",
+            filter="ry > lx",
         )
+        .build()
+    ).to_pandas()
+
+    ldf = pd.DataFrame({"k": lk, "lx": lx})
+    rdf = pd.DataFrame({"rk": dup, "ry": ry})
+    m = ldf.merge(rdf, left_on="k", right_on="rk", how="left")
+    keep = m["ry"] > m["lx"]
+    matched = m[keep]
+    matched_keys = set(zip(matched.k, matched.lx))
+    unmatched = ldf[
+        ~ldf.apply(lambda r: (r.k, r.lx) in matched_keys, axis=1)
+    ]
+    a = sorted(
+        (int(k), int(x), None if pd.isna(y) else int(y))
+        for k, x, y in zip(got.k, got.lx, got.ry)
+    )
+    b = sorted(
+        [(int(k), int(x), int(y)) for k, x, y in zip(matched.k, matched.lx, matched.ry)]
+        + [(int(k), int(x), None) for k, x in zip(unmatched.k, unmatched.lx)]
+    )
+    assert a == b

@@ -1,0 +1,146 @@
+"""NULL grouping keys form ONE group (Presto semantics).
+
+Reference: velox/exec/VectorHasher.h reserves value-id 0 for null;
+velox/exec/GroupingSet.cpp groups all NULL keys together.  Round-2 VERDICT
+flagged this engine grouping NULL keys by their raw (undefined) value.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from velox_tpu.dtypes import BIGINT, DOUBLE, RowType, VARCHAR
+from velox_tpu.exec import run_plan
+from velox_tpu.io.table import Table
+from velox_tpu.plan import PlanBuilder
+
+
+def _agg(table, keys, aggs, tile_rows=64):
+    plan = PlanBuilder().table_scan(table).aggregation(keys, aggs).build()
+    return run_plan(plan, tile_rows=tile_rows).to_pandas()
+
+
+def test_null_key_single_group():
+    # garbage-under-null differs per row: without null canonicalization the
+    # NULL rows would split into several groups
+    k = np.array([1, 2, 1, 99, 55, 2, 77], dtype=np.int64)
+    valid = np.array([1, 1, 1, 0, 0, 1, 0], dtype=bool)
+    x = np.arange(7, dtype=np.int64)
+    t = Table(
+        RowType(["k", "x"], [BIGINT, BIGINT]),
+        {"k": k, "x": x},
+        validities={"k": valid},
+    )
+    got = _agg(t, ["k"], ["sum(x) as s", "count(*) as c"])
+    got = got.sort_values("k", na_position="last").reset_index(drop=True)
+    # expected: groups 1 -> 0+2, 2 -> 1+5, NULL -> 3+4+6
+    assert len(got) == 3
+    by_key = {
+        (None if pd.isna(r.k) else int(r.k)): (int(r.s), int(r.c))
+        for r in got.itertuples()
+    }
+    assert by_key[1] == (2, 2)
+    assert by_key[2] == (6, 2)
+    assert by_key[None] == (13, 3)
+
+
+def test_null_key_multi_key_groups():
+    rng = np.random.default_rng(3)
+    n = 500
+    k1 = rng.integers(0, 5, n).astype(np.int64)
+    k2 = rng.integers(0, 4, n).astype(np.int64)
+    v1 = rng.random(n) >= 0.3
+    v2 = rng.random(n) >= 0.3
+    x = rng.integers(0, 100, n).astype(np.int64)
+    t = Table(
+        RowType(["k1", "k2", "x"], [BIGINT, BIGINT, BIGINT]),
+        {"k1": k1, "k2": k2, "x": x},
+        validities={"k1": v1, "k2": v2},
+    )
+    got = _agg(t, ["k1", "k2"], ["sum(x) as s", "count(*) as c"], tile_rows=128)
+
+    df = pd.DataFrame(
+        {
+            "k1": np.where(v1, k1.astype(float), np.nan),
+            "k2": np.where(v2, k2.astype(float), np.nan),
+            "x": x,
+        }
+    )
+    exp = (
+        df.groupby(["k1", "k2"], dropna=False)["x"]
+        .agg(["sum", "count"])
+        .reset_index()
+    )
+
+    def norm(df_, s, c):
+        out = set()
+        for r in df_.itertuples():
+            a = None if pd.isna(r.k1) else int(r.k1)
+            b = None if pd.isna(r.k2) else int(r.k2)
+            out.add((a, b, int(getattr(r, s)), int(getattr(r, c))))
+        return out
+
+    assert norm(got, "s", "c") == norm(exp, "sum", "count")
+
+
+def test_null_key_unbounded_fallback():
+    # huge key range defeats the packed sort -> synthetic __nullbits__ path
+    k = np.array(
+        [1 << 40, -(1 << 40), 1 << 40, 123, 456], dtype=np.int64
+    )
+    valid = np.array([1, 1, 1, 0, 0], dtype=bool)
+    x = np.arange(5, dtype=np.int64)
+    t = Table(
+        RowType(["k", "x"], [BIGINT, BIGINT]),
+        {"k": k, "x": x},
+        validities={"k": valid},
+    )
+    # defeat bounds resolution: project k through an arithmetic expression
+    plan = (
+        PlanBuilder()
+        .table_scan(t)
+        .project(["k * 1 as kk", "x"])
+        .aggregation(["kk"], ["sum(x) as s", "count(*) as c"])
+        .build()
+    )
+    got = run_plan(plan, tile_rows=4).to_pandas()
+    by_key = {
+        (None if pd.isna(r.kk) else int(r.kk)): (int(r.s), int(r.c))
+        for r in got.itertuples()
+    }
+    assert by_key[1 << 40] == (2, 2)
+    assert by_key[-(1 << 40)] == (1, 1)
+    assert by_key[None] == (7, 2)
+
+
+def test_null_key_array_mode_strings():
+    # dictionary-encoded string keys use array mode; NULL gets its own slot
+    vals = np.array([1, 2, 1, 2, 1], dtype=np.int64)
+    valid = np.array([1, 1, 0, 0, 1], dtype=bool)
+    x = np.arange(5, dtype=np.int64)
+    from velox_tpu.vector.string_table import StringTable
+
+    st = StringTable(["a", "b"])  # codes: ''=0, 'a'=1, 'b'=2
+    t = Table(
+        RowType(["k", "x"], [VARCHAR, BIGINT]),
+        {"k": vals, "x": x},
+        string_tables={"k": st},
+        validities={"k": valid},
+    )
+    got = _agg(t, ["k"], ["sum(x) as s", "count(*) as c"], tile_rows=4)
+    by_key = {
+        (None if pd.isna(r.k) else r.k): (int(r.s), int(r.c))
+        for r in got.itertuples()
+    }
+    assert by_key["a"] == (4, 2)
+    assert by_key["b"] == (1, 1)
+    assert by_key[None] == (5, 2)
+
+
+def test_non_null_keys_unaffected():
+    # plans with provably non-null keys keep the no-null-handling fast path
+    k = np.array([3, 1, 3, 2, 1], dtype=np.int64)
+    x = np.arange(5, dtype=np.int64)
+    t = Table(RowType(["k", "x"], [BIGINT, BIGINT]), {"k": k, "x": x})
+    got = _agg(t, ["k"], ["sum(x) as s"])
+    assert sorted(zip(got.k, got.s)) == [(1, 5), (2, 3), (3, 2)]

@@ -46,6 +46,14 @@ class KeyInfo:
     # planner can resolve them (runner.resolve_column_bounds) — feeds the
     # normalized-key packed sort (ops/sortkey.py); None = multi-operand sort
     bounds: Optional[Tuple[int, int]] = None
+    # May this key column hold NULLs (runner.resolve_column_nullable)?  SQL
+    # groups all NULL keys together (reference: velox/exec/VectorHasher.h
+    # reserves value-id 0 for null); nullable keys get a dedicated null code
+    # in the packed sort, or ride the synthetic __nullbits__ key below.
+    nullable: bool = False
+    # Synthetic null-flag key (unbounded-key fallback): no real column — its
+    # value is a bitmask of is-null flags over the named source keys.
+    null_sources: Optional[Tuple[str, ...]] = None
 
 
 def key_info(
@@ -53,42 +61,67 @@ def key_info(
     dtype: DataType,
     strings: Optional[StringTable],
     bounds: Optional[Tuple[int, int]] = None,
+    nullable: bool = False,
 ) -> KeyInfo:
     if dtype.kind == TypeKind.BOOLEAN:
-        return KeyInfo(name, dtype, None, 2, (0, 1))
+        return KeyInfo(name, dtype, None, 2, (0, 1), nullable)
     if dtype.is_string and strings is not None:
         return KeyInfo(
-            name, dtype, strings, len(strings), (0, max(len(strings) - 1, 0))
+            name, dtype, strings, len(strings),
+            (0, max(len(strings) - 1, 0)), nullable,
         )
-    return KeyInfo(name, dtype, strings, None, bounds)
+    return KeyInfo(name, dtype, strings, None, bounds, nullable)
 
 
 class ArrayGrouping:
-    """Direct-indexed grouping over a static composite key range."""
+    """Direct-indexed grouping over a static composite key range.
+
+    Nullable keys get one extra value id (== radix) so NULL keys form a single
+    dedicated group (reference: velox/exec/VectorHasher.h reserves id 0 for
+    null; here null takes the id past the range)."""
 
     def __init__(self, keys: Sequence[KeyInfo]):
         assert all(k.radix is not None for k in keys)
         self.keys = list(keys)
+        self.radixes = [k.radix + (1 if k.nullable else 0) for k in keys]
         self.num_groups = 1
         self.strides: List[int] = []
-        for k in reversed(self.keys):
+        for r in reversed(self.radixes):
             self.strides.append(self.num_groups)
-            self.num_groups *= k.radix
+            self.num_groups *= r
         self.strides.reverse()
 
     def group_ids(self, batch: Batch) -> jax.Array:
         gid = jnp.zeros((batch.capacity,), dtype=jnp.int32)
         for k, stride in zip(self.keys, self.strides):
-            values, _ = batch.column(k.name).decode(batch.capacity)
-            gid = gid + values.astype(jnp.int32) * stride
+            values, validity = batch.column(k.name).decode(batch.capacity)
+            v = values.astype(jnp.int32)
+            if k.nullable and validity is not None:
+                v = jnp.where(validity, v, jnp.int32(k.radix))
+            gid = gid + v * stride
         return gid
 
     def key_arrays(self) -> List[np.ndarray]:
-        """Host-side per-key value-id column for each of the num_groups slots."""
+        """Host-side per-key value-id column for each of the num_groups slots
+        (null groups hold id == radix; see key_validities)."""
         out = []
         ids = np.arange(self.num_groups)
-        for k, stride in zip(self.keys, self.strides):
-            out.append(((ids // stride) % k.radix).astype(np.int32))
+        for k, r, stride in zip(self.keys, self.radixes, self.strides):
+            v = ((ids // stride) % r).astype(np.int32)
+            if k.nullable:
+                v = np.minimum(v, k.radix - 1)  # null slot: placeholder value
+            out.append(v)
+        return out
+
+    def key_validities(self) -> List[Optional[np.ndarray]]:
+        """Per-key host validity per group slot (False = the NULL group)."""
+        out: List[Optional[np.ndarray]] = []
+        ids = np.arange(self.num_groups)
+        for k, r, stride in zip(self.keys, self.radixes, self.strides):
+            if k.nullable:
+                out.append(((ids // stride) % r) != k.radix)
+            else:
+                out.append(None)
         return out
 
 
@@ -111,7 +144,9 @@ class SortGrouping:
     def pack_plan(self, capacity: int):
         """PackPlan for (keys..., row-id) if every key has resolvable bounds
         and the total fits 63 bits; None -> multi-operand sort fallback
-        (the kNormalizedKey -> kHash degradation, HashTable.cpp:1376)."""
+        (the kNormalizedKey -> kHash degradation, HashTable.cpp:1376).
+        Nullable keys reserve a dedicated null code so NULL keys form one
+        group (Presto GROUP BY semantics)."""
         from ..ops.sortkey import PackPlan, index_bits
 
         bounds = []
@@ -120,8 +155,46 @@ class SortGrouping:
                 return None
             bounds.append(k.bounds)
         return PackPlan.fit(
-            bounds, extra_bits=index_bits(capacity), sentinel_fields=(0,)
+            bounds,
+            extra_bits=index_bits(capacity),
+            sentinel_fields=(0,),
+            null_fields=tuple(
+                i for i, k in enumerate(self.keys) if k.nullable
+            ),
         )
+
+    def _decode_keys(self, batch: Batch):
+        """Per-key (values, validity) with synthetic null-bit keys computed
+        and nullable key values canonicalized to 0 on NULL rows (so the
+        multi-operand fallback sorts deterministic values; the packed path
+        additionally maps NULL to the field's null code via ``validities``)."""
+        cap = batch.capacity
+        raw = {}
+        for k in self.keys:
+            if k.null_sources is None:
+                raw[k.name] = batch.column(k.name).decode(cap)
+        key_vals: List[jax.Array] = []
+        key_valid: List[Optional[jax.Array]] = []
+        for k in self.keys:
+            if k.null_sources is not None:
+                bits = jnp.zeros((cap,), dtype=jnp.int64)
+                for j, src in enumerate(k.null_sources):
+                    v, val = raw.get(src) or batch.column(src).decode(cap)
+                    if val is not None:
+                        bits = bits | (
+                            (~val).astype(jnp.int64) << j
+                        )
+                key_vals.append(bits)
+                key_valid.append(None)
+                continue
+            v, val = raw[k.name]
+            if k.nullable and val is not None:
+                v = jnp.where(val, v, jnp.zeros_like(v))
+                key_valid.append(val)
+            else:
+                key_valid.append(None)
+            key_vals.append(v)
+        return key_vals, key_valid
 
     def sort_and_group(
         self, batch: Batch, payload: Sequence[jax.Array], mask: jax.Array
@@ -135,7 +208,7 @@ class SortGrouping:
         from ..ops.segmented import SortedRuns
 
         cap = batch.capacity
-        key_vals = [batch.column(k.name).decode(cap)[0] for k in self.keys]
+        key_vals, key_valid = self._decode_keys(batch)
         if self.presorted:
             # already key-ordered (dead rows keep their key values, so runs
             # spanning dead rows stay intact); no sort at all
@@ -153,7 +226,9 @@ class SortGrouping:
             # every key + the payload row-id ride in a single int64.
             from ..ops.sortkey import packed_sort_with_index
 
-            s, codes, perm = packed_sort_with_index(plan, key_vals, ~mask, cap)
+            s, codes, perm = packed_sort_with_index(
+                plan, key_vals, ~mask, cap, validities=key_valid
+            )
             sorted_keys = [
                 plan.unpack(s, i).astype(kv.dtype)
                 for i, kv in enumerate(key_vals)

@@ -134,6 +134,53 @@ def resolve_column_bounds(node: PlanNode, name: str):
     return None
 
 
+def resolve_column_nullable(node: PlanNode, name: str) -> bool:
+    """May this column hold NULLs?  Conservative (True when unsure) — feeds
+    null-aware grouping (SQL: NULL keys form ONE group; reference:
+    velox/exec/VectorHasher.h null value-id handling).  The cost of a false
+    positive is one spare code in the packed sort key, so precision matters
+    mainly for array-mode radix budgets."""
+    from ..plan.nodes import ArrowStreamNode
+
+    if isinstance(node, (TableScanNode, ValuesNode, ArrowStreamNode)):
+        v = node.table.validities.get(name)
+        return v is not None and not bool(np.asarray(v).all())
+    if isinstance(node, ProjectNode):
+        expr = node.exprs[node.names.index(name)]
+        if isinstance(expr, FieldAccess):
+            return resolve_column_nullable(node.source, expr.name)
+        from ..expr.ir import Constant
+
+        if isinstance(expr, Constant):
+            return expr.value is None
+        return True
+    if isinstance(node, (FilterNode, LimitNode, TopNNode, OrderByNode)):
+        return resolve_column_nullable(node.sources[0], name)
+    if isinstance(node, HashJoinNode):
+        from ..plan.nodes import JoinType as _JT
+
+        jt = node.join_type
+        if name in node.right.output_schema and name not in node.left.output_schema:
+            # build-side column: LEFT/FULL null-extend unmatched probe rows
+            if jt in (_JT.LEFT, _JT.FULL):
+                return True
+            return resolve_column_nullable(node.right, name)
+        if name in node.left.output_schema:
+            if jt == _JT.FULL:
+                return True  # unmatched-build epilogue nulls the probe side
+            return resolve_column_nullable(node.left, name)
+        return True
+    if isinstance(node, AggregationNode):
+        if name in node.grouping_keys:
+            return resolve_column_nullable(node.sources[0], name)
+        return True  # aggregate results (e.g. sum over zero rows) can be null
+    if node.sources:
+        for s in node.sources:
+            if name in s.output_schema:
+                return resolve_column_nullable(s, name)
+    return True
+
+
 def _element_strings(node: PlanNode, name: str, child_idx: int):
     """Dictionary of an ARRAY/MAP column's child (for unnested elements)."""
     from ..expr.ir import StringsCall
@@ -451,9 +498,16 @@ class AggExecutor:
                 in_schema.type_of(k),
                 resolve_column_strings(node.source, k),
                 resolve_column_bounds(node.source, k),
+                nullable=resolve_column_nullable(node.source, k),
             )
             for k in node.grouping_keys
         ]
+        self.n_output_keys = len(self.key_infos)
+        any_nullable = any(k.nullable for k in self.key_infos)
+        if any_nullable:
+            # presorted grouping relies on upstream key order, which does not
+            # place NULL keys adjacently in general — fall back to the sort
+            presorted = False
         from .collect_agg import CollectAggregate
 
         if any(isinstance(a, CollectAggregate) for a in self.aggs):
@@ -475,6 +529,25 @@ class AggExecutor:
         else:
             self.mode = "sort"
             self.grouping = SortGrouping(self.key_infos, presorted)
+            if any_nullable and self.grouping.pack_plan(capacity) is None:
+                # unbounded nullable keys: NULL-group identity rides a
+                # synthetic null-bitmask key (one extra sort operand / carry
+                # column); every downstream stage (carry merge, spill,
+                # exchange, host merge) treats it as an ordinary key
+                from ..dtypes import BIGINT
+
+                nullable_names = tuple(
+                    k.name for k in self.key_infos if k.nullable
+                )
+                self.key_infos.append(
+                    KeyInfo(
+                        "__nullbits__", BIGINT, None, None,
+                        (0, (1 << len(nullable_names)) - 1),
+                        nullable=False,
+                        null_sources=nullable_names,
+                    )
+                )
+                self.grouping = SortGrouping(self.key_infos, presorted)
             self.num_groups = capacity
 
     # ---- direct modes (ungrouped / array): carried accumulators ----------
@@ -751,14 +824,47 @@ class AggExecutor:
             # keep only groups that actually received rows
             live = np.asarray(rowcounts) > 0
             host_keys = self.grouping.key_arrays()
-            for info, name, arr in zip(self.key_infos, names[:nkeys], host_keys):
+            key_valids = self.grouping.key_validities()
+            for info, name, arr, kv in zip(
+                self.key_infos, names[:nkeys], host_keys, key_valids
+            ):
                 cols[name] = arr[live]
                 if info.strings is not None:
                     tables[name] = info.strings
+                if kv is not None:
+                    v = kv[live]
+                    if not v.all():
+                        validities[name] = v
         else:
             live = None
-            for info, name, arr in zip(self.key_infos, names[:nkeys], key_arrays or []):
-                cols[name] = np.asarray(arr)
+            # sort mode: NULL groups carry either the packed null VALUE
+            # (bounds hi + 1) or a bit in the synthetic __nullbits__ key
+            nullbits = None
+            if (
+                self.key_infos
+                and self.key_infos[-1].null_sources is not None
+                and key_arrays is not None
+                and len(key_arrays) == len(self.key_infos)
+            ):
+                nullbits = np.asarray(key_arrays[-1]).astype(np.int64)
+            nb_sources = (
+                list(self.key_infos[-1].null_sources) if nullbits is not None else []
+            )
+            for info, name, arr in zip(
+                self.key_infos, names[:nkeys], key_arrays or []
+            ):
+                arr = np.asarray(arr)
+                valid = None
+                if nullbits is not None and info.name in nb_sources:
+                    bit = nb_sources.index(info.name)
+                    valid = (nullbits >> bit) & 1 == 0
+                elif info.nullable and info.bounds is not None:
+                    null_v = info.bounds[1] + 1
+                    valid = arr.astype(np.int64) != null_v
+                if valid is not None and not valid.all():
+                    arr = np.where(valid, arr, np.zeros_like(arr))
+                    validities[name] = valid
+                cols[name] = arr
                 if info.strings is not None:
                     tables[name] = info.strings
         for i, (agg, acc, name) in enumerate(zip(self.aggs, accs, names[nkeys:])):
@@ -840,7 +946,7 @@ def _np_classic_agg(agg, ex, i, cols, vals, order, starts, gids, num_groups):
 def _radix_product(infos: Sequence[KeyInfo]) -> int:
     p = 1
     for k in infos:
-        p *= k.radix
+        p *= k.radix + (1 if k.nullable else 0)  # +1 id for the NULL group
     return p
 
 
