@@ -213,51 +213,59 @@ class SortGrouping:
             # already key-ordered (dead rows keep their key values, so runs
             # spanning dead rows stay intact); no sort at all
             sorted_keys, sorted_payload, sorted_mask = key_vals, list(payload), mask
-            idx = jnp.arange(cap, dtype=jnp.int32)
+            from ..ops.segmented import run_boundaries
+
             diff = jnp.zeros((cap,), dtype=jnp.bool_)
             for kv in sorted_keys:
                 diff = diff | (kv != jnp.roll(kv, 1))
-            boundary = sorted_mask & ((idx == 0) | diff)
+            boundary = run_boundaries(diff, sorted_mask)
             runs = SortedRuns(boundary, sorted_mask)
             return sorted_keys, sorted_payload, sorted_mask, runs
+        # Payloads (and the mask) ride the sort as extra non-key OPERANDS
+        # rather than being gathered through a permutation afterwards: on TPU
+        # v5e an extra sort operand costs ~12 ms per 8M rows while one random
+        # 8M-row gather costs ~60 ms (scripts/bench_cost_model.py) — the
+        # opposite of CPU intuition, where the reference gathers payloads once
+        # after probing (velox/exec/HashProbe.cpp).
+        carried = list(payload) + [mask]
         plan = self.pack_plan(cap)
         if plan is not None:
-            # One-operand packed sort (ops/sortkey.py): liveness sentinel +
-            # every key + the payload row-id ride in a single int64.
-            from ..ops.sortkey import packed_sort_with_index
-
-            s, codes, perm = packed_sort_with_index(
-                plan, key_vals, ~mask, cap, validities=key_valid
-            )
+            # One-operand packed key (ops/sortkey.py): liveness sentinel +
+            # every key + the row-id ride in a single int64.
+            idx64 = jnp.arange(cap, dtype=jnp.int64)
+            packed = plan.pack_with_sentinel(key_vals, ~mask, key_valid)
+            merged = packed | idx64
+            out = jax.lax.sort([merged] + carried, num_keys=1)
+            s = out[0]
+            low = plan.shifts[-1] if plan.shifts else 0
+            codes = s >> low
             sorted_keys = [
                 plan.unpack(s, i).astype(kv.dtype)
                 for i, kv in enumerate(key_vals)
             ]
-            sorted_payload = [jnp.take(p, perm, mode="clip") for p in payload]
-            sorted_mask = jnp.take(mask, perm, mode="clip")
-            idx = jnp.arange(cap, dtype=jnp.int32)
+            sorted_payload = list(out[1 : 1 + len(payload)])
+            sorted_mask = out[-1]
+            from ..ops.segmented import run_boundaries
+
             diff = codes != jnp.roll(codes, 1)
-            boundary = sorted_mask & ((idx == 0) | diff)
+            boundary = run_boundaries(diff, sorted_mask)
             runs = SortedRuns(boundary, sorted_mask)
             return sorted_keys, sorted_payload, sorted_mask, runs
-        # Multi-operand fallback: sort only (liveness, keys, row-id) and gather
-        # payloads through the permutation — TPU sort compile time grows
-        # ~linearly with operand count (measured ~10 s/operand at 4M rows),
-        # gathers are cheap.
-        perm_src = jnp.arange(cap, dtype=jnp.int32)
+        # Multi-operand fallback: (liveness, keys) as sort keys, payloads as
+        # non-key operands (same cost rationale as above).
         sorted_ops = jax.lax.sort(
-            [~mask] + key_vals + [perm_src], num_keys=1 + len(key_vals)
+            [~mask] + key_vals + carried, num_keys=1 + len(key_vals)
         )
         sorted_keys = sorted_ops[1 : 1 + len(key_vals)]
-        perm = sorted_ops[-1]
-        sorted_payload = [jnp.take(p, perm, mode="clip") for p in payload]
-        sorted_mask = jnp.take(mask, perm, mode="clip")
-        idx = jnp.arange(cap, dtype=jnp.int32)
+        sorted_payload = list(sorted_ops[1 + len(key_vals) : -1])
+        sorted_mask = sorted_ops[-1]
+        from ..ops.segmented import run_boundaries
+
         diff = jnp.zeros((cap,), dtype=jnp.bool_)
         for kv in sorted_keys:
             prev = jnp.roll(kv, 1)
             diff = diff | (kv != prev)
-        boundary = sorted_mask & ((idx == 0) | diff)
+        boundary = run_boundaries(diff, sorted_mask)
         runs = SortedRuns(boundary, sorted_mask)
         return sorted_keys, sorted_payload, sorted_mask, runs
 

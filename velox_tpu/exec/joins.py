@@ -245,6 +245,63 @@ class HashJoinExec:
     # null keys included)
     build_has_null_key: bool = dataclasses.field(default=False, kw_only=True)
     n_valid_build_keys: int = dataclasses.field(default=0, kw_only=True)
+    # Fused-probe build payload (see _probe_fused): every build output column
+    # bit-packed into ONE int64 per build row, so the merge sort's cummax
+    # propagates the whole payload to matching probe rows with ZERO gathers.
+    bp_plan: Optional[object] = dataclasses.field(default=None, kw_only=True)
+    bp_packed: Optional[jax.Array] = dataclasses.field(
+        default=None, kw_only=True
+    )
+    bp_fields: Optional[Tuple] = dataclasses.field(default=None, kw_only=True)
+
+    def _prepare_build_payload(self, bounds_map) -> None:
+        """Pack the build's non-key output columns (+ validity bits) into one
+        int64 word per row when their combined bit-width allows — the fused
+        probe then carries the payload through its cummax scan instead of
+        gathering per column (a random 8M gather costs ~60 ms on v5e vs ~0
+        for bits already in the scanned word; scripts/bench_cost_model.py).
+
+        ``bounds_map``: per-column inclusive (lo, hi) integer bounds.  Any
+        non-integer or unbounded column disables packing (tier-2 fallback:
+        per-column gathers by candidate index)."""
+        from ..ops.sortkey import PackPlan
+
+        if not self.build_cols:
+            return
+        fields: List[Tuple[str, str]] = []  # ('v'|'n', column name)
+        bounds: List[Tuple[int, int]] = []
+        for name, (values, validity) in self.build_cols.items():
+            if not (
+                jnp.issubdtype(values.dtype, jnp.integer)
+                or values.dtype == jnp.bool_
+            ):
+                return
+            b = bounds_map.get(name)
+            if b is None:
+                return
+            fields.append(("v", name))
+            bounds.append((int(b[0]), int(b[1])))
+            if validity is not None:
+                fields.append(("n", name))
+                bounds.append((0, 1))
+        plan = PackPlan.fit(bounds)
+        if plan is None:
+            return
+        vals = []
+        for (kind, name), (lo, hi) in zip(fields, bounds):
+            values, validity = self.build_cols[name]
+            if kind == "v":
+                # clamp into bounds: padding slots / garbage-under-null must
+                # not overflow into neighboring fields (they never match)
+                v = jnp.clip(
+                    values.astype(jnp.int64), jnp.int64(lo), jnp.int64(hi)
+                )
+                vals.append(v)
+            else:
+                vals.append(validity.astype(jnp.int64))
+        self.bp_packed = plan.pack(vals)
+        self.bp_plan = plan
+        self.bp_fields = tuple(fields)
 
     @staticmethod
     def build(node: HashJoinNode, build_result: Table) -> "HashJoinExec":
@@ -345,6 +402,7 @@ class HashJoinExec:
             )
 
         cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]] = {}
+        bounds_map: Dict[str, Tuple[int, int]] = {}
         right_schema = node.right.output_schema
         for name in node.output_columns:
             # FULL keeps the right KEY columns too: the unmatched-build
@@ -354,6 +412,16 @@ class HashJoinExec:
             ):
                 arr = np.asarray(build_result.columns[name])[row_order]
                 validity = build_result.validities.get(name)
+                if (
+                    len(arr)
+                    and (
+                        np.issubdtype(arr.dtype, np.integer)
+                        or arr.dtype == np.bool_
+                    )
+                ):
+                    src = arr if validity is None else arr[validity[row_order]]
+                    if len(src):
+                        bounds_map[name] = (int(src.min()), int(src.max()))
                 v = None if validity is None else jnp.asarray(validity[row_order])
                 cols[name] = (jnp.asarray(arr), v)
         # (min, max) over the valid keys — keys are sorted ascending with the
@@ -367,7 +435,7 @@ class HashJoinExec:
             if n_valid_keys and keys_hi_sorted is None
             else None
         )
-        return HashJoinExec(
+        exec_ = HashJoinExec(
             node,
             jnp.asarray(keys_sorted),
             cols,
@@ -384,6 +452,9 @@ class HashJoinExec:
             build_has_null_key=keep is not None,
             n_valid_build_keys=n_valid_keys,
         )
+        if not expansion:
+            exec_._prepare_build_payload(bounds_map)
+        return exec_
 
     @staticmethod
     def build_from_device(node: HashJoinNode, batches, err_scalar) -> "HashJoinExec":
@@ -569,7 +640,7 @@ class HashJoinExec:
             keys_hi_cut = jnp.where(
                 valid, keys_hi_cut, jnp.int64(_KEY_SENTINEL)
             )
-        return HashJoinExec(
+        exec_ = HashJoinExec(
             node, keys_cut, out_cols, bucket, strings, normalizer, valid,
             key_range=(
                 (int(kmin), int(kmax)) if n and keys_hi_cut is None else None
@@ -578,6 +649,34 @@ class HashJoinExec:
             build_has_null_key=int(n_live) > int(n_valid),
             n_valid_build_keys=n,
         )
+        int_cols = [
+            nm
+            for nm, (g, gv) in out_cols.items()
+            if jnp.issubdtype(g.dtype, jnp.integer) or g.dtype == jnp.bool_
+        ]
+        if int_cols and n:
+            # one extra tiny fetch: per-column (min, max) over live slots —
+            # feeds the fused probe's packed payload (tier 1)
+            @jax.jit
+            def col_stats():
+                big = jnp.int64(1) << 62
+                stats = []
+                for nm in int_cols:
+                    g, gv = out_cols[nm]
+                    m = valid if gv is None else (valid & gv)
+                    v = g.astype(jnp.int64)
+                    stats.append(jnp.min(jnp.where(m, v, big)))
+                    stats.append(jnp.max(jnp.where(m, v, -big)))
+                return jnp.stack(stats)
+
+            st = np.asarray(fetch_tree(col_stats()))
+            bounds_map = {
+                nm: (int(st[2 * i]), int(st[2 * i + 1]))
+                for i, nm in enumerate(int_cols)
+                if st[2 * i] <= st[2 * i + 1]
+            }
+            exec_._prepare_build_payload(bounds_map)
+        return exec_
 
     # ---- sort-merge lookup --------------------------------------------
     def _lookup_sorted(
@@ -1007,6 +1106,232 @@ class HashJoinExec:
             tuple(out_cols), count, None, node.output_schema, B
         )
 
+    # ---- fused gather-free probe -------------------------------------------
+    def _probe_fused(self, batch: Batch) -> Optional[Batch]:
+        """ONE merge sort + one cummax scan; zero gathers in the common case.
+
+        Measured on TPU v5e (scripts/bench_cost_model.py, 8M rows): a random
+        gather costs ~60 ms while an extra sort operand costs ~12 ms and bits
+        already inside the sorted word are free.  So instead of the
+        sort + classification-sort + per-column-gather pipeline
+        (_lookup_sorted + probe), this path:
+
+          1. packs (key code | is_probe | live | key-valid | ok | low) into
+             one int64 word per row — build rows put their ENTIRE bit-packed
+             payload (bp_packed) in the low field, probe rows their row id;
+          2. sorts ONCE with the probe's output columns riding as extra
+             non-key operands (build slots hold the build key so downstream
+             presorted grouping sees intact runs);
+          3. a cummax propagates the last build word to each probe row: the
+             candidate's key code AND payload arrive in one scan — the
+             reference's equivalent is its vectorized hash-table probe
+             (velox/exec/HashTable.cpp:360);
+          4. emits the batch in MERGED order (capacity B + cap) with build
+             slots masked dead — no reorder sort; downstream operators handle
+             selection masks and the output stays key-sorted for the
+             presorted-aggregation path.
+
+        Returns None (statically) when preconditions fail; the caller falls
+        back to the classification-sort path."""
+        node = self.node
+        jt = node.join_type
+        cap = batch.capacity
+        B = self.build_size
+        if self.expansion or B == 0 or self.key_range is None:
+            return None
+        if self.build_keys_hi is not None:
+            return None
+        left_schema = node.left.output_schema
+        right_key_to_left = dict(zip(node.right_keys, node.left_keys))
+        out_build = [
+            n
+            for n in node.output_columns
+            if n in self.build_cols
+            and not (n in left_schema or n in right_key_to_left)
+        ]
+        # complex-typed probe columns cannot ride as flat sort operands
+        for name in node.output_columns:
+            if name in left_schema and left_schema.type_of(name).is_complex:
+                return None
+
+        idxb = _index_bits(cap)
+        tier1 = (not out_build) or (self.bp_plan is not None)
+        if tier1:
+            pb = self.bp_plan.total_bits if (out_build and self.bp_plan) else 0
+            L = max(idxb, pb)
+        else:
+            L = max(idxb, _index_bits(B))
+        lo, hi = self.key_range
+        span = hi - lo + 2
+        kb = int(span).bit_length()
+        if kb + 4 + L > 63:
+            if tier1 and out_build:
+                # retry without the packed payload (tier 2 gathers instead)
+                tier1 = False
+                L = max(idxb, _index_bits(B))
+                if kb + 4 + L > 63:
+                    return None
+            else:
+                return None
+
+        # ---- probe keys + masks
+        probe_vals: List[jax.Array] = []
+        vb = jnp.ones((cap,), dtype=jnp.bool_)  # key validity (NULL test)
+        for k in node.left_keys:
+            values, validity = batch.column(k).decode(cap)
+            probe_vals.append(values)
+            if validity is not None:
+                vb = vb & validity
+        if self.normalizer is None:
+            probe_keys = probe_vals[0].astype(jnp.int64)
+            ok = vb
+        else:
+            probe_keys, ok = self.normalizer.pack_device(probe_vals, vb)
+        live = batch.active_mask()
+
+        all_keys = jnp.concatenate([self.build_keys, probe_keys])
+        code = _key_codes(all_keys, lo, span)
+        pcode = code[B:]
+        ok = ok & (pcode >= 1) & (pcode <= span - 1)
+
+        if tier1 and out_build:
+            low_b = self.bp_packed
+        elif tier1:
+            low_b = jnp.zeros((B,), jnp.int64)
+        else:
+            low_b = jnp.arange(B, dtype=jnp.int64)
+        word_b = (code[:B] << (4 + L)) | low_b
+        flags = (
+            (jnp.int64(1) << 3)
+            | (live.astype(jnp.int64) << 2)
+            | (vb.astype(jnp.int64) << 1)
+            | ok.astype(jnp.int64)
+        )
+        word_p = ((pcode << 4) | flags) << L | jnp.arange(cap, dtype=jnp.int64)
+        word = jnp.concatenate([word_b, word_p])
+
+        # ---- carried probe columns (the left side of every output column)
+        needed_left: List[str] = []
+        for name in node.output_schema.names:
+            ln = (
+                name
+                if name in left_schema
+                else right_key_to_left.get(name)
+            )
+            if ln is not None and ln not in needed_left:
+                needed_left.append(ln)
+        ops: List[jax.Array] = []
+        meta = {}  # left name -> (op index, validity bit | -1, strings)
+        vbits = None
+        bit = 0
+        single_key = self.normalizer is None
+        for ln in needed_left:
+            col = batch.column(ln)
+            values, validity = col.decode(cap)
+            if single_key and ln == node.left_keys[0]:
+                # build slots keep their own key value so runs of equal keys
+                # stay contiguous through dead slots (presorted grouping)
+                pad = self.build_keys.astype(values.dtype)
+            else:
+                pad = jnp.zeros((B,), values.dtype)
+            ops.append(jnp.concatenate([pad, values]))
+            vbit = -1
+            if validity is not None:
+                add = jnp.concatenate(
+                    [jnp.zeros((B,), jnp.int64), validity.astype(jnp.int64)]
+                )
+                vbits = add << bit if vbits is None else vbits | (add << bit)
+                vbit = bit
+                bit += 1
+            meta[ln] = (len(ops) - 1, vbit, col.strings)
+        sort_ops = [word] + ops + ([vbits] if vbits is not None else [])
+        out = jax.lax.sort(sort_ops, num_keys=1)
+        s = out[0]
+        out_vbits = out[-1] if vbits is not None else None
+
+        # ---- one scan: candidate build word per probe row
+        is_probe = ((s >> (3 + L)) & 1).astype(jnp.bool_)
+        bmark = jnp.where(is_probe, jnp.int64(-1), s)
+        lastb = jax.lax.cummax(bmark)
+        own_code = s >> (4 + L)
+        cand_code = lastb >> (4 + L)  # -1 rows: negative, never equal
+        live_s = ((s >> (2 + L)) & 1).astype(jnp.bool_)
+        vb_s = ((s >> (1 + L)) & 1).astype(jnp.bool_)
+        ok_s = ((s >> L) & 1).astype(jnp.bool_)
+        hit = is_probe & ok_s & (lastb >= 0) & (cand_code == own_code)
+
+        if jt in (JoinType.INNER, JoinType.LEFT_SEMI):
+            live_out = live_s & hit
+        elif jt == JoinType.ANTI:
+            live_out = live_s & ~hit
+            if self.node.null_aware and self.n_valid_build_keys > 0:
+                # NOT IN over a non-empty set: a NULL probe key compares
+                # unknown against every element -> never passes (out-of-range
+                # NON-null keys do pass — they are definitely not in the set)
+                live_out = live_out & vb_s
+        else:  # LEFT: probe-preserving
+            live_out = live_s
+        live_out = live_out & is_probe
+
+        # ---- output columns, merged order
+        low_mask = (jnp.int64(1) << L) - 1
+        lastb_low = lastb & low_mask
+        n_all = B + cap
+        out_cols: List[Column] = []
+        for name, dtype in zip(
+            node.output_schema.names, node.output_schema.types
+        ):
+            if name in left_schema:
+                i, vbit, strings = meta[name]
+                g = out[1 + i]
+                gv = (
+                    None
+                    if vbit < 0
+                    else ((out_vbits >> vbit) & 1).astype(jnp.bool_)
+                )
+                out_cols.append(Column.flat(g, dtype, gv, strings))
+            elif name in right_key_to_left:
+                ln = right_key_to_left[name]
+                i, _, _ = meta[ln]
+                g = out[1 + i]
+                validity = hit if jt == JoinType.LEFT else None
+                out_cols.append(
+                    Column.flat(
+                        g.astype(dtype.device_dtype), dtype, validity
+                    )
+                )
+            else:  # build column
+                values, validity = self.build_cols[name]
+                if tier1:
+                    fi = self.bp_fields.index(("v", name))
+                    g = self.bp_plan.unpack(lastb_low, fi).astype(
+                        dtype.device_dtype
+                    )
+                    gv = None
+                    if ("n", name) in self.bp_fields:
+                        ni = self.bp_fields.index(("n", name))
+                        gv = self.bp_plan.unpack(lastb_low, ni) != 0
+                else:
+                    cand = lastb_low.astype(jnp.int32)
+                    g = jnp.take(values, cand, mode="clip")
+                    gv = (
+                        None
+                        if validity is None
+                        else jnp.take(validity, cand, mode="clip")
+                    )
+                if jt == JoinType.LEFT:
+                    gv = hit if gv is None else (gv & hit)
+                out_cols.append(
+                    Column.flat(g, dtype, gv, self.build_tables.get(name))
+                )
+        return Batch(
+            tuple(out_cols),
+            jnp.asarray(n_all, dtype=jnp.int32),
+            live_out,
+            node.output_schema,
+            n_all,
+        )
+
     # ---- trace-time probe -------------------------------------------------
     def probe(self, batch: Batch) -> Batch:
         node = self.node
@@ -1029,6 +1354,10 @@ class HashJoinExec:
                 node.output_schema,
                 cap,
             )
+
+        fused = self._probe_fused(batch)
+        if fused is not None:
+            return fused
 
         probe_vals: List[jax.Array] = []
         key_ok = jnp.ones((cap,), dtype=jnp.bool_)

@@ -678,29 +678,37 @@ class AggExecutor:
         for acc_c, acc_t in zip(accs_c, tile_accs):
             for a_c, a_t in zip(acc_c, acc_t):
                 flat_accs.append(jnp.concatenate([a_c, a_t.astype(a_c.dtype)]))
-        # sort (liveness, keys, row-id) only; gather accumulators through the
-        # permutation (sort compile cost grows with operand count).  With
-        # resolvable key bounds the whole tuple packs into ONE int64 operand
-        # (ops/sortkey.py) — the dominant cost of the per-tile merge.
+        # Sort (liveness, keys) with the accumulators riding as non-key sort
+        # OPERANDS: an extra operand costs ~12 ms per 8M rows on v5e while a
+        # random gather through the permutation costs ~60 ms
+        # (scripts/bench_cost_model.py) — carrying beats gathering 5x.  With
+        # resolvable key bounds the key tuple packs into ONE int64 operand
+        # (ops/sortkey.py).
         n = G + cap
+        carried = flat_accs + [valid]
         plan = (
             self.grouping.pack_plan(n)
             if isinstance(self.grouping, SortGrouping)
             else None
         )
         if plan is not None:
-            from ..ops.sortkey import packed_sort_with_index
-
-            s, codes, perm = packed_sort_with_index(plan, keys_all, ~valid, n)
+            idx64 = jnp.arange(n, dtype=jnp.int64)
+            packed = plan.pack_with_sentinel(keys_all, ~valid)
+            merged = packed | idx64
+            out = jax.lax.sort([merged] + carried, num_keys=1)
+            s = out[0]
+            low = plan.shifts[-1] if plan.shifts else 0
+            codes = s >> low
             keys_s = [
                 plan.unpack(s, i).astype(kv.dtype)
                 for i, kv in enumerate(keys_all)
             ]
-            accs_s = [jnp.take(a, perm, mode="clip") for a in flat_accs]
-            valid_s = jnp.take(valid, perm, mode="clip")
-            pos = jnp.arange(n, dtype=jnp.int32)
+            accs_s = list(out[1 : 1 + len(flat_accs)])
+            valid_s = out[-1]
+            from ..ops.segmented import run_boundaries
+
             diff = codes != jnp.roll(codes, 1)
-            boundary = valid_s & ((pos == 0) | diff)
+            boundary = run_boundaries(diff, valid_s)
             runs = SortedRuns(boundary, valid_s)
             new_keys = tuple(runs.first(kv)[:G] for kv in keys_s)
             new_accs = []
@@ -713,19 +721,18 @@ class AggExecutor:
             new_count = jnp.minimum(runs.num_runs, G).astype(jnp.int32)
             overflow = overflow + (runs.num_runs > G).astype(jnp.int32)
             return (new_keys, tuple(new_accs), new_count, overflow)
-        perm_src = jnp.arange(n, dtype=jnp.int32)
         sorted_ops = jax.lax.sort(
-            [~valid] + keys_all + [perm_src], num_keys=1 + len(keys_all)
+            [~valid] + keys_all + carried, num_keys=1 + len(keys_all)
         )
         keys_s = sorted_ops[1 : 1 + len(keys_all)]
-        perm = sorted_ops[-1]
-        accs_s = [jnp.take(a, perm, mode="clip") for a in flat_accs]
-        valid_s = jnp.take(valid, perm, mode="clip")
-        pos = jnp.arange(n, dtype=jnp.int32)
+        accs_s = list(sorted_ops[1 + len(keys_all) : -1])
+        valid_s = sorted_ops[-1]
+        from ..ops.segmented import run_boundaries
+
         diff = jnp.zeros((n,), dtype=jnp.bool_)
         for kv in keys_s:
             diff = diff | (kv != jnp.roll(kv, 1))
-        boundary = valid_s & ((pos == 0) | diff)
+        boundary = run_boundaries(diff, valid_s)
         runs = SortedRuns(boundary, valid_s)
         new_keys = tuple(runs.first(kv)[:G] for kv in keys_s)
         new_accs = []
@@ -1372,6 +1379,13 @@ class LocalExecutor:
                 sort_keys
                 and lin.agg.grouping_keys
                 and sort_keys[0] == lin.agg.grouping_keys[0]
+                # single-tile pipelines skip presorted grouping on purpose:
+                # a full per-tile sort makes runs EXACT groups, so the
+                # single-tile fast path needs NO carry merge at all — one
+                # packed sort beats sort-free grouping + a merge sort over
+                # carry+tile (presorted runs can split logical groups when
+                # secondary keys interleave, forcing the merge)
+                and self.source_table.num_tiles(self.capacity) > 1
             )
             ex = AggExecutor(lin.agg, self.capacity, presorted)
             self.agg_exec = ex

@@ -141,21 +141,29 @@ class Table:
                 continue
             arr = self.columns[name][start:stop]
             if (
-                np.asarray(arr).dtype == np.int64
-                and np.dtype(dtype.device_dtype) == np.int64
+                np.issubdtype(np.asarray(arr).dtype, np.integer)
+                and np.issubdtype(np.dtype(dtype.device_dtype), np.integer)
                 and not dtype.is_long_decimal
+                and not dtype.is_string
             ):
-                # narrow transfer: int64 columns whose cached table-wide
-                # bounds fit int32 ship as int32 and widen on device at
-                # first decode — halves host-link bytes on the (slow)
-                # upload path (Column._widen)
+                # narrow transfer: integer columns ship at the NARROWEST
+                # width their cached table-wide bounds allow (int8/16/32)
+                # and widen on device at first decode (Column._widen) — the
+                # host link is the slowest part of the system, so wire bytes
+                # scale with the data's true range, not its declared type.
+                # Reference analog: the selective readers' bit-packed /
+                # narrow decode paths (dwio/common/SelectiveColumnReader.h).
                 b = self.column_bounds(name)
-                if (
-                    b is not None
-                    and b[0] >= -(2**31)
-                    and b[1] < 2**31
-                ):
-                    arr = np.asarray(arr).astype(np.int32)
+                if b is not None:
+                    narrow = np.asarray(arr).dtype
+                    for cand in (np.int8, np.int16, np.int32):
+                        info = np.iinfo(cand)
+                        if b[0] >= info.min and b[1] <= info.max:
+                            if np.dtype(cand).itemsize < narrow.itemsize:
+                                narrow = np.dtype(cand)
+                            break
+                    if narrow != np.asarray(arr).dtype:
+                        arr = np.asarray(arr).astype(narrow)
             if n < tile_rows:
                 pad_shape = (tile_rows - n,) + np.shape(arr)[1:]
                 arr = np.concatenate(

@@ -228,6 +228,26 @@ def rank_in_segments(
     return by_probe[:n].astype(jnp.int32)
 
 
+def run_boundaries(diff: jax.Array, mask: jax.Array) -> jax.Array:
+    """Run starts over key-sorted rows with dead rows possibly INTERLEAVED
+    (merged-order join output, exec/joins.py _probe_fused): the first LIVE row
+    at/after each key change starts a run — a dead row carrying the key change
+    must not swallow the boundary.
+
+    ``diff``: raw key-change marker per row (ignoring liveness); ``mask``:
+    live rows."""
+    n = diff.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    region = jnp.cumsum((diff | (idx == 0)).astype(jnp.int32))
+    prev_live_region = jnp.concatenate(
+        [
+            jnp.zeros((1,), jnp.int32),
+            jax.lax.cummax(jnp.where(mask, region, 0))[:-1],
+        ]
+    )
+    return mask & (prev_live_region != region)
+
+
 class SortedRuns:
     """Run structure of a key-sorted tile; built once, reused per column.
 
@@ -241,13 +261,24 @@ class SortedRuns:
         self.capacity = cap
         self.boundary = boundary  # True at first row of each run (valid rows only)
         self.mask = mask
-        nxt = jnp.concatenate([boundary[1:], jnp.ones((1,), jnp.bool_)])
-        # a run ends where the next row starts a new run or rows go dead
-        nxt_dead = jnp.concatenate([~mask[1:], jnp.ones((1,), jnp.bool_)])
-        self.is_end = mask & (nxt | nxt_dead)
+        self.run_index = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # gid per row
+        # A run's END is its LAST LIVE row.  Dead rows may sit INSIDE or
+        # BETWEEN runs (the fused join probe emits merged build+probe order
+        # with build slots masked dead, exec/joins.py _probe_fused), so "the
+        # next row is dead or a new run" does NOT mark an end — instead a live
+        # row ends its run iff no LATER live row shares its run id, computed
+        # with one reversed scan.
+        big = jnp.int32(cap + 1)
+        nxt_live_rid = jnp.concatenate(
+            [
+                jnp.where(mask, self.run_index, big)[1:],
+                jnp.full((1,), big, jnp.int32),
+            ]
+        )
+        suffix_min = jax.lax.cummin(nxt_live_rid, reverse=True)
+        self.is_end = mask & (suffix_min != self.run_index)
         self.end_positions = jnp.argsort(~self.is_end, stable=True).astype(jnp.int32)
         self.num_runs = jnp.sum(self.is_end.astype(jnp.int32))
-        self.run_index = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # gid per row
 
     def reduce(self, values: jax.Array, value_mask: jax.Array, op: str) -> jax.Array:
         """[capacity] array: slot r = reduction of run r (slots >= num_runs are
@@ -278,20 +309,18 @@ class SortedRuns:
         )
 
     def start_positions(self) -> jax.Array:
-        """[capacity] int32: slot r = row index of run r's first element.
-
-        Valid rows form a contiguous prefix (liveness-first sort) and runs tile
-        it, so run r starts right after run r-1 ends — no scan needed."""
-        starts = jnp.roll(self.end_positions, 1) + 1
-        return jnp.where(
-            jnp.arange(self.capacity, dtype=jnp.int32) == 0,
-            jnp.int32(0),
-            starts,
-        )
+        """[capacity] int32: slot r = row index of run r's first element
+        (a boundary row — always live by construction)."""
+        return jnp.argsort(~self.boundary, stable=True).astype(jnp.int32)
 
     def first(self, values: jax.Array) -> jax.Array:
-        """Value at each run's first row (e.g. the key itself): slot r = run r."""
-        return jnp.take(values, self.start_positions(), mode="clip")
+        """Value at each run's first row (e.g. the key itself): slot r = run r.
+
+        Implemented as a segmented first-value scan + end-position gather, so
+        dead rows interleaved with the run (merged-order join output) cannot
+        shift the start positions."""
+        propagated = segmented_scan(values, self.boundary, "first")
+        return jnp.take(propagated, self.end_positions, mode="clip")
 
     def run_mask(self) -> jax.Array:
         return (

@@ -68,7 +68,9 @@ def distributed_grouped_sum(
             mask = mask & pred.validity
         values = val.values
         # shuffle rows so each key lands on device hash(key) % n
-        (vals_recv,), keys_recv, live = exchange_rows(
+        # default bucket = full capacity: overflow is impossible, the
+        # dropped counter is zero by construction
+        (vals_recv,), keys_recv, live, _dropped = exchange_rows(
             [values], local_keys, mask, axis, n
         )
         from ..ops.segmented import direct_group_reduce
