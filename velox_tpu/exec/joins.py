@@ -245,6 +245,11 @@ class HashJoinExec:
     # null keys included)
     build_has_null_key: bool = dataclasses.field(default=False, kw_only=True)
     n_valid_build_keys: int = dataclasses.field(default=0, kw_only=True)
+    # The fused probe emits in MERGED order with capacity B + cap; callers
+    # whose downstream shapes are sized to the probe batch's capacity (the
+    # distributed per-device pipelines) disable it and keep the
+    # capacity-preserving classification path.
+    allow_fused: bool = dataclasses.field(default=True, kw_only=True)
     # Fused-probe build payload (see _probe_fused): every build output column
     # bit-packed into ONE int64 per build row, so the merge sort's cummax
     # propagates the whole payload to matching probe rows with ZERO gathers.
@@ -1139,7 +1144,7 @@ class HashJoinExec:
         B = self.build_size
         if self.expansion or B == 0 or self.key_range is None:
             return None
-        if self.build_keys_hi is not None:
+        if self.build_keys_hi is not None or not self.allow_fused:
             return None
         left_schema = node.left.output_schema
         right_key_to_left = dict(zip(node.right_keys, node.left_keys))

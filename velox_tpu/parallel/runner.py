@@ -167,10 +167,51 @@ class DistributedExecutor:
                         resolved.append(("sjoin", state))
                         continue
                     except JoinBuildError:
-                        pass  # duplicate keys / join type: broadcast instead
-                resolved.append(("join", HashJoinExec.build(node, build)))
+                        pass  # join type unsupported: broadcast instead
+                exec_ = HashJoinExec.build(node, build)
+                if exec_.expansion:
+                    # a duplicate-key (N:M) build produces data-dependent
+                    # output sizes; the shuffle-join segment machinery sizes
+                    # and overflow-guards those, so route ANY expansion build
+                    # through it when the pipeline kind allows
+                    if allow_shuffle:
+                        try:
+                            state = partition_build(
+                                node, build, self.n, mesh, axis
+                            )
+                            resolved.append(("sjoin", state))
+                            continue
+                        except JoinBuildError:
+                            pass
+                    raise NotImplementedError(
+                        f"distributed {node.join_type.name} join over a "
+                        "duplicate-key (N:M) build is only supported on "
+                        "collect/grouped-aggregation pipelines via the "
+                        "shuffle path; run via LocalExecutor instead"
+                    )
+                resolved.append(("join", exec_))
             else:
                 resolved.append(step)
+        for i, step in enumerate(resolved):
+            if (
+                step[0] == "left_join_filter"
+                and i > 0
+                and resolved[i - 1][0] == "sjoin"
+                and resolved[i - 1][1].expansion
+            ):
+                # non-equi filter on an N:M LEFT join: per-expanded-row
+                # null-out is wrong (a probe row whose matches ALL fail must
+                # appear once, not k times) — re-plan through the
+                # uid/inner/left composition, exactly as LocalExecutor does
+                from ..exec.joins import rewrite_left_filter_nm
+                from ..exec.runner import _replace_plan_node
+
+                orig = step[3]
+                new_root = _replace_plan_node(
+                    root, orig, rewrite_left_filter_nm(orig)
+                )
+                self.__init__(new_root, mesh, per_device_rows, axis, config)
+                return
         self._segments: List[Tuple[Tuple, object]] = []
         cur: List[Tuple] = []
         for step in resolved:
@@ -191,8 +232,13 @@ class DistributedExecutor:
         # recompiles at the proven size.  Reference semantics analog:
         # OutputBuffer backpressure (velox/exec/OutputBuffer.h:131).
         self._sjoin_buckets: List[int] = []
+        # per-segment post-probe capacity: for a unique-key probe this equals
+        # the exchange's receive capacity (n * bucket); an expansion (N:M)
+        # probe materializes into its own overflow-guarded output bucket
+        # (default 2x receive capacity; exact-sized by the two-phase re-probe)
+        self._sjoin_outcaps: List[int] = []
         pipe_cap = per_device
-        for _ in self._segments:
+        for _, state in self._segments:
             if self.config.exchange_bucket_rows:
                 bucket = min(self.config.exchange_bucket_rows, pipe_cap)
             else:
@@ -200,7 +246,10 @@ class DistributedExecutor:
                 while bucket < min(max(pipe_cap // self.n, 1) * 4, pipe_cap):
                     bucket *= 2
             self._sjoin_buckets.append(bucket)
-            pipe_cap = self.n * bucket
+            recv_cap = self.n * bucket
+            out_cap = 2 * recv_cap if state.expansion else recv_cap
+            self._sjoin_outcaps.append(out_cap)
+            pipe_cap = out_cap
         self.pipe_cap = pipe_cap
 
         if self.kind == "direct_agg":
@@ -243,13 +292,18 @@ class DistributedExecutor:
         from ..utils.transfer import fetch_tree
 
         n, axis = self.n, self.axis
+        # static expansion capacities for the probe run itself: grown and
+        # re-traced below until every measured total fits, so downstream
+        # measurements are never computed over truncated data
+        probe_caps = list(self._sjoin_outcaps)
 
         def probe_body(arrs, mask, sj):
             arrs = tuple(arrs) + tuple(sj)
             pos = self._n_scan_arrays
             batch = self._local_batch(arrs[:pos], active=mask)
             maxima = []
-            for seg_steps, state in self._segments:
+            totals = []
+            for (seg_steps, state), pcap in zip(self._segments, probe_caps):
                 batch, _ = apply_streaming(batch, seg_steps)
                 packed = probe_pack(state, batch)
                 m = batch.active_mask()
@@ -271,41 +325,80 @@ class DistributedExecutor:
                 n_state = self._sjoin_counts[id(state)]
                 ex = self._sjoin_rebuild[id(state)](arrs[pos : pos + n_state])
                 pos += n_state
-                batch = ex.probe(batch)
-            return tuple(maxima)
-
-        jit_probe = None
-        worst = [0] * len(self._segments)
-        for t in tiles:
-            arrays, active = self._flatten_batch(t)
-            sops = self._sjoin_flat()
-            if jit_probe is None:
-                jit_probe = jax.jit(
-                    jax.shard_map(
-                        probe_body,
-                        mesh=self.mesh,
-                        in_specs=(
-                            tuple(P(axis) for _ in arrays),
-                            P(axis),
-                            tuple(P(axis) for _ in sops),
-                        ),
-                        out_specs=P(axis),
-                        check_vma=False,
+                if ex.expansion:
+                    spans = ex.probe_spans(batch)
+                    worst_total = jax.lax.pmax(
+                        spans[3].astype(jnp.int64), axis
                     )
+                    totals.append(worst_total.reshape(1))
+                    batch = ex.expand(batch, spans, pcap)
+                else:
+                    totals.append(jnp.zeros((1,), jnp.int64))
+                    batch = ex.probe(batch)
+            return tuple(maxima), tuple(totals)
+
+        for _grow in range(8):
+            jit_probe = None
+            worst = [0] * len(self._segments)
+            worst_totals = [0] * len(self._segments)
+            for t in tiles:
+                arrays, active = self._flatten_batch(t)
+                sops = self._sjoin_flat()
+                if jit_probe is None:
+                    jit_probe = jax.jit(
+                        jax.shard_map(
+                            probe_body,
+                            mesh=self.mesh,
+                            in_specs=(
+                                tuple(P(axis) for _ in arrays),
+                                P(axis),
+                                tuple(P(axis) for _ in sops),
+                            ),
+                            out_specs=P(axis),
+                            check_vma=False,
+                        )
+                    )
+                got_m, got_t = fetch_tree(
+                    jit_probe(tuple(arrays), active, tuple(sops))
                 )
-            got = fetch_tree(jit_probe(tuple(arrays), active, tuple(sops)))
-            for i, g in enumerate(got):
-                worst[i] = max(worst[i], int(np.asarray(g).max()))
-        buckets = []
+                for i, g in enumerate(got_m):
+                    worst[i] = max(worst[i], int(np.asarray(g).max()))
+                for i, g in enumerate(got_t):
+                    worst_totals[i] = max(
+                        worst_totals[i], int(np.asarray(g).max())
+                    )
+            grown = False
+            for i, ((_, state), wt) in enumerate(
+                zip(self._segments, worst_totals)
+            ):
+                if state.expansion and wt > probe_caps[i]:
+                    # truncated expansion: downstream maxima are invalid —
+                    # grow this capacity and measure again
+                    c = 8
+                    while c < wt:
+                        c *= 2
+                    probe_caps[i] = c
+                    grown = True
+            if not grown:
+                break
+        buckets, outcaps = [], []
         pipe_cap = self.per_dev
-        for w in worst:
+        for (_, state), w, wt in zip(self._segments, worst, worst_totals):
             b = 8
             while b < max(w, 1):
                 b *= 2
             b = min(b, pipe_cap)
             buckets.append(b)
-            pipe_cap = self.n * b
+            if state.expansion:
+                oc = 8
+                while oc < max(wt, 1):
+                    oc *= 2
+            else:
+                oc = self.n * b
+            outcaps.append(oc)
+            pipe_cap = oc
         self._sjoin_buckets = buckets
+        self._sjoin_outcaps = outcaps
         self.pipe_cap = pipe_cap
         self._collect_jit = None  # recompile at the new shapes
         if self.kind == "sort_agg_exchange":
@@ -325,8 +418,8 @@ class DistributedExecutor:
         batch = self._local_batch(arrays[:pos], active)
         err = jnp.zeros((), dtype=jnp.int64)
         dropped = jnp.zeros((), dtype=jnp.int64)
-        for (seg_steps, state), bucket in zip(
-            self._segments, self._sjoin_buckets
+        for (seg_steps, state), bucket, out_cap in zip(
+            self._segments, self._sjoin_buckets, self._sjoin_outcaps
         ):
             batch, e = apply_streaming(batch, seg_steps)
             err = err + e
@@ -343,7 +436,17 @@ class DistributedExecutor:
             n_state = self._sjoin_counts[id(state)]
             ex = self._sjoin_rebuild[id(state)](arrays[pos : pos + n_state])
             pos += n_state
-            batch = ex.probe(batch)
+            if ex.expansion:
+                # N:M probe: data-dependent output size — materialize into
+                # the sized bucket and count overflow (two-phase protocol)
+                spans = ex.probe_spans(batch)
+                total = spans[3]
+                dropped = dropped + jnp.maximum(
+                    total - jnp.int64(out_cap), 0
+                ).astype(jnp.int64)
+                batch = ex.expand(batch, spans, out_cap)
+            else:
+                batch = ex.probe(batch)
         batch, e = apply_streaming(batch, self._tail_steps)
         return batch, err + e, dropped
 

@@ -13,10 +13,13 @@ their partition through ``exchange_rows`` (hash partition + all_to_all over
 ICI) inside the per-tile shard_map program, then the standard sort-merge-lookup
 probe (exec/joins.py) runs device-locally.
 
-Scope: unique-key builds (N:1 joins) for INNER/LEFT, plus LEFT_SEMI/ANTI whose
-build deduplicates per partition (uniqueness is hash-stable, so partitioning
-preserves it).  Duplicate-key (expansion) builds produce data-dependent output
-sizes per device and stay on the broadcast path.
+Scope: INNER/LEFT/LEFT_SEMI/ANTI builds, unique-key or duplicate-key.  A
+duplicate-key (N:M) build keeps its per-key runs (start, count) per partition —
+hash partitioning sends every row of a key to the same device, so the
+device-local expansion probe (exec/joins.py probe_spans/expand) sees the
+complete run.  Expansion output sizes are data-dependent: the executor sizes
+each expansion's output bucket with slack, counts overflow on device, and
+re-probes exact sizes on overflow (parallel/runner.py two-phase protocol).
 """
 
 from __future__ import annotations
@@ -59,8 +62,15 @@ class ShuffleJoinState:
     part_capacity: int
     normalizer: Optional[_NormalizedKey]
     build_tables: Dict[str, object]
+    # duplicate-key (expansion) builds: per-slot run info, local indices
+    expansion: bool = False
+    run_start: Optional[jax.Array] = None  # [n, cap] int32
+    run_count: Optional[jax.Array] = None  # [n, cap] int32
+    # host-known (min, max) over ALL partitions' valid packed keys: a superset
+    # range is valid per device and enables the packed single-operand probe
+    key_range: Optional[Tuple[int, int]] = None
 
-    def local_exec(self, d_keys, d_cols, d_count) -> HashJoinExec:
+    def local_exec(self, d_keys, d_cols, d_count, d_rs=None, d_rc=None) -> HashJoinExec:
         """Build the device-local HashJoinExec view inside a shard_map trace:
         the [1, cap] shard reshapes to [cap] and becomes ordinary join state."""
         cap = self.part_capacity
@@ -81,6 +91,11 @@ class ShuffleJoinState:
             self.build_tables,
             self.normalizer,
             valid,
+            expansion=self.expansion,
+            run_start=None if d_rs is None else d_rs.reshape((cap,)),
+            run_count=None if d_rc is None else d_rc.reshape((cap,)),
+            key_range=self.key_range,
+            allow_fused=False,  # downstream shapes are sized to the capacity
         )
 
 
@@ -125,21 +140,28 @@ def partition_build(
         packed = normalizer.pack_host(key_arrays)
 
     semi = jt in (JoinType.LEFT_SEMI, JoinType.ANTI)
+    expansion = False
     if semi:
         packed = np.unique(packed)
         row_src = None
     else:
         order = np.argsort(packed, kind="stable")
         packed = packed[order]
-        if len(packed) > 1 and (packed[1:] == packed[:-1]).any():
-            raise JoinBuildError(
-                "shuffle join needs a unique-key build side; duplicate keys "
-                "take the broadcast expansion path"
-            )
+        expansion = bool(
+            len(packed) > 1 and (packed[1:] == packed[:-1]).any()
+        )
         row_src = (np.flatnonzero(keep)[order] if keep is not None else order)
 
+    key_range = (
+        (int(packed.min()), int(packed.max()))
+        if len(packed) and normalizer is None
+        else (
+            (0, int(packed.max())) if len(packed) else None
+        )  # packed multi-key values are non-negative
+    )
     dest = (hash64_np(packed) % np.uint64(n)).astype(np.int64)
-    # stable partition: rows stay key-sorted within each partition
+    # stable partition: rows stay key-sorted within each partition (and every
+    # row of a duplicate key lands on ONE device with its run contiguous)
     part_order = np.argsort(dest, kind="stable")
     dest_sorted = dest[part_order]
     counts = np.bincount(dest_sorted, minlength=n).astype(np.int32)
@@ -157,9 +179,28 @@ def partition_build(
         return out
 
     shard = NamedSharding(mesh, P(axis))
-    keys_stacked = jax.device_put(
-        stack(packed[part_order], _KEY_SENTINEL), shard
-    )
+    keys_part = packed[part_order]
+    keys_stacked = jax.device_put(stack(keys_part, _KEY_SENTINEL), shard)
+    rs_d = rc_d = None
+    if expansion:
+        # per-partition run (start, count) in LOCAL slot indices: runs are
+        # contiguous within a partition, so recompute boundaries per device
+        rs = np.zeros(len(keys_part), dtype=np.int32)
+        rc = np.zeros(len(keys_part), dtype=np.int32)
+        start = 0
+        for d in range(n):
+            c = int(counts[d])
+            seg = keys_part[start : start + c]
+            if c:
+                boundary = np.ones(c, dtype=bool)
+                boundary[1:] = seg[1:] != seg[:-1]
+                starts_l = np.flatnonzero(boundary)
+                lengths = np.diff(np.append(starts_l, c))
+                rs[start : start + c] = np.repeat(starts_l, lengths)
+                rc[start : start + c] = np.repeat(lengths, lengths)
+            start += c
+        rs_d = jax.device_put(stack(rs, 0), shard)
+        rc_d = jax.device_put(stack(rc, 0), shard)
     cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]] = {}
     right_schema = node.right.output_schema
     if not semi:
@@ -184,6 +225,10 @@ def partition_build(
         cap,
         normalizer,
         dict(build_result.string_tables),
+        expansion=expansion,
+        run_start=rs_d,
+        run_count=rc_d,
+        key_range=key_range,
     )
 
 
@@ -209,6 +254,9 @@ def flatten_state(state: ShuffleJoinState):
     """(arrays, rebuild): the sharded arrays as shard_map operands + a
     function mapping the per-device views back to a local HashJoinExec."""
     arrays: List[jax.Array] = [state.keys, state.counts]
+    if state.expansion:
+        arrays += [state.run_start, state.run_count]
+    base = len(arrays)
     layout: List[Tuple[str, bool]] = []
     for name, (g, gv) in state.cols.items():
         arrays.append(g)
@@ -218,8 +266,11 @@ def flatten_state(state: ShuffleJoinState):
 
     def rebuild(local_arrays) -> HashJoinExec:
         keys, counts = local_arrays[0], local_arrays[1]
+        rs = rc = None
+        if state.expansion:
+            rs, rc = local_arrays[2], local_arrays[3]
         cols = {}
-        i = 2
+        i = base
         for name, has_validity in layout:
             g = local_arrays[i]
             i += 1
@@ -228,6 +279,6 @@ def flatten_state(state: ShuffleJoinState):
                 gv = local_arrays[i]
                 i += 1
             cols[name] = (g, gv)
-        return state.local_exec(keys, cols, counts)
+        return state.local_exec(keys, cols, counts, rs, rc)
 
     return arrays, rebuild
