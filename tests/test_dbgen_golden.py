@@ -105,3 +105,126 @@ def test_unifint_bit_exactness():
         dbgen._seed_at(s, np.arange(1, 11, dtype=np.int64)), 1, 50
     )
     np.testing.assert_array_equal(got, vals)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 extension: customer/part/supplier/partsupp + the dbgen text pool
+# are now bit-exact too (validated against the reference generator compiled
+# out-of-tree).  Q3 is free-text-independent, so the engine must reproduce
+# the TPC-H specification's OFFICIAL SF1 validation answer.  Q13 depends on
+# o_comment, and the reference's dbgen fork uses a 10 MB text pool (classic
+# TPC dbgen: 300 MB — DBGenIterator.cpp:38), so its comments deviate from the
+# classic tool; the Q13 golden below is therefore the REFERENCE GENERATOR'S
+# own answer (computed from its compiled output, an artifact this repo's
+# authors did not write), not the spec answer set.
+
+# TPC-H specification validation answer, SF1 Q3 (top 10)
+Q3_GOLDEN = [
+    (2456423, 406181.0111, "1995-03-05", 0),
+    (3459808, 405838.6989, "1995-03-04", 0),
+    (492164, 390324.0610, "1995-02-19", 0),
+    (1188320, 384537.9359, "1995-03-09", 0),
+    (2435712, 378673.0558, "1995-02-26", 0),
+    (4878020, 378376.7952, "1995-03-12", 0),
+    (5521732, 375153.9215, "1995-03-13", 0),
+    (2628192, 373133.3094, "1995-02-22", 0),
+    (993600, 371407.4595, "1995-03-05", 0),
+    (2300070, 367371.1452, "1995-03-13", 0),
+]
+
+Q13_GOLDEN = [
+    (0, 50004),
+    (10, 6668),
+    (9, 6563),
+    (11, 6004),
+    (8, 5890),
+    (12, 5600),
+    (13, 5029),
+    (19, 4805),
+    (7, 4680),
+    (18, 4531),
+    (20, 4507),
+    (14, 4473),
+    (15, 4463),
+    (17, 4445),
+    (16, 4410),
+    (21, 4168),
+    (22, 3742),
+    (6, 3273),
+    (23, 3189),
+    (24, 2700),
+    (25, 2090),
+    (5, 1957),
+    (26, 1653),
+    (27, 1177),
+    (4, 1010),
+    (28, 901),
+    (29, 564),
+    (3, 408),
+    (30, 378),
+    (31, 242),
+    (32, 133),
+    (2, 128),
+    (33, 72),
+    (34, 52),
+    (35, 32),
+    (36, 20),
+    (1, 20),
+    (37, 8),
+    (38, 4),
+    (41, 3),
+    (40, 3),
+    (39, 1),
+]
+
+
+def test_engine_q3_matches_published_answer():
+    from velox_tpu.connectors.tpch import dbgen
+    from velox_tpu.connectors.tpch.plans import build_q3
+    from velox_tpu.exec.runner import LocalExecutor
+
+    cust = dbgen.table("customer", SF, ["c_custkey", "c_mktsegment"])
+    orders = dbgen.table(
+        "orders", SF, ["o_orderkey", "o_custkey", "o_orderdate", "o_shippriority"]
+    )
+    li = dbgen.table(
+        "lineitem", SF,
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    out = LocalExecutor(build_q3(cust, orders, li), tile_rows=1 << 20).run()
+    df = out.to_pandas()
+    dates = pd.to_datetime(
+        df["o_orderdate"].astype("int64"), unit="D", origin="1970-01-01"
+    ).dt.strftime("%Y-%m-%d")
+    got = [
+        (
+            int(r.l_orderkey),
+            round(float(r.revenue), 4),
+            d,
+            int(r.o_shippriority),
+        )
+        for r, d in zip(df.itertuples(), dates)
+    ]
+    assert got == Q3_GOLDEN
+
+
+def test_engine_q13_matches_reference_generator():
+    from velox_tpu.connectors.tpch import dbgen
+    from velox_tpu.connectors.tpch.plans import build_q13
+    from velox_tpu.exec.runner import LocalExecutor
+
+    cust = dbgen.table("customer", SF, ["c_custkey"])
+    orders = dbgen.table("orders", SF, ["o_custkey", "o_comment"])
+    out = LocalExecutor(build_q13(cust, orders), tile_rows=1 << 20).run()
+    df = out.to_pandas()
+    got = [(int(r.c_count), int(r.custdist)) for r in df.itertuples()]
+    assert got == Q13_GOLDEN
+
+
+def test_text_pool_prefix():
+    """First bytes of the 10 MB pool, pinned from the reference generator."""
+    from velox_tpu.connectors.tpch import dbgen
+
+    assert dbgen.text_pool()[:66] == (
+        b"furiously special foxes haggle furiously blithely ironic deposits."
+    )[:66]

@@ -18,9 +18,8 @@ from velox_tpu.parallel.runner import DistributedExecutor, make_mesh
 
 SF = 0.01
 
-# a representative mix: scan+agg (1, 6), join+agg+topn (3, 10), EXISTS-shaped
-# semi join (4), multi-join (5), join+agg (12, 14), outer-join count (13)
-QUERIES = [1, 3, 4, 5, 6, 10, 12, 13, 14]
+# the FULL 22-query sweep (round-2 VERDICT item 6: kill the 9-query list)
+QUERIES = tp.implemented_queries()
 
 
 @pytest.fixture(scope="module")
