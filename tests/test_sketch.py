@@ -194,9 +194,12 @@ def test_percentile_double_values():
     assert abs(float(out["q"].iloc[0]) - exact) <= 0.011 * exact
 
 
-def test_percentile_multi_call_stays_exact():
+def test_percentile_multi_call_bounded_state():
+    """Multiple approx_percentile calls in ONE node now take the sketch path
+    too (round-2 VERDICT missing #5: the node splits and re-joins on keys),
+    so both estimates are bounded-state and within DD value error."""
     rng = np.random.default_rng(13)
-    v = rng.integers(0, 1000, 5_000).astype(np.int64)
+    v = rng.integers(1, 1000, 5_000).astype(np.int64)
     t = Table(RowType(["v"], [vt.BIGINT]), {"v": v})
     plan = (
         PlanBuilder()
@@ -212,5 +215,125 @@ def test_percentile_multi_call_stays_exact():
     )
     out = run_plan(plan).to_pandas()
     vs = np.sort(v)
-    assert int(out["p50"].iloc[0]) == vs[int(0.5 * len(vs))]
-    assert int(out["p90"].iloc[0]) == vs[int(0.9 * len(vs))]
+    for name, q in (("p50", 0.5), ("p90", 0.9)):
+        exact = float(vs[int(q * len(vs))])
+        assert abs(float(out[name].iloc[0]) - exact) <= 0.011 * exact + 1
+
+
+# ---------------------------------------------------------------------------
+# Mixed aggregation nodes (round-2 VERDICT missing #5): sketches compose with
+# exact aggregates in one node by splitting + NULL-safe key re-join.
+
+
+def test_mixed_node_grouped():
+    t = make_table(120_000, 8_000, with_group=True, seed=7)
+    plan = (
+        PlanBuilder()
+        .table_scan(t)
+        .aggregation(
+            ["g"],
+            [
+                "sum(v) as sv",
+                "approx_distinct(v) as ad",
+                "count(*) as c",
+            ],
+        )
+        .build()
+    )
+    out = run_plan(plan).to_pandas().sort_values("g").reset_index(drop=True)
+    assert list(out.columns) == ["g", "sv", "ad", "c"]
+    df = pd.DataFrame({"g": t.columns["g"], "v": t.columns["v"]})
+    exact = df.groupby("g").agg(
+        sv=("v", "sum"), ad=("v", "nunique"), c=("v", "size")
+    ).reset_index()
+    pd.testing.assert_series_equal(out["sv"], exact["sv"], check_dtype=False)
+    pd.testing.assert_series_equal(out["c"], exact["c"], check_dtype=False)
+    err = (out["ad"] - exact["ad"]).abs() / exact["ad"].clip(lower=1)
+    assert (err <= TOL + 3 / exact["ad"].clip(lower=1)).all()
+    # bounded state: the plan must not contain an exact distinct aggregate
+    from velox_tpu.exec.sketch import rewrite_sketch_aggregates
+
+    rewritten = rewrite_sketch_aggregates(plan)
+    names = set()
+
+    def walk(n):
+        for c in getattr(n, "aggregates", ()):  # AggregationNodes
+            names.add(c.name)
+        for s in getattr(n, "sources", ()):
+            walk(s)
+
+    walk(rewritten)
+    assert "approx_distinct" not in names, "sketch rewrite must have applied"
+
+
+def test_mixed_node_ungrouped():
+    t = make_table(100_000, 3_000, seed=11)
+    plan = (
+        PlanBuilder()
+        .table_scan(t)
+        .aggregation(
+            [], ["count(*) as c", "approx_distinct(v) as ad", "max(v) as mx"]
+        )
+        .build()
+    )
+    out = run_plan(plan).to_pandas()
+    assert list(out.columns) == ["c", "ad", "mx"]
+    assert int(out["c"][0]) == 100_000
+    assert int(out["mx"][0]) == int(t.columns["v"].max())
+    exact = len(np.unique(t.columns["v"]))
+    assert abs(int(out["ad"][0]) - exact) <= max(TOL * exact, 3)
+
+
+def test_mixed_node_null_group_key():
+    rng = np.random.default_rng(3)
+    n = 20_000
+    g = rng.integers(0, 5, n).astype(np.int64)
+    gv = rng.random(n) > 0.2  # some NULL group keys -> one NULL group
+    v = rng.integers(0, 500, n).astype(np.int64)
+    t = Table(
+        RowType(["g", "v"], [vt.BIGINT, vt.BIGINT]),
+        {"g": g, "v": v},
+        validities={"g": gv},
+    )
+    plan = (
+        PlanBuilder()
+        .table_scan(t)
+        .aggregation(["g"], ["count(*) as c", "approx_distinct(v) as ad"])
+        .build()
+    )
+    out = run_plan(plan).to_pandas()
+    df = pd.DataFrame({"g": pd.array(np.where(gv, g, None)), "v": v})
+    exact = df.groupby("g", dropna=False).agg(
+        c=("v", "size"), ad=("v", "nunique")
+    ).reset_index()
+    assert len(out) == len(exact) == 6  # 5 groups + the NULL group
+    out = out.sort_values("g", na_position="last").reset_index(drop=True)
+    exact = exact.sort_values("g", na_position="last").reset_index(drop=True)
+    pd.testing.assert_series_equal(out["c"], exact["c"], check_dtype=False)
+    err = (out["ad"] - exact["ad"]).abs() / exact["ad"].clip(lower=1)
+    assert (err <= TOL + 0.05).all()
+
+
+def test_mixed_node_percentile():
+    rng = np.random.default_rng(5)
+    n = 50_000
+    g = rng.integers(0, 4, n).astype(np.int64)
+    v = rng.lognormal(3.0, 1.0, n)
+    t = Table(
+        RowType(["g", "v", "p"], [vt.BIGINT, vt.DOUBLE, vt.DOUBLE]),
+        {"g": g, "v": v, "p": np.full(n, 0.5)},
+    )
+    plan = (
+        PlanBuilder()
+        .table_scan(t)
+        .aggregation(
+            ["g"], ["count(*) as c", "approx_percentile(v, p) as med"]
+        )
+        .build()
+    )
+    out = run_plan(plan).to_pandas().sort_values("g").reset_index(drop=True)
+    df = pd.DataFrame({"g": g, "v": v})
+    exact = df.groupby("g")["v"].median().reset_index()
+    rel = (out["med"] - exact["v"]).abs() / exact["v"]
+    assert (rel < 0.02).all(), rel  # DD buckets: 0.5% value error + sampling
+    assert (out["c"] == df.groupby("g").size().values).all()

@@ -529,6 +529,13 @@ class HashJoinExec:
 
         @jax.jit
         def prepare(bs, err):
+            if isinstance(err, (tuple, list)):
+                # per-tile error scalars from run_device, summed here so the
+                # producer never compiles a standalone add program
+                total = jnp.zeros((), dtype=jnp.int64)
+                for e in err:
+                    total = total + e
+                err = total
             mask = jnp.concatenate([b.active_mask() for b in bs])
             kvalid = mask
             keys = []
@@ -584,6 +591,7 @@ class HashJoinExec:
                 return (
                     u_sorted, u_hi, {}, n_valid, jnp.zeros((), jnp.int32),
                     err, kmin, kmax, jnp.sum(mask.astype(jnp.int32)),
+                    jnp.zeros((0,), jnp.int64),
                 )
             n_valid = jnp.sum(s_valid.astype(jnp.int32))
             dup = jnp.sum(prev_eq.astype(jnp.int32))
@@ -597,17 +605,38 @@ class HashJoinExec:
                     else jnp.take(validity, s_orig, mode="clip")
                 )
                 cols[name] = (g, gv)
+            # per-integer-column (min, max) over live rows, computed INSIDE
+            # this program: feeds the fused probe's packed payload without a
+            # separate col_stats compile + fetch (each extra program costs a
+            # full remote-compile RPC through the device tunnel)
+            col_stats = []
+            for nm in col_names:
+                g, gv = cols[nm]
+                if not (
+                    jnp.issubdtype(g.dtype, jnp.integer)
+                    or g.dtype == jnp.bool_
+                ):
+                    continue
+                m = s_valid if gv is None else (s_valid & gv)
+                v = g.astype(jnp.int64)
+                col_stats.append(jnp.min(jnp.where(m, v, big)))
+                col_stats.append(jnp.max(jnp.where(m, v, -big)))
+            stats_vec = (
+                jnp.stack(col_stats)
+                if col_stats
+                else jnp.zeros((0,), jnp.int64)
+            )
             return (
                 s_key, s_hi, cols, n_valid, dup, err, kmin, kmax,
-                jnp.sum(mask.astype(jnp.int32)),
+                jnp.sum(mask.astype(jnp.int32)), stats_vec,
             )
 
         (
             s_key, s_hi, cols, n_valid_d, dup_d, err_d, kmin_d, kmax_d,
-            n_live_d,
+            n_live_d, stats_d,
         ) = prepare(batches, err_scalar)
-        n_valid, dup, err, kmin, kmax, n_live = fetch_tree(
-            (n_valid_d, dup_d, err_d, kmin_d, kmax_d, n_live_d)
+        n_valid, dup, err, kmin, kmax, n_live, stats = fetch_tree(
+            (n_valid_d, dup_d, err_d, kmin_d, kmax_d, n_live_d, stats_d)
         )  # round trip
         if int(err):
             from .runner import _raise_on_errors
@@ -619,32 +648,84 @@ class HashJoinExec:
                 "the host path"
             )
         n = int(n_valid)
-        bucket = min(bucket_of(max(n, 1)), s_key.shape[0])
-        flat = [s_key] + ([s_hi] if s_hi is not None else []) + [
-            a for g, gv in cols.values()
-            for a in (g,) + ((gv,) if gv is not None else ())
-        ]
-        cut = _prefix_slicer(bucket)(tuple(flat))
-        keys_cut = cut[0]
-        i = 1
-        keys_hi_cut = None
-        if s_hi is not None:
-            keys_hi_cut = cut[1]
-            i = 2
-        out_cols: Dict[str, Tuple[jax.Array, Optional[jax.Array]]] = {}
-        for name, (g, gv) in cols.items():
-            if gv is not None:
-                out_cols[name] = (cut[i], cut[i + 1])
-                i += 2
-            else:
-                out_cols[name] = (cut[i], None)
-                i += 1
-        valid = jnp.arange(bucket, dtype=jnp.int32) < n
-        keys_cut = jnp.where(valid, keys_cut, jnp.int64(_KEY_SENTINEL))
-        if keys_hi_cut is not None:
-            keys_hi_cut = jnp.where(
-                valid, keys_hi_cut, jnp.int64(_KEY_SENTINEL)
+        # MUST enumerate in col_names order: prepare's stats_vec was built in
+        # that order, while a dict returned through jax.jit comes back with
+        # SORTED keys (pytree canonicalization)
+        int_cols = [
+            nm
+            for nm in col_names
+            if nm in cols
+            and (
+                jnp.issubdtype(cols[nm][0].dtype, jnp.integer)
+                or cols[nm][0].dtype == jnp.bool_
             )
+        ]
+        st = np.asarray(stats)
+        bounds_map = {
+            nm: (int(st[2 * i]), int(st[2 * i + 1]))
+            for i, nm in enumerate(int_cols)
+            if n and st[2 * i] <= st[2 * i + 1]
+        }
+        bucket = min(bucket_of(max(n, 1)), s_key.shape[0])
+        # build the payload-pack plan at trace time so the cut, the sentinel
+        # masking, AND the bit-pack all land in ONE compiled program (each
+        # extra program is a separate remote-compile RPC — the dominant cold
+        # cost through the device tunnel)
+        pack_plan = pack_fields = pack_bounds = None
+        if bounds_map and not semi and len(bounds_map) == len(cols):
+            from ..ops.sortkey import PackPlan
+
+            fields, bounds = [], []
+            for name, (g, gv) in cols.items():
+                fields.append(("v", name))
+                bounds.append(bounds_map[name])
+                if gv is not None:
+                    fields.append(("n", name))
+                    bounds.append((0, 1))
+            plan = PackPlan.fit(bounds)
+            if plan is not None:
+                pack_plan = plan
+                pack_fields = tuple(fields)
+                pack_bounds = tuple(bounds)
+
+        @jax.jit
+        def finalize(s_key, s_hi, cols):
+            valid = jnp.arange(bucket, dtype=jnp.int32) < n
+            keys_cut = jnp.where(
+                valid, s_key[:bucket], jnp.int64(_KEY_SENTINEL)
+            )
+            keys_hi_cut = (
+                None
+                if s_hi is None
+                else jnp.where(valid, s_hi[:bucket], jnp.int64(_KEY_SENTINEL))
+            )
+            out_cols = {
+                name: (g[:bucket], None if gv is None else gv[:bucket])
+                for name, (g, gv) in cols.items()
+            }
+            packed = None
+            if pack_plan is not None:
+                vals = []
+                for (kind, name), (lo, hi) in zip(pack_fields, pack_bounds):
+                    g, gv = out_cols[name]
+                    if kind == "v":
+                        # clamp: padding/garbage-under-null must not overflow
+                        # into neighboring fields (they never match)
+                        vals.append(
+                            jnp.clip(
+                                g.astype(jnp.int64),
+                                jnp.int64(lo),
+                                jnp.int64(hi),
+                            )
+                        )
+                    else:
+                        vals.append(gv.astype(jnp.int64))
+                packed = pack_plan.pack(vals)
+            return keys_cut, keys_hi_cut, out_cols, valid, packed
+
+        keys_cut, keys_hi_cut, out_cols, valid, bp_packed = finalize(
+            s_key, s_hi, cols
+        )
         exec_ = HashJoinExec(
             node, keys_cut, out_cols, bucket, strings, normalizer, valid,
             key_range=(
@@ -654,32 +735,12 @@ class HashJoinExec:
             build_has_null_key=int(n_live) > int(n_valid),
             n_valid_build_keys=n,
         )
-        int_cols = [
-            nm
-            for nm, (g, gv) in out_cols.items()
-            if jnp.issubdtype(g.dtype, jnp.integer) or g.dtype == jnp.bool_
-        ]
-        if int_cols and n:
-            # one extra tiny fetch: per-column (min, max) over live slots —
-            # feeds the fused probe's packed payload (tier 1)
-            @jax.jit
-            def col_stats():
-                big = jnp.int64(1) << 62
-                stats = []
-                for nm in int_cols:
-                    g, gv = out_cols[nm]
-                    m = valid if gv is None else (valid & gv)
-                    v = g.astype(jnp.int64)
-                    stats.append(jnp.min(jnp.where(m, v, big)))
-                    stats.append(jnp.max(jnp.where(m, v, -big)))
-                return jnp.stack(stats)
-
-            st = np.asarray(fetch_tree(col_stats()))
-            bounds_map = {
-                nm: (int(st[2 * i]), int(st[2 * i + 1]))
-                for i, nm in enumerate(int_cols)
-                if st[2 * i] <= st[2 * i + 1]
-            }
+        if bp_packed is not None:
+            exec_.bp_packed = bp_packed
+            exec_.bp_plan = pack_plan
+            exec_.bp_fields = pack_fields
+        elif bounds_map and n and not semi:
+            # partial integer coverage: fall back to the eager packer (rare)
             exec_._prepare_build_payload(bounds_map)
         return exec_
 

