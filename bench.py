@@ -27,7 +27,10 @@ Usage: python bench.py [--sf 1.0] [--queries 1,3,6,13] [--all] [--quick]
 
 import argparse
 import json
+import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
@@ -35,6 +38,72 @@ import numpy as np
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+# The one JSON line the driver records.  Kept module-global and emitted from a
+# SIGTERM/SIGINT handler too: round 3's bench hit the driver's timeout while a
+# congested device tunnel stretched one ingest to ~585 s, and the round ended
+# with NO recorded result.  Partial results beat none.
+_partial = {"matrix": {}}
+_emitted = False
+
+
+def emit(out=None):
+    global _emitted
+    if _emitted:
+        return
+    _emitted = True
+    print(json.dumps(out if out is not None else _finalize()), flush=True)
+
+
+def _finalize():
+    matrix = _partial["matrix"]
+    head = None
+    for r in matrix.values():
+        if "rows_per_sec" in r:
+            head = r
+            break
+    out = {
+        "metric": (
+            f"tpch_sf{head['sf']:g}_q{head['query']}_rows_per_sec"
+            if head
+            else "tpch_bench_incomplete"
+        ),
+        "value": head["rows_per_sec"] if head else 0.0,
+        "unit": "rows/s",
+        "vs_baseline": head["vs_oracle"] if head else 0.0,
+        "hbm_gbps": _partial.get("hbm_gbps"),
+        "matrix": matrix,
+    }
+    return out
+
+
+def _on_term(signum, frame):
+    log(f"signal {signum}: emitting partial results and exiting")
+    emit()
+    sys.exit(0)
+
+
+def _watchdog(hard_deadline_s, t_start):
+    """Python signal handlers only run on the main thread, and the main
+    thread can block indefinitely inside a device-tunnel C call (round 3
+    died exactly this way: SIGTERM pended forever, rc=124, nothing
+    emitted).  A daemon thread needs no cooperation from the main thread:
+    past the hard deadline it emits the partial matrix itself and
+    hard-exits the process."""
+    while True:
+        time.sleep(10)
+        elapsed = time.perf_counter() - t_start
+        if elapsed > hard_deadline_s:
+            log(
+                f"watchdog: hard deadline ({hard_deadline_s:.0f}s) exceeded "
+                f"at {elapsed:.0f}s (main thread likely blocked in a tunnel "
+                "call); emitting partial results"
+            )
+            emit()
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(0)
 
 
 def time_best(fn, repeats):
@@ -229,9 +298,24 @@ def main():
     )
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--no-roofline", action="store_true")
+    ap.add_argument(
+        "--deadline", type=float, default=1500.0,
+        help="soft wall-clock budget (s); skip remaining queries past it "
+        "and still emit the JSON line (0 = no deadline)",
+    )
     args = ap.parse_args()
     if args.quick:
         args.sf = 0.01
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    t_start = time.perf_counter()
+    if args.deadline:
+        threading.Thread(
+            target=_watchdog,
+            args=(args.deadline + 240.0, t_start),
+            daemon=True,
+        ).start()
 
     import jax
 
@@ -239,33 +323,40 @@ def main():
 
     hbm_gbps = None
     if not args.no_roofline:
-        hbm_gbps = measure_hbm_bandwidth()
-        log(f"measured HBM read bandwidth: {hbm_gbps:.0f} GB/s")
+        try:
+            hbm_gbps = measure_hbm_bandwidth()
+            if hbm_gbps:
+                log(f"measured HBM read bandwidth: {hbm_gbps:.0f} GB/s")
+        except Exception as e:  # never let the roofline block the matrix
+            log(f"HBM measurement failed ({e!r}); roofline disabled")
+    if hbm_gbps:
+        _partial["hbm_gbps"] = round(hbm_gbps, 1)
 
     if args.all:
         from velox_tpu.connectors.tpch.plans import implemented_queries
 
         queries = implemented_queries()
-        headline = 6
     else:
         queries = [int(q) for q in args.queries.split(",")]
-        headline = queries[0]
-    results = {}
     for num in queries:
-        results[num] = bench_query(
-            num, args.sf, args.tile, args.repeats, hbm_gbps
-        )
-
-    head = results[headline]
-    out = {
-        "metric": f"tpch_sf{args.sf:g}_q{head['query']}_rows_per_sec",
-        "value": head["rows_per_sec"],
-        "unit": "rows/s",
-        "vs_baseline": head["vs_oracle"],
-        "hbm_gbps": round(hbm_gbps, 1) if hbm_gbps else None,
-        "matrix": {f"q{n}": r for n, r in results.items()},
-    }
-    print(json.dumps(out))
+        elapsed = time.perf_counter() - t_start
+        if args.deadline and elapsed > args.deadline:
+            log(f"deadline ({args.deadline:.0f}s) hit at {elapsed:.0f}s; "
+                f"skipping q{num} and the rest")
+            _partial["matrix"][f"q{num}"] = {
+                "query": num, "sf": args.sf, "skipped": "deadline",
+            }
+            continue
+        try:
+            _partial["matrix"][f"q{num}"] = bench_query(
+                num, args.sf, args.tile, args.repeats, hbm_gbps
+            )
+        except Exception as e:
+            log(f"q{num} FAILED: {e!r}")
+            _partial["matrix"][f"q{num}"] = {
+                "query": num, "sf": args.sf, "error": repr(e)[:300],
+            }
+    emit()
 
 
 if __name__ == "__main__":

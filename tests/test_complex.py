@@ -467,3 +467,47 @@ def test_pool_overflow_raises_not_corrupts():
         run_plan(plan(["k", "transform(a, e -> e * 2) as t"]))
     out = run_plan(plan(["k", "cardinality(a) as n"])).to_pandas()
     assert out["n"].tolist() == [3] * 8
+
+
+def test_unique_build_join_keeps_probe_arrays():
+    """Regression: the unique-key classification probe decoded ARRAY/MAP
+    probe columns as flat values, dropping spans/element pools.  Probe-side
+    complex columns must ride the row permutation with their pools intact
+    (same contract as the expansion probe).  Reference: complex-typed
+    output of HashProbe, velox/exec/HashProbe.cpp listJoinResults."""
+    seg, _ = HostSegments.from_pylist([[1], [2, 2], [3, None, 3]], AT)
+    left = Table(
+        RowType(["k", "a"], [BIGINT, AT]),
+        {"k": np.array([1, 2, 3], np.int64), "a": seg},
+    )
+    right = Table(
+        RowType(["rk", "w"], [BIGINT, BIGINT]),
+        {
+            "rk": np.array([2, 3, 4], np.int64),
+            "w": np.array([20, 30, 40], np.int64),
+        },
+    )
+
+    def plan(join_type):
+        return (
+            PlanBuilder()
+            .table_scan(left)
+            .hash_join(
+                PlanBuilder().table_scan(right).build(),
+                ["k"],
+                ["rk"],
+                output=["k", "a", "w"],
+                join_type=join_type,
+            )
+            .project(["k", "a", "w"])
+            .build()
+        )
+
+    out = run_plan(plan("inner")).to_pandas().sort_values("k")
+    assert out["k"].tolist() == [2, 3]
+    assert [list(v) for v in out["a"]] == [[2, 2], [3, None, 3]]
+    assert out["w"].tolist() == [20, 30]
+
+    out = run_plan(plan("left")).to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, 2, 3]
+    assert [list(v) for v in out["a"]] == [[1], [2, 2], [3, None, 3]]

@@ -1451,6 +1451,11 @@ class HashJoinExec:
         ):
             if name in left_schema:
                 col = batch.column(name)
+                if dtype.is_complex:
+                    # ARRAY/MAP/ROW probe columns: spans move with the rows,
+                    # element pools stay put (same as the expansion probe)
+                    out_cols.append(col.flatten(cap).gather(perm))
+                    continue
                 values, validity = col.decode(cap)
                 g = jnp.take(values, perm, mode="clip")
                 gv = (
