@@ -1618,13 +1618,16 @@ COMPLEX_FNS: Dict[str, Callable] = {
     "size": _spark_size,
     "array_contains": _contains,
     "sort_array": _array_sort,
+    "array": _array_constructor,        # Spark's call-form constructor
+    "aggregate": _reduce,               # Spark name for reduce()
+    "map_from_arrays": _map_constructor,  # same shape as Presto map(k, v)
 }
 
 
 def is_complex_call(name: str, args) -> bool:
     if name not in COMPLEX_FNS:
         return False
-    if name in ("array_constructor", "row", "split", "sequence"):
+    if name in ("array_constructor", "array", "row", "split", "sequence"):
         return True
     return any(
         a.dtype.is_complex or isinstance(a, Lambda) for a in args
@@ -1699,6 +1702,19 @@ def _register_all():
     reg.register("none_match", [_A, ANY], BOOLEAN, _stub)
     reg.register("reduce", [_A, ANY, ANY], lambda ts: ts[1], _stub)
     reg.register("reduce", [_A, ANY, ANY, ANY], lambda ts: ts[3], _stub)
+    # Spark names (sparksql/Register.cpp): array(...), aggregate, map_from_arrays
+    reg.register(
+        "array", [ANY], lambda ts: array_t(ts[0] if ts else BIGINT), _stub,
+        variadic=True,
+    )
+    reg.register("aggregate", [_A, ANY, ANY], lambda ts: ts[1], _stub)
+    reg.register("aggregate", [_A, ANY, ANY, ANY], lambda ts: ts[3], _stub)
+    reg.register(
+        "map_from_arrays",
+        [_A, _A],
+        lambda ts: map_t(ts[0].element, ts[1].element),
+        _stub,
+    )
     reg.register(
         "zip_with", [_A, _A, ANY], lambda ts: array_t(ts[2]), _stub
     )

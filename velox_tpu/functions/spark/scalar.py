@@ -344,6 +344,281 @@ def _shift(dir_):
     return impl
 
 
+# ---------------------------------------------------------------------------
+# operator-name functions (Spark registers its operators as named functions so
+# substrait/Gluten plans can call them by name: sparksql/RegisterArithmetic.cpp
+# add/subtract/..., RegisterCompare.cpp equalto/...)
+
+
+def _arith(op):
+    def impl(ctx, result_dtype, arg_types, a, b):
+        if op == "add":
+            return a + b
+        if op == "subtract":
+            return a - b
+        # remainder: Spark % — NULL on zero divisor, sign follows dividend
+        zero = b == 0
+        safe = jnp.where(zero, jnp.ones_like(b), b)
+        if jnp.issubdtype(a.dtype, jnp.integer):
+            r = a - jnp.trunc(
+                a.astype(jnp.float64) / safe.astype(jnp.float64)
+            ).astype(a.dtype) * safe
+        else:
+            r = a - jnp.trunc(a / safe) * safe
+        return r, ~zero
+
+    return impl
+
+
+def _remainder(ctx, result_dtype, arg_types, a, b):
+    av, avalid = a
+    bv, bvalid = b
+    zero = bv == 0
+    safe = jnp.where(zero, jnp.ones_like(bv), bv)
+    if jnp.issubdtype(av.dtype, jnp.integer):
+        q = jnp.trunc(av.astype(jnp.float64) / safe.astype(jnp.float64))
+        r = av - q.astype(av.dtype) * safe
+    else:
+        r = av - jnp.trunc(av / safe) * safe
+    validity = ~zero
+    if avalid is not None:
+        validity = validity & avalid
+    if bvalid is not None:
+        validity = validity & bvalid
+    return r, validity
+
+
+def _unaryminus(ctx, result_dtype, arg_types, a):
+    return -a
+
+
+def _cmp(op):
+    def impl(ctx, result_dtype, arg_types, a, b):
+        if op == "eq":
+            return a == b
+        if op == "gt":
+            return a > b
+        if op == "ge":
+            return a >= b
+        if op == "lt":
+            return a < b
+        return a <= b
+
+    return impl
+
+
+def _equalnullsafe(ctx, result_dtype, arg_types, a, b):
+    # <=> : TRUE when both NULL, FALSE when exactly one is; never NULL
+    av, avalid = a
+    bv, bvalid = b
+    va = avalid if avalid is not None else jnp.ones(av.shape, jnp.bool_)
+    vb = bvalid if bvalid is not None else jnp.ones(bv.shape, jnp.bool_)
+    eq = (av == bv) & va & vb
+    return eq | (~va & ~vb), None
+
+
+def _isnull(ctx, result_dtype, arg_types, a):
+    av, avalid = a
+    if avalid is None:
+        return jnp.zeros(av.shape, jnp.bool_), None
+    return ~avalid, None
+
+
+def _isnotnull(ctx, result_dtype, arg_types, a):
+    av, avalid = a
+    if avalid is None:
+        return jnp.ones(av.shape, jnp.bool_), None
+    return avalid, None
+
+
+# ---------------------------------------------------------------------------
+# math tail (sparksql/Arithmetic.h sec/csc/cot)
+
+
+def _trig_recip(which):
+    def impl(ctx, result_dtype, arg_types, a):
+        x = _f64(a, arg_types[0])
+        if which == "sec":
+            return 1.0 / jnp.cos(x)
+        if which == "csc":
+            return 1.0 / jnp.sin(x)
+        return jnp.cos(x) / jnp.sin(x)  # cot
+
+    return impl
+
+
+# ---------------------------------------------------------------------------
+# date tail (sparksql/DateTimeFunctions.h)
+
+
+def _dayofmonth(ctx, result_dtype, arg_types, d):
+    _, _, day = _civil(d)
+    return day.astype(jnp.int32)
+
+
+def _dayofweek(ctx, result_dtype, arg_types, d):
+    # Spark: 1 = Sunday .. 7 = Saturday (Presto dow is ISO 1=Mon..7=Sun).
+    # 1970-01-01 was a Thursday (weekday index 4 with Sunday=0 ... Thursday=4).
+    days = d.astype(jnp.int64)
+    return (jnp.mod(days + 4, 7) + 1).astype(jnp.int32)
+
+
+def _dayofyear(ctx, result_dtype, arg_types, d):
+    y, _, _ = _civil(d)
+    jan1 = _days_from_civil(y, jnp.ones_like(y), jnp.ones_like(y))
+    return (d.astype(jnp.int64) - jan1 + 1).astype(jnp.int32)
+
+
+def _last_day(ctx, result_dtype, arg_types, d):
+    y, m, _ = _civil(d)
+    return _days_from_civil(y, m, _days_in_month(y, m)).astype(jnp.int32)
+
+
+def _make_date(ctx, result_dtype, arg_types, y, m, d):
+    yv, yvalid = y
+    mv, mvalid = m
+    dv, dvalid = d
+    yy = yv.astype(jnp.int64)
+    mm = mv.astype(jnp.int64)
+    dd = dv.astype(jnp.int64)
+    ok = (mm >= 1) & (mm <= 12) & (dd >= 1)
+    safe_m = jnp.clip(mm, 1, 12)
+    ok = ok & (dd <= _days_in_month(yy, safe_m))
+    for v in (yvalid, mvalid, dvalid):
+        if v is not None:
+            ok = ok & v
+    out = _days_from_civil(yy, safe_m, jnp.clip(dd, 1, 31))
+    return out.astype(jnp.int32), ok  # NULL on invalid (non-ANSI Spark)
+
+
+def _to_unix_timestamp_date(ctx, result_dtype, arg_types, d):
+    return d.astype(jnp.int64) * 86400
+
+
+# ---------------------------------------------------------------------------
+# rand (sparksql/Rand.h): per-row uniform [0,1).  Spark's rand(seed) streams
+# xorshift per partition; exact stream parity is not meaningful across
+# engines, so this uses a splitmix64 counter keyed by (seed, row index).
+# Deviation (documented): rand() without a seed fixes its seed at plan-bind
+# time (XLA programs are traced once; a fresh seed per ROW still holds, a
+# fresh seed per QUERY RUN of the same compiled program does not).
+
+
+def _rand_impl(seed_val):
+    def impl(ctx, result_dtype, arg_types, *maybe_seed):
+        idx = jnp.arange(ctx.capacity, dtype=jnp.uint64)
+        if maybe_seed:
+            s = maybe_seed[0].astype(jnp.int64).astype(jnp.uint64)
+        else:
+            s = jnp.uint64(seed_val & 0xFFFFFFFFFFFFFFFF)
+        z = idx * jnp.uint64(0x9E3779B97F4A7C15) + s
+        z = (z ^ (z >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> 27)) * jnp.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> 31)
+        return (z >> 11).astype(jnp.float64) * (1.0 / (1 << 53))
+
+    return impl
+
+
+def _hash_with_seed(ctx, result_dtype, arg_types, seed, *packed):
+    sv, _ = seed
+    h = jnp.broadcast_to(
+        sv.astype(jnp.int32).view(jnp.uint32), (ctx.capacity,)
+    )
+    for (values, validity), t in zip(packed, arg_types[1:]):
+        nh = _spark_hash_one(values, t, h)
+        h = nh if validity is None else jnp.where(validity, nh, h)
+    return h.view(jnp.int32).astype(jnp.int32), None
+
+
+def _xxhash64_with_seed(ctx, result_dtype, arg_types, seed, *packed):
+    sv, _ = seed
+    h = jnp.broadcast_to(
+        sv.astype(jnp.int64).astype(jnp.uint64), (ctx.capacity,)
+    )
+    for (values, validity), t in zip(packed, arg_types[1:]):
+        kind = t.kind
+        if kind in (
+            TypeKind.INTEGER, TypeKind.DATE, TypeKind.SMALLINT,
+            TypeKind.TINYINT,
+        ):
+            nh = _xxh64_int(values.astype(jnp.int32).view(jnp.uint32), h)
+        elif kind == TypeKind.BOOLEAN:
+            nh = _xxh64_int(values.astype(jnp.uint32), h)
+        elif kind == TypeKind.REAL:
+            nh = _xxh64_int(values.astype(jnp.float32).view(jnp.uint32), h)
+        elif kind == TypeKind.DOUBLE:
+            nh = _xxh64_long(
+                values.astype(jnp.float64).view(jnp.int64).astype(jnp.uint64),
+                h,
+            )
+        else:
+            nh = _xxh64_long(values.astype(jnp.int64).astype(jnp.uint64), h)
+        h = nh if validity is None else jnp.where(validity, nh, h)
+    return h.view(jnp.int64), None
+
+
+# ---------------------------------------------------------------------------
+# string tail: host-per-dictionary-entry helpers (sparksql/String.h family)
+
+
+def _spark_left(v, _ci, n):
+    n = int(n)
+    return v[:n] if n > 0 else ""
+
+
+def _overlay(v, _ci, repl, pos, length=None):
+    pos = int(pos)
+    ln = len(repl) if length is None else int(length)
+    if pos < 1:
+        pos = 1
+    return v[: pos - 1] + repl + v[pos - 1 + max(ln, 0):]
+
+
+def _substring_index(v, _ci, delim, count):
+    count = int(count)
+    if count == 0 or not delim:
+        return ""
+    parts = v.split(delim)
+    if count > 0:
+        return delim.join(parts[:count])
+    return delim.join(parts[count:])
+
+
+def _conv(v, _ci, from_base, to_base):
+    from_base, to_base = int(from_base), int(to_base)
+    if not (2 <= from_base <= 36) or not (2 <= abs(to_base) <= 36):
+        return ""
+    try:
+        n = int(v.strip(), from_base)
+    except ValueError:
+        return "0"
+    if n < 0 and to_base > 0:
+        n &= (1 << 64) - 1  # Spark treats negatives as unsigned 64-bit
+    digits = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    neg = n < 0
+    n = abs(n)
+    out = ""
+    base = abs(to_base)
+    while True:
+        out = digits[n % base] + out
+        n //= base
+        if n == 0:
+            break
+    return ("-" + out) if neg else out
+
+
+def _sha2(v, _ci, bits):
+    import hashlib
+
+    bits = int(bits)
+    algo = {0: "sha256", 224: "sha224", 256: "sha256",
+            384: "sha384", 512: "sha512"}.get(bits)
+    if algo is None:
+        return ""
+    return getattr(hashlib, algo)(v.encode("utf-8")).hexdigest()
+
+
 def register_all() -> None:
     """Idempotent registration into the default registry."""
     if getattr(register_all, "_done", False):
@@ -424,6 +699,34 @@ def register_all() -> None:
             ),
             "hash": _bind_string_hash("murmur3"),
             "xxhash64": _bind_string_hash("xxh64"),
+            "startswith": _b._literal_args_fn(
+                BOOLEAN, np.bool_, lambda v, _ci, p: v.startswith(p)
+            ),
+            "endswith": _b._literal_args_fn(
+                BOOLEAN, np.bool_, lambda v, _ci, p: v.endswith(p)
+            ),
+            "left": _b._literal_args_fn(
+                None, None, _spark_left, makes_strings=True
+            ),
+            "overlay": _b._literal_args_fn(
+                None, None, _overlay, makes_strings=True
+            ),
+            "substring_index": _b._literal_args_fn(
+                None, None, _substring_index, makes_strings=True
+            ),
+            "rlike": _b._literal_args_fn(
+                BOOLEAN, np.bool_,
+                lambda v, _ci, p: __import__("re").search(p, v) is not None,
+            ),
+            "get_json_object": _b._literal_args_fn(
+                None, None, _b._json_extract, makes_strings=True
+            ),
+            "conv": _b._literal_args_fn(
+                None, None, _conv, makes_strings=True
+            ),
+            "sha2": _b._literal_args_fn(
+                None, None, _sha2, makes_strings=True
+            ),
         }
     )
     for nm, matchers, rt in (
@@ -435,8 +738,102 @@ def register_all() -> None:
         ("crc32", [STRINGY], BIGINT),
     ):
         _reg.register(nm, matchers, rt, _unbound(nm))
+    for nm, matchers, rt in (
+        ("startswith", [STRINGY, STRINGY], BOOLEAN),
+        ("endswith", [STRINGY, STRINGY], BOOLEAN),
+        ("left", [STRINGY, INT_M], _VARCHAR),
+        ("overlay", [STRINGY, STRINGY, INT_M], _VARCHAR),
+        ("overlay", [STRINGY, STRINGY, INT_M, INT_M], _VARCHAR),
+        ("substring_index", [STRINGY, STRINGY, INT_M], _VARCHAR),
+        ("rlike", [STRINGY, STRINGY], BOOLEAN),
+        ("get_json_object", [STRINGY, STRINGY], _VARCHAR),
+        ("conv", [STRINGY, INT_M, INT_M], _VARCHAR),
+        ("sha2", [STRINGY, INT_M], _VARCHAR),
+    ):
+        _reg.register(nm, matchers, rt, _unbound(nm))
     _reg.register("hash", [STRINGY], INTEGER, _unbound("hash"))
     _reg.register("xxhash64", [STRINGY], BIGINT, _unbound("xxhash64"))
+
+    # operator-name functions (RegisterArithmetic.cpp / RegisterCompare.cpp)
+    _reg.register("add", [NUMERIC, NUMERIC], same, _arith("add"),
+                  coerce_common_numeric=True)
+    _reg.register("subtract", [NUMERIC, NUMERIC], same, _arith("subtract"),
+                  coerce_common_numeric=True)
+    _reg.register("remainder", [NUMERIC, NUMERIC], same, _remainder,
+                  null_aware=True, coerce_common_numeric=True)
+    _reg.register("unaryminus", [NUMERIC], same, _unaryminus)
+    for nm, op in (
+        ("equalto", "eq"), ("greaterthan", "gt"),
+        ("greaterthanorequal", "ge"), ("lessthan", "lt"),
+        ("lessthanorequal", "le"),
+    ):
+        _reg.register(nm, [NUMERIC, NUMERIC], BOOLEAN, _cmp(op),
+                      coerce_common_numeric=True)
+    _reg.register("equalnullsafe", [NUMERIC, NUMERIC], BOOLEAN,
+                  _equalnullsafe, null_aware=True,
+                  coerce_common_numeric=True)
+    _reg.register("isnull", [ANY], BOOLEAN, _isnull, null_aware=True)
+    _reg.register("isnotnull", [ANY], BOOLEAN, _isnotnull, null_aware=True)
+
+    # math tail
+    _reg.register("sec", [NUMERIC], DOUBLE, _trig_recip("sec"))
+    _reg.register("csc", [NUMERIC], DOUBLE, _trig_recip("csc"))
+    _reg.register("cot", [NUMERIC], DOUBLE, _trig_recip("cot"))
+
+    # date tail
+    _reg.register("dayofmonth", [TypeKind.DATE], INTEGER, _dayofmonth)
+    _reg.register("dayofweek", [TypeKind.DATE], INTEGER, _dayofweek)
+    _reg.register("dayofyear", [TypeKind.DATE], INTEGER, _dayofyear)
+    _reg.register("last_day", [TypeKind.DATE], _DATE, _last_day)
+    _reg.register("make_date", [INT_M, INT_M, INT_M], _DATE, _make_date,
+                  null_aware=True)
+    _reg.register("to_unix_timestamp", [TypeKind.TIMESTAMP], BIGINT,
+                  _unix_timestamp)
+    _reg.register("to_unix_timestamp", [TypeKind.DATE], BIGINT,
+                  _to_unix_timestamp_date)
+
+    # rand: seed fixed at bind time (see _rand_impl's deviation note)
+    import random as _pyrandom
+
+    _bind_seed = _pyrandom.getrandbits(63)
+    for nm in ("rand", "random"):
+        _reg.register(nm, [], DOUBLE, _rand_impl(_bind_seed))
+        _reg.register(nm, [INT_M], DOUBLE, _rand_impl(_bind_seed))
+
+    # seeded hash variants (Hash.cpp hashWithSeed)
+    _reg.register("hash_with_seed", [INT_M, ANY], INTEGER, _hash_with_seed,
+                  null_aware=True, variadic=True)
+    _reg.register("xxhash64_with_seed", [INT_M, ANY], BIGINT,
+                  _xxhash64_with_seed, null_aware=True, variadic=True)
+
+    # bloom-filter probe (MightContain.h): needs VARBINARY literals carrying
+    # Spark's serialized BloomFilter — the engine has no varbinary literal
+    # form yet; registered so plans type-check with a clear gate at eval
+    def _might_contain_gate(*_a, **_k):
+        raise NotImplementedError(
+            "might_contain: Spark-serialized bloom-filter literals "
+            "(VARBINARY) are not representable yet; see docs/roadmap.md"
+        )
+
+    _reg.register("might_contain", [STRINGY, ANY], BOOLEAN,
+                  _might_contain_gate)
+
+    # bin/chr build strings from device-resident numeric values — the
+    # engine's string representation is host-side dictionaries, and there is
+    # no numeric->string device path yet (same limitation as
+    # cast(x as varchar); docs/roadmap.md "data-dependent string
+    # construction").  Registered so plans type-check with a clear gate.
+    def _num_to_string_gate(name):
+        def impl(*_a, **_k):
+            raise NotImplementedError(
+                f"{name}: numeric->string construction has no device "
+                "dictionary form yet; see docs/roadmap.md"
+            )
+
+        return impl
+
+    _reg.register("bin", [INT_M], _VARCHAR, _num_to_string_gate("bin"))
+    _reg.register("chr", [INT_M], _VARCHAR, _num_to_string_gate("chr"))
 
 
 def _unbound(name):
