@@ -426,3 +426,46 @@ def test_inner_join_with_filter_argument():
     out = run_plan(plan).to_pandas().sort_values("k").reset_index(drop=True)
     np.testing.assert_array_equal(out["k"].to_numpy(), [2])
     np.testing.assert_array_equal(out["ry"].to_numpy(), [25])
+
+
+@pytest.mark.parametrize("jt", ["inner", "left", "right", "full"])
+def test_nested_loop_join_non_equi(jt):
+    """General nested-loop join with a pure inequality condition
+    (reference: exec/NestedLoopJoinProbe.cpp:23); all four outer-ness
+    variants checked against a pandas cross-product oracle."""
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 20, 37).astype(np.int64)
+    b = rng.randint(0, 20, 11).astype(np.int64)
+    L = make_table(a=(a, vt.BIGINT))
+    R = make_table(b=(b, vt.BIGINT))
+    out = run_plan(
+        PlanBuilder()
+        .table_scan(L)
+        .nested_loop_join(
+            PlanBuilder().table_scan(R).build(), ["a", "b"], jt, "a > b"
+        )
+        .build()
+    ).to_pandas()
+
+    la = pd.DataFrame({"a": a, "_k": 1, "_i": np.arange(len(a))})
+    rb = pd.DataFrame({"b": b, "_k": 1, "_j": np.arange(len(b))})
+    prod = la.merge(rb, on="_k")
+    hit = prod[prod.a > prod.b]
+    parts = [hit[["a", "b"]]]
+    if jt in ("left", "full"):
+        unmatched = ~la._i.isin(hit._i)
+        parts.append(
+            pd.DataFrame({"a": la.a[unmatched], "b": np.nan})
+        )
+    if jt in ("right", "full"):
+        unmatched = ~rb._j.isin(hit._j)
+        parts.append(
+            pd.DataFrame({"a": np.nan, "b": rb.b[unmatched]})
+        )
+    oracle = pd.concat(parts, ignore_index=True)
+
+    key = lambda df: sorted(
+        (None if pd.isna(r.a) else int(r.a), None if pd.isna(r.b) else int(r.b))
+        for r in df.itertuples()
+    ) if len(df) else []
+    assert sorted(key(out), key=str) == sorted(key(oracle), key=str)

@@ -706,3 +706,24 @@ class TestErrors:
             "select sum(v) over () as s from t", {"t": t}
         ).to_pandas()
         assert set(out["s"]) == {df_of(t).v.sum()}
+
+
+def test_non_equi_only_join_routes_to_nested_loop():
+    """JOIN ... ON with no equality plans as a nested-loop join
+    (reference: exec/NestedLoopJoinProbe.cpp)."""
+    import numpy as np
+
+    from velox_tpu.dtypes import BIGINT, RowType
+    from velox_tpu.io.table import Table
+
+    L = Table(RowType(["a"], [BIGINT]), {"a": np.array([1, 5, 9], np.int64)})
+    R = Table(RowType(["b"], [BIGINT]), {"b": np.array([2, 6], np.int64)})
+    out = run_sql(
+        "SELECT a, b FROM L JOIN R ON a > b", {"L": L, "R": R}
+    ).to_pandas()
+    got = sorted((int(r.a), int(r.b)) for r in out.itertuples())
+    assert got == [(5, 2), (9, 2), (9, 6)]
+    out = run_sql(
+        "SELECT a, b FROM L LEFT JOIN R ON a > b", {"L": L, "R": R}
+    ).to_pandas()
+    assert len(out) == 4  # row a=1 survives with NULL b

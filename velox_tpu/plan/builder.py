@@ -595,6 +595,55 @@ class PlanBuilder:
             self.filter(filter)
         return self
 
+    def nested_loop_join(
+        self,
+        right: Union["PlanBuilder", PlanNode],
+        output: Sequence[str],
+        join_type: Union[str, JoinType] = JoinType.INNER,
+        condition: Optional[str] = None,
+    ) -> "PlanBuilder":
+        """General nested-loop join: arbitrary (non-equi) condition, any of
+        INNER/LEFT/RIGHT/FULL (reference: core::NestedLoopJoinNode,
+        exec/NestedLoopJoinProbe.cpp:23).
+
+        TPU lowering: the Cartesian pairing rides the expansion hash join
+        with a constant key on both sides, and the condition becomes the
+        join FILTER — the non-equi filter machinery then keeps LEFT/FULL
+        unmatched rows with NULL build columns (same rewrites the reference
+        applies in its probe's match loop).  RIGHT flips to LEFT.  Compute
+        is O(|probe| x |build|) per tile like any nested loop; builds that
+        exceed a tile expand the capacity accordingly (document scale
+        limits at the call site, the product is materialized per tile)."""
+        jt = JoinType(join_type)
+        right_node = right.node if isinstance(right, PlanBuilder) else right
+        if jt == JoinType.RIGHT:
+            # flip: probe the current side's rows from the right
+            lb = PlanBuilder(right_node)
+            return (
+                lb.nested_loop_join(
+                    self.node, output, JoinType.LEFT, condition
+                )
+                ._steal(self)
+            )
+        rb = PlanBuilder(right_node).project(
+            list(right_node.output_schema.names) + ["1 as __xk_r"]
+        )
+        self.project(list(self.schema.names) + ["1 as __xk_l"])
+        self.hash_join(
+            rb,
+            ["__xk_l"],
+            ["__xk_r"],
+            output=list(output),
+            join_type=jt,
+            filter=condition,
+        )
+        return self
+
+    def _steal(self, other: "PlanBuilder") -> "PlanBuilder":
+        """Move this builder's node into ``other`` (RIGHT-join flips)."""
+        other.node = self.node
+        return other
+
     def hash_join(
         self,
         right: Union["PlanBuilder", PlanNode],

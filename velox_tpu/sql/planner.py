@@ -876,13 +876,20 @@ def _join_sources(
                     rkeys.append(a)
                     continue
             residual.append(c)
-        if not lkeys:
-            raise NotImplementedError(
-                f"{jt.upper()} JOIN requires at least one equality in ON"
-            )
         filt = (
             " and ".join(_detok(c) for c in residual) if residual else None
         )
+        if not lkeys:
+            # no equality in ON: general nested-loop join with the whole
+            # condition (reference: exec/NestedLoopJoinProbe.cpp:23)
+            plan.nested_loop_join(
+                rb,
+                output=list(plan.schema.names) + list(rb.schema.names),
+                join_type=jt,
+                condition=filt,
+            )
+            in_plan.update(rb.schema.names)
+            continue
         plan.hash_join(
             rb, lkeys, rkeys,
             output=list(plan.schema.names) + list(rb.schema.names),
