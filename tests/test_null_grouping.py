@@ -144,3 +144,30 @@ def test_non_null_keys_unaffected():
     t = Table(RowType(["k", "x"], [BIGINT, BIGINT]), {"k": k, "x": x})
     got = _agg(t, ["k"], ["sum(x) as s"])
     assert sorted(zip(got.k, got.s)) == [(1, 5), (2, 3), (3, 2)]
+
+
+def test_count_distinct_split_with_nullable_string_key():
+    """Regression (TPC-H Q16 shape): count(distinct) splits the node and
+    re-joins on NULL-safe keys; a string grouping key must coalesce through
+    the dictionary (raw '' constants reached the device uninterned)."""
+    from velox_tpu.vector.string_table import StringTable
+
+    st = StringTable(["x", "y"])
+    k = np.array([1, 2, 1, 0, 2], dtype=np.int32)  # codes into st
+    valid = np.array([1, 1, 1, 0, 1], dtype=bool)
+    v = np.array([7, 8, 7, 9, 8], dtype=np.int64)
+    t = Table(
+        RowType(["k", "v"], [VARCHAR, BIGINT]),
+        {"k": k, "v": v},
+        string_tables={"k": st},
+        validities={"k": valid},
+    )
+    got = _agg(t, ["k"], ["count(distinct v) as d", "count(*) as c"],
+               tile_rows=4)
+    by_key = {
+        (None if pd.isna(r.k) else r.k): (int(r.d), int(r.c))
+        for r in got.itertuples()
+    }
+    assert by_key["x"] == (1, 2)
+    assert by_key["y"] == (1, 2)
+    assert by_key[None] == (1, 1)

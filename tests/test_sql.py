@@ -727,3 +727,43 @@ def test_non_equi_only_join_routes_to_nested_loop():
         "SELECT a, b FROM L LEFT JOIN R ON a > b", {"L": L, "R": R}
     ).to_pandas()
     assert len(out) == 4  # row a=1 survives with NULL b
+
+
+def _subq_catalog():
+    from velox_tpu.dtypes import BIGINT
+
+    O = Table(
+        RowType(["k", "v"], [BIGINT, BIGINT]),
+        {"k": np.array([1, 2, 3], np.int64),
+         "v": np.array([10, 20, 30], np.int64)},
+    )
+    T = Table(
+        RowType(["tk", "ty"], [BIGINT, BIGINT]),
+        {"tk": np.array([1, 1, 2], np.int64),
+         "ty": np.array([10, 99, 25], np.int64)},
+    )
+    return {"O": O, "T": T}
+
+
+def test_correlated_in_subquery():
+    """x IN (SELECT y FROM t WHERE t.k = o.k) is a semi join on the
+    compound key (x, o.k) = (y, t.k)."""
+    out = run_sql(
+        "SELECT k FROM O WHERE v IN (SELECT ty FROM T WHERE tk = k)",
+        _subq_catalog(),
+    ).to_pandas()
+    assert sorted(out["k"].tolist()) == [1]
+
+
+def test_select_list_scalar_subqueries():
+    cat = _subq_catalog()
+    out = run_sql(
+        "SELECT k, (SELECT max(ty) FROM T) AS m FROM O", cat
+    ).to_pandas()
+    assert out["m"].tolist() == [99, 99, 99]
+    out = run_sql(
+        "SELECT k, (SELECT sum(ty) FROM T WHERE tk = k) AS s FROM O", cat
+    ).to_pandas()
+    got = {int(r.k): (None if pd.isna(r.s) else int(r.s))
+           for r in out.itertuples()}
+    assert got == {1: 109, 2: 25, 3: None}  # missing group -> NULL scalar

@@ -400,31 +400,23 @@ class PlanBuilder:
             # and the parts re-join on those (reference: GroupingSet NULL-key
             # handling, velox/exec/GroupingSet.cpp; same device as the mixed
             # sketch split in exec/sketch.py).
-            from ..expr.ir import Constant, Special, SpecialForm
-
             join_keys = []
             for j, k in enumerate(keys):
                 join_keys += [f"_nj{j}", f"_vj{j}"]
             for pb in parts:
                 s = pb.schema
-                names = list(s.names)
-                exprs: List[Expr] = [parse_expr(c, s) for c in names]
+                texts = list(s.names)
                 for j, k in enumerate(keys):
                     kt = s.type_of(k)
-                    names.append(f"_nj{j}")
-                    exprs.append(parse_expr(f"cast({k} is null as bigint)", s))
-                    names.append(f"_vj{j}")
+                    texts.append(f"cast({k} is null as bigint) as _nj{j}")
                     # any in-domain default works: the is-null flag
-                    # disambiguates a real default from a coalesced NULL
-                    default = Constant(kt, "" if kt.is_string else 0)
-                    exprs.append(
-                        Special(
-                            kt,
-                            SpecialForm.COALESCE,
-                            (FieldAccess(kt, k), default),
-                        )
-                    )
-                pb.node = ProjectNode(pb.node, tuple(names), tuple(exprs))
+                    # disambiguates a real default from a coalesced NULL.
+                    # project() binds the string literal through the
+                    # column's dictionary (a raw Constant('') would reach
+                    # the device unintermed)
+                    default = "''" if kt.is_string else "0"
+                    texts.append(f"coalesce({k}, {default}) as _vj{j}")
+                pb.project(texts)
         result = parts[0]
         for pb in parts[1:]:
             build_cols = [

@@ -1063,17 +1063,28 @@ def _apply_subquery_ops(plan: PlanBuilder, ops, catalog, scope) -> PlanBuilder:
             )
         elif kind == "in":
             _, positive, lhs, sub_toks = op
-            sub, _ = _plan_subquery(sub_toks, catalog, scope, False)
+            sub, entries = _plan_subquery(sub_toks, catalog, scope, positive)
             lhs_name = scope.resolve(lhs.text) or lhs.text
             # IN -> left-semi (a NULL on either side never matches, which
             # already realizes IN's three-valued outcome of "not kept");
             # NOT IN -> NULL-AWARE anti join (reference: nullAware flag on
             # core::HashJoinNode): a NULL in the subquery empties the result,
             # NULL probe values never pass a non-empty list
+            eqs = [(e[1], e[2]) for e in entries if e[0] == "eq"]
+            if any(e[0] == "pred" for e in entries):
+                raise NotImplementedError(
+                    "correlated IN subqueries support equality "
+                    "correlations only"
+                )
+            # correlated IN: the correlation equalities ride as extra
+            # semi-join keys (x IN (select y from t where t.k = o.k) is a
+            # semi join on (x, o.k) = (y, t.k)); correlated NOT IN is
+            # rejected at _plan_subquery (null-aware semantics apply to the
+            # IN value only, which the compound-key anti join cannot express)
             plan.hash_join(
                 sub,
-                [lhs_name],
-                [sub.schema.names[0]],
+                [lhs_name] + [scope.resolve(o) or o for o, _ in eqs],
+                [sub.schema.names[0]] + [i for _, i in eqs],
                 output=list(plan.schema.names),
                 join_type="left_semi" if positive else "anti",
                 null_aware=not positive,
@@ -1083,54 +1094,56 @@ def _apply_subquery_ops(plan: PlanBuilder, ops, catalog, scope) -> PlanBuilder:
             phs: List[str] = []
             for ph, sub_toks in subs:
                 phs.append(ph)
-                sub, entries = _plan_subquery(sub_toks, catalog, scope, True)
-                eqs = [(e[1], e[2]) for e in entries if e[0] == "eq"]
-                if any(e[0] == "pred" for e in entries):
-                    raise NotImplementedError(
-                        "correlated scalar subqueries support equality "
-                        "correlations only"
-                    )
-                if not eqs:
-                    if len(sub.schema.names) != 1:
-                        raise ValueError(
-                            "scalar subquery must produce one column"
-                        )
-                    sub.enforce_single_row()
-                    sub.project([f"{sub.schema.names[0]} as {ph}"])
-                    plan.cross_join(
-                        sub, output=list(plan.schema.names) + [ph]
-                    )
-                else:
-                    # correlated scalar (Q17/Q20 shape): the subquery
-                    # aggregated grouped by its correlation columns
-                    # (decorrelation in _assemble), so each key yields
-                    # exactly one row; LEFT join on the keys makes a
-                    # missing group a NULL scalar
-                    inner_keys = [i for _, i in eqs]
-                    value_cols = [
-                        n
-                        for n in sub.schema.names
-                        if n not in set(inner_keys)
-                    ]
-                    if len(value_cols) != 1:
-                        raise ValueError(
-                            "scalar subquery must produce one column"
-                        )
-                    if not _has_aggregation(sub.node):
-                        raise NotImplementedError(
-                            "correlated scalar subqueries must be aggregates "
-                            "(one value per correlation key)"
-                        )
-                    sub.project([f"{value_cols[0]} as {ph}"] + inner_keys)
-                    plan.hash_join(
-                        sub,
-                        [scope.resolve(o) or o for o, _ in eqs],
-                        inner_keys,
-                        output=list(plan.schema.names) + [ph],
-                        join_type="left",
-                    )
+                plan = _attach_scalar_subquery(
+                    plan, ph, sub_toks, catalog, scope
+                )
             plan.filter(_detok(scope.rewrite(conj)))
             plan.project([n for n in plan.schema.names if n not in phs])
+    return plan
+
+
+def _attach_scalar_subquery(
+    plan: PlanBuilder, ph: str, sub_toks, catalog, scope
+) -> PlanBuilder:
+    """Join one scalar subquery's value onto ``plan`` as column ``ph``
+    (used by WHERE/HAVING comparisons and the SELECT list alike)."""
+    sub, entries = _plan_subquery(sub_toks, catalog, scope, True)
+    eqs = [(e[1], e[2]) for e in entries if e[0] == "eq"]
+    if any(e[0] == "pred" for e in entries):
+        raise NotImplementedError(
+            "correlated scalar subqueries support equality "
+            "correlations only"
+        )
+    if not eqs:
+        if len(sub.schema.names) != 1:
+            raise ValueError("scalar subquery must produce one column")
+        sub.enforce_single_row()
+        sub.project([f"{sub.schema.names[0]} as {ph}"])
+        plan.cross_join(sub, output=list(plan.schema.names) + [ph])
+    else:
+        # correlated scalar (Q17/Q20 shape): the subquery aggregated
+        # grouped by its correlation columns (decorrelation in _assemble),
+        # so each key yields exactly one row; LEFT join on the keys makes
+        # a missing group a NULL scalar
+        inner_keys = [i for _, i in eqs]
+        value_cols = [
+            n for n in sub.schema.names if n not in set(inner_keys)
+        ]
+        if len(value_cols) != 1:
+            raise ValueError("scalar subquery must produce one column")
+        if not _has_aggregation(sub.node):
+            raise NotImplementedError(
+                "correlated scalar subqueries must be aggregates "
+                "(one value per correlation key)"
+            )
+        sub.project([f"{value_cols[0]} as {ph}"] + inner_keys)
+        plan.hash_join(
+            sub,
+            [scope.resolve(o) or o for o, _ in eqs],
+            inner_keys,
+            output=list(plan.schema.names) + [ph],
+            join_type="left",
+        )
     return plan
 
 
@@ -1252,6 +1265,26 @@ def _assemble(
                     items.append(([_Tok("name", n)], None))
             continue
         items.append((scope.rewrite(toks), alias))
+
+    # scalar subqueries in the SELECT list: join each value in as a hidden
+    # column (same machinery as WHERE/HAVING scalar comparisons) and leave a
+    # placeholder reference in the item
+    n_ssq = 0
+    new_items: List[Tuple[List[_Tok], Optional[str]]] = []
+    for toks, alias in items:
+        while True:
+            sq = _find_subquery(toks)
+            if sq is None:
+                break
+            open_i, close_i = sq
+            ph = f"__ssq{n_ssq}"
+            n_ssq += 1
+            plan = _attach_scalar_subquery(
+                plan, ph, toks[open_i + 1 : close_i], catalog, scope
+            )
+            toks = toks[:open_i] + [_Tok("name", ph)] + toks[close_i + 1 :]
+        new_items.append((toks, alias))
+    items = new_items
 
     group_items = [scope.rewrite(g) for g in group_items]
     having_toks = scope.rewrite(having_toks) if having_toks else []
