@@ -166,6 +166,90 @@ def measure_hbm_bandwidth():
     return gbps
 
 
+def measure_device_seconds(executor, tiles, repeats=3, k=9):
+    """Steady-state device compute per query run.
+
+    engine_seconds at SF1 is dominated by the device tunnel's dispatch+fetch
+    round trip (~26 ms floor) — it measures the link, not the engine.  This
+    chains K data-DEPENDENT executions of the per-tile program inside ONE
+    dispatched program (every leaf of iteration i's result folds into a
+    scalar that perturbs iteration i+1's input by a provably-zero amount, so
+    neither XLA nor a lazy tunnel can hoist or skip work), times K-vs-1 with
+    a forced scalar fetch, and divides.  Same methodology as
+    measure_hbm_bandwidth (round-2 VERDICT item 1).  Reference discipline:
+    per-operator CPU timing in the Driver loop (velox/exec/Driver.cpp:538).
+
+    Returns seconds per run, or None when the plan shape is unsupported
+    (multi-tile, or a host-orchestrated executor kind).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if len(tiles) != 1:
+        return None
+    tile = tiles[0]
+    kind = executor.kind
+
+    def fold(x):
+        acc = jnp.zeros((), jnp.int64)
+        for leaf in jax.tree_util.tree_leaves(x):
+            if not hasattr(leaf, "dtype"):
+                continue
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                acc = acc + jnp.nan_to_num(jnp.sum(leaf)).astype(jnp.int64)
+            else:
+                acc = acc + jnp.sum(leaf.astype(jnp.int64))
+        return acc
+
+    def perturb(t, acc):
+        leaves, treedef = jax.tree_util.tree_flatten(t)
+        for i, leaf in enumerate(leaves):
+            if (
+                hasattr(leaf, "ndim")
+                and leaf.ndim == 1
+                and leaf.shape[0] == t.capacity
+                and jnp.issubdtype(leaf.dtype, jnp.number)
+            ):
+                # the tuple barrier makes the zero BOTH opaque to the
+                # simplifier and data-dependent on acc; barrier(acc & 0)
+                # is not enough — the simplifier folds the operand to a
+                # constant first, drops the dependency, and the loop body
+                # hoists (measured: K=9 ran at K=1's time)
+                _, zero = jax.lax.optimization_barrier(
+                    (acc, jnp.zeros((), jnp.int64))
+                )
+                leaves[i] = leaf + zero.astype(leaf.dtype)
+                break
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    if kind == "direct_agg":
+        ex = executor.agg_exec
+        init = (ex.init_carry(), jnp.zeros((), jnp.int64))
+
+        def once(t):
+            return fold(executor._tile_step(init, t))
+
+    elif kind == "sort_agg_device":
+
+        def once(t):
+            return fold(executor._sort_tile_partial_jit(t))
+
+    else:
+        return None
+
+    @jax.jit
+    def chained(t, kk):
+        def body(_, acc):
+            return acc + once(perturb(t, acc))
+
+        return jax.lax.fori_loop(0, kk, body, jnp.zeros((), jnp.int64))
+
+    int(chained(tile, 1))  # compile + warm (ONE program: kk is dynamic)
+    t1 = time_best(lambda: int(chained(tile, 1)), repeats)
+    tk = time_best(lambda: int(chained(tile, k)), repeats)
+    return max((tk - t1) / (k - 1), 1e-9)
+
+
 def query_min_bytes(plan, tables) -> int:
     """Minimum bytes a perfect engine must touch: ONE pass over every scanned
     column that survives pruning (the roofline numerator).  Walks the plan for
@@ -246,6 +330,11 @@ def bench_query(num, sf, tile_rows, repeats=3, hbm_gbps=None):
 
     engine_s = time_best(lambda: executor.run(prefetched_tiles=tiles), repeats)
     oracle_s = time_best(lambda: tp.oracle_result(num, tables), repeats)
+    device_s = None
+    try:
+        device_s = measure_device_seconds(executor, tiles, repeats)
+    except Exception as e:  # measurement must never sink the matrix
+        log(f"q{num}: device-loop measurement failed ({e!r})")
     row = {
         "query": num,
         "sf": sf,
@@ -261,21 +350,35 @@ def bench_query(num, sf, tile_rows, repeats=3, hbm_gbps=None):
         "rows_per_sec": round(input_rows / engine_s, 1),
         "vs_oracle": round(oracle_s / engine_s, 3),
     }
+    if device_s is not None:
+        row["device_seconds"] = round(device_s, 6)
     if hbm_gbps:
         min_bytes = query_min_bytes(plan, tables)
         sol_s = min_bytes / (hbm_gbps * 1e9)
         row["min_bytes"] = min_bytes
         row["sol_seconds"] = round(sol_s, 6)
         row["pct_roofline"] = round(100.0 * sol_s / engine_s, 2)
+        if device_s is not None:
+            # device compute vs speed-of-light, tunnel round trips excluded
+            # — the number that answers "how good is the engine"
+            row["pct_roofline_device"] = round(100.0 * sol_s / device_s, 2)
     log(
         f"q{num} sf{sf:g}: engine {engine_s*1e3:.1f} ms, oracle(numpy) "
         f"{oracle_s*1e3:.1f} ms, ingest {ingest_s*1e3:.1f} ms, "
         f"build {build_s*1e3:.0f} ms, compile "
         f"{row['compile_seconds']*1e3:.0f} ms, rows {input_rows}"
         + (
+            f", device {device_s*1e3:.2f} ms" if device_s is not None else ""
+        )
+        + (
             f", bytes {row['min_bytes']/1e6:.0f} MB, "
             f"SoL {row['sol_seconds']*1e3:.2f} ms, "
             f"{row['pct_roofline']:.1f}% roofline"
+            + (
+                f" ({row['pct_roofline_device']:.1f}% device)"
+                if device_s is not None
+                else ""
+            )
             if hbm_gbps
             else ""
         )

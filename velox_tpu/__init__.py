@@ -38,7 +38,15 @@ _cache_dir = os.environ.get(
         "xla_cache",
     ),
 )
-_platforms = os.environ.get("JAX_PLATFORMS", "")
+try:
+    # honor a pre-import jax.config.update("jax_platforms", "cpu") too —
+    # the env var alone misses it and a CPU process would then load
+    # TPU-session AOT entries compiled for another host profile
+    _platforms = jax.config.jax_platforms or os.environ.get(
+        "JAX_PLATFORMS", ""
+    )
+except Exception:
+    _platforms = os.environ.get("JAX_PLATFORMS", "")
 if (
     _cache_dir
     and _cache_dir != "off"
