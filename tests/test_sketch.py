@@ -337,3 +337,32 @@ def test_mixed_node_percentile():
     rel = (out["med"] - exact["v"]).abs() / exact["v"]
     assert (rel < 0.02).all(), rel  # DD buckets: 0.5% value error + sampling
     assert (out["c"] == df.groupby("g").size().values).all()
+
+
+def test_weighted_percentile():
+    """approx_percentile(x, w, p): weight w repeats the value w times
+    (reference: aggregates/ApproxPercentileAggregate.cpp weighted form).
+    Checked against the repeat-and-rank oracle within DD value error."""
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 3, 500).astype(np.int64)
+    x = rng.uniform(1, 1000, 500)
+    w = rng.integers(1, 10, 500).astype(np.int64)
+    t = Table(
+        RowType(["g", "x", "w"], [vt.BIGINT, vt.DOUBLE, vt.BIGINT]),
+        {"g": g, "x": x, "w": w},
+    )
+    out = (
+        run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .aggregation(["g"], ["approx_percentile(x, w, 0.5) as q"])
+            .build()
+        )
+        .to_pandas()
+        .sort_values("g")
+    )
+    for gi in range(3):
+        xs = np.sort(np.repeat(x[g == gi], w[g == gi]))
+        exact = xs[min(len(xs) - 1, int(np.ceil(0.5 * len(xs)) - 1))]
+        got = float(out[out.g == gi]["q"].iloc[0])
+        assert abs(got - exact) / exact < 0.02

@@ -82,11 +82,15 @@ def bind_collect(name: str, types: Tuple[DataType, ...]) -> CollectAggregate:
             name, map_t(k, array_t(v)), types, ("value", "value")
         )
     if name == "approx_percentile":
-        # (x, percentage) — computed EXACTLY here (the device sorts rows
-        # anyway, so the KLL sketch the reference uses for memory bounds,
-        # functions/lib/KllSketch.h, buys nothing; documented deviation:
-        # exact result instead of approximate)
-        assert len(types) == 2, "approx_percentile(x, percentage)"
+        # (x, percentage) or (x, weight, percentage) — computed EXACTLY here
+        # (the device sorts rows anyway, so the KLL sketch the reference uses
+        # for memory bounds, functions/lib/KllSketch.h, buys nothing;
+        # documented deviation: exact result instead of approximate)
+        if len(types) == 3:
+            return CollectAggregate(
+                name, types[0], types, ("value", "value", "plain")
+            )
+        assert len(types) == 2, "approx_percentile(x, [w,] percentage)"
         return CollectAggregate(name, types[0], types, ("value", "plain"))
     if name == "approx_most_frequent":
         # (buckets, value, capacity) -> map(value, count); exact top-k
@@ -287,9 +291,10 @@ def compute_collect(
 
     if agg.name == "approx_percentile":
         v, val = args[0], validities[0]
-        pt = agg.arg_types[1]
+        weighted = len(agg.arg_types) == 3
+        pt = agg.arg_types[2 if weighted else 1]
         if n:
-            p_raw = float(np.asarray(args[1])[0])
+            p_raw = float(np.asarray(args[2 if weighted else 1])[0])
             p = p_raw / 10.0**pt.scale if pt.kind == TypeKind.DECIMAL else p_raw
         else:
             p = 0.5
@@ -299,9 +304,33 @@ def compute_collect(
         vs2, gs2 = vs[lv], gs[lv]
         counts = np.bincount(gs2, minlength=num_groups)
         firsts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        idx = firsts + np.minimum(
-            np.maximum(counts - 1, 0), np.floor(p * counts).astype(np.int64)
-        )
+        if weighted:
+            # weight w repeats the value w times (reference:
+            # aggregates/ApproxPercentileAggregate.cpp weighted path): pick
+            # the first value whose within-group cumulative weight reaches
+            # ceil(p * total_weight).  cumw is globally nondecreasing, so a
+            # global searchsorted with per-group targets + a clip to the
+            # group's range finds it without per-group loops.
+            w = np.asarray(args[1]).astype(np.int64)[order][lv]
+            w = np.maximum(w, 0)
+            ends = firsts + counts
+            if len(w):
+                cumw = np.cumsum(w)
+                base = np.where(firsts > 0, cumw[np.maximum(firsts - 1, 0)], 0)
+                base = np.where(firsts > 0, base, 0)
+                totals = np.where(
+                    counts > 0, cumw[np.maximum(ends - 1, 0)] - base, 0
+                )
+                target = base + np.maximum(np.ceil(p * totals), 1)
+                idx = np.searchsorted(cumw, target, side="left")
+                idx = np.clip(idx, firsts, np.maximum(ends - 1, firsts))
+            else:
+                idx = np.zeros(num_groups, np.int64)
+        else:
+            idx = firsts + np.minimum(
+                np.maximum(counts - 1, 0),
+                np.floor(p * counts).astype(np.int64),
+            )
         if len(vs2):
             out = vs2[np.clip(idx, 0, len(vs2) - 1)]
         else:

@@ -171,16 +171,31 @@ def dd_bucket_value(buckets: np.ndarray) -> np.ndarray:
     return np.where(buckets == 0, 0.0, np.sign(buckets) * val)
 
 
+def _percentile_eligible(c) -> bool:
+    """approx_percentile(x, p) or approx_percentile(x, w, p) over plain
+    numeric columns rewrites to the bounded dd-bucket form."""
+    return (
+        c.name == "approx_percentile"
+        and len(c.args) in (2, 3)
+        and all(isinstance(a, FieldAccess) for a in c.args)
+        and not c.args[0].dtype.is_string
+        and c.args[0].dtype.kind != _DECIMAL_KIND()
+    )
+
+
 def _rewrite_percentile(node: AggregationNode) -> PlanNode:
-    """approx_percentile(x, p) -> dd-bucket counts + a tiny per-group
-    quantile-from-buckets collect aggregate (see module docstring)."""
+    """approx_percentile(x, [w,] p) -> dd-bucket counts (weight-summed for
+    the weighted form) + a tiny per-group quantile-from-buckets collect
+    aggregate (see module docstring)."""
     from ..expr.parser import parse_expr
     from ..plan.nodes import FilterNode, ProjectNode
 
     _register_hll_functions()
     gkeys = list(node.grouping_keys)
     out_name = node.agg_names[0]
-    xarg, parg = node.aggregates[0].args
+    cargs = node.aggregates[0].args
+    warg = cargs[1] if len(cargs) == 3 else None
+    xarg, parg = cargs[0], cargs[-1]
     xcol, pcol = xarg.name, parg.name
     src = node.source
 
@@ -193,8 +208,10 @@ def _rewrite_percentile(node: AggregationNode) -> PlanNode:
     flt = FilterNode(src, parse_expr(f"{xcol} is not null", src.output_schema))
     p1 = proj(
         flt,
-        gkeys + ["__ap_b", "__ap_p"],
-        gkeys + [f"dd_bucket64({xcol})", pcol],
+        gkeys + ["__ap_b", "__ap_p"]
+        + (["__ap_w"] if warg is not None else []),
+        gkeys + [f"dd_bucket64({xcol})", pcol]
+        + ([warg.name] if warg is not None else []),
     )
     a1 = AggregationNode(
         p1,
@@ -202,7 +219,13 @@ def _rewrite_percentile(node: AggregationNode) -> PlanNode:
         tuple(gkeys + ["__ap_b"]),
         ("__ap_c", "__ap_pp"),
         (
-            Call(BIGINT, "count", ()),
+            # weighted form: a bucket's count is its summed weight
+            # (weight w repeats the value w times)
+            Call(BIGINT, "count", ())
+            if warg is None
+            else Call(
+                BIGINT, "sum", (FieldAccess(warg.dtype, "__ap_w"),)
+            ),
             Call(parg.dtype, "min", (FieldAccess(parg.dtype, "__ap_p"),)),
         ),
     )
@@ -239,13 +262,7 @@ def _split_mixed_node(node: AggregationNode, rewrite) -> PlanNode:
     from ..plan.nodes import HashJoinNode, JoinType, ProjectNode
 
     def _eligible(c) -> bool:
-        if (
-            c.name == "approx_percentile"
-            and len(c.args) == 2
-            and all(isinstance(a, FieldAccess) for a in c.args)
-            and not c.args[0].dtype.is_string
-            and c.args[0].dtype.kind != _DECIMAL_KIND()
-        ):
+        if _percentile_eligible(c):
             return True
         return (
             c.name == "approx_distinct"
@@ -371,13 +388,7 @@ def rewrite_sketch_aggregates(root: PlanNode) -> PlanNode:
             return node
 
         def _eligible(c) -> bool:
-            if (
-                c.name == "approx_percentile"
-                and len(c.args) == 2
-                and all(isinstance(a, FieldAccess) for a in c.args)
-                and not c.args[0].dtype.is_string
-                and c.args[0].dtype.kind != _DECIMAL_KIND()
-            ):
+            if _percentile_eligible(c):
                 return True
             return (
                 c.name == "approx_distinct"
@@ -390,13 +401,7 @@ def rewrite_sketch_aggregates(root: PlanNode) -> PlanNode:
                 return _split_mixed_node(node, rewrite)
             return node
         call = node.aggregates[0]
-        if (
-            call.name == "approx_percentile"
-            and len(call.args) == 2
-            and all(isinstance(a, FieldAccess) for a in call.args)
-            and not call.args[0].dtype.is_string
-            and call.args[0].dtype.kind != _DECIMAL_KIND()
-        ):
+        if _percentile_eligible(call):
             return _rewrite_percentile(node)
         if call.name != "approx_distinct" or len(call.args) != 1:
             return node
