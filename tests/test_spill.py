@@ -208,3 +208,61 @@ def test_grace_join_single_hot_key_terminates():
     assert hits and noprog
     n_hot = int((np.asarray(probe.columns["k"]) == 7).sum())
     assert out.num_rows == n_hot * n_b
+
+
+def _na_join_plan(probe, build, output):
+    return (
+        PlanBuilder()
+        .table_scan(probe)
+        .hash_join(
+            PlanBuilder().table_scan(build).build(),
+            ["k"], ["bk"], output=output,
+            join_type="anti", null_aware=True,
+        )
+        .build()
+    )
+
+
+def test_grace_null_aware_anti():
+    """NOT IN through the Grace spill path: the null-aware rules resolve
+    globally (build NULL -> empty; empty build -> keep all; probe NULLs
+    drop), then partitions run plain ANTI."""
+    probe, build = probe_table(), build_table()
+    plan = _na_join_plan(probe, build, ["k", "x"])
+    baseline = LocalExecutor(plan, tile_rows=4096).run().to_pandas()
+    hits = []
+    with testvalue.scoped(
+        "LocalExecutor::graceJoin", lambda s: hits.append(1)
+    ):
+        out = (
+            LocalExecutor(plan, tile_rows=4096, config=GRACE_CFG)
+            .run()
+            .to_pandas()
+        )
+    assert hits, "memory limit did not trigger the grace join"
+    key = list(out.columns)
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        baseline.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_grace_null_aware_anti_null_in_build():
+    """A NULL build key empties the result — even under Grace."""
+    probe = probe_table()
+    b = build_table(n=20_000)
+    bk = np.asarray(b.columns["bk"])
+    valid = np.ones(len(bk), dtype=bool)
+    valid[7] = False
+    build = Table(b.schema, dict(b.columns), b.string_tables, {"bk": valid})
+    plan = _na_join_plan(probe, build, ["k", "x"])
+    hits = []
+    with testvalue.scoped(
+        "LocalExecutor::graceJoin", lambda s: hits.append(1)
+    ):
+        out = (
+            LocalExecutor(plan, tile_rows=4096, config=GRACE_CFG)
+            .run()
+            .to_pandas()
+        )
+    assert len(out) == 0

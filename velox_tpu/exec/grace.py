@@ -172,10 +172,42 @@ def grace_join_table(
     from ..utils.testvalue import adjust
 
     if node.null_aware:
-        raise NotImplementedError(
-            "null-aware ANTI joins do not spill through the Grace partition "
-            "path yet (a NULL build key empties every partition globally); "
-            "raise the memory limit"
+        # NOT IN semantics resolve GLOBALLY before partitioning, after which
+        # every partition-local join is a plain ANTI (reference:
+        # HashJoinBridge's nullAware build summary):
+        #   1. any NULL build key  -> x NOT IN (..., NULL) is never TRUE ->
+        #      the whole result is empty
+        #   2. empty build         -> every probe row keeps
+        #   3. otherwise           -> probe NULL keys drop (FALSE/UNKNOWN),
+        #      and no partition-local null handling remains
+        import numpy as np
+
+        from ..expr.parser import parse_expr
+        from .runner import LocalExecutor as _LE
+
+        def _key_has_null(k):
+            v = build_table.validities.get(k)
+            return v is not None and not np.asarray(v).all()
+
+        out_names = list(node.output_columns)
+        if any(_key_has_null(k) for k in node.right_keys):
+            probe_schema = node.left.output_schema
+            false_pred = parse_expr("1 = 0", probe_schema)
+            empty = _LE(
+                FilterNode(node.left, false_pred), tile_rows, config
+            ).run()
+            return empty.select(out_names)
+        if build_table.num_rows == 0:
+            return _LE(node.left, tile_rows, config).run().select(out_names)
+        not_null = " and ".join(
+            f"{k} is not null" for k in node.left_keys
+        )
+        node = dataclasses.replace(
+            node,
+            left=FilterNode(
+                node.left, parse_expr(not_null, node.left.output_schema)
+            ),
+            null_aware=False,
         )
     from .grouped import concat_tables
     from .memory import Spiller, table_nbytes
