@@ -147,3 +147,27 @@ def test_pallas_selective_sum_interpret():
     m = (np.asarray(f1) >= 10) & (np.asarray(f1) <= 30)
     assert int(cnt) == int(m.sum()) == int(xcnt)
     assert int(hi) * (1 << 32) + int(lo) == int(np.asarray(vals)[m].sum())
+
+
+def test_data_cache_async_prefetch(tmp_path):
+    """prefetch() loads asynchronously on the I/O executor; a subsequent
+    get_or_load JOINS the in-flight future (no double read, no deadlock)
+    and counts as a hit (reference: CachedBufferedInput prefetch)."""
+    import numpy as np
+
+    from velox_tpu.dtypes import BIGINT, RowType
+    from velox_tpu.io.cache import DataCache
+    from velox_tpu.io.table import Table
+
+    p = str(tmp_path / "t.parquet")
+    Table(
+        RowType(["x"], [BIGINT]), {"x": np.arange(1000, dtype=np.int64)}
+    ).save_parquet(p)
+
+    c = DataCache(max_bytes=1 << 20)
+    c.prefetch(p, ["x"])
+    t = c.get_or_load(p, ["x"])  # joins the in-flight load
+    assert t.num_rows == 1000
+    assert c.hits == 1 and c.misses == 0
+    t2 = c.get_or_load(p, ["x"])  # now a plain cache hit
+    assert t2 is not None and c.hits == 2

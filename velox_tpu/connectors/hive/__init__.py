@@ -84,6 +84,18 @@ class HiveDataSource(DataSource):
         ):
             return  # partition pruned (reference: partition filter pushdown)
         self.splits.append(split)
+        if not split.path.endswith(".orc"):
+            # async prefetch into the data cache as splits are DISCOVERED,
+            # so decode overlaps discovery and chunks() hits warm entries
+            # (reference: TableScan preload + CachedBufferedInput prefetch,
+            # velox/exec/TableScan.cpp:245)
+            from ...io.cache import DEFAULT_CACHE
+
+            part_names = list(split.partition_keys)
+            file_cols = None
+            if self.columns is not None:
+                file_cols = [c for c in self.columns if c not in part_names]
+            DEFAULT_CACHE.prefetch(split.path, file_cols)
 
     def _read_one(self, split: ConnectorSplit) -> Table:
         part_names = list(split.partition_keys)

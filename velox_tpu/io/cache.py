@@ -39,6 +39,8 @@ class DataCache:
         self._bytes = 0
         self.hits = 0
         self.misses = 0
+        self._inflight: Dict[Tuple, object] = {}
+        self._io_pool = None
         if pool is None:
             from ..exec.memory import ROOT_POOL
 
@@ -51,6 +53,33 @@ class DataCache:
         except OSError:
             mtime = 0
         return (os.path.abspath(path), mtime, tuple(columns) if columns else None)
+
+    def prefetch(
+        self, path: str, columns: Optional[Sequence[str]] = None
+    ) -> None:
+        """Start loading ``path`` into the cache on the I/O executor and
+        return immediately (reference: CachedBufferedInput prefetch — the
+        async half of AsyncDataCache).  A later get_or_load for the same
+        key JOINS the in-flight load instead of reading twice."""
+        import concurrent.futures
+
+        key = self._key(path, columns)
+        with self._lock:
+            if key in self._entries or key in self._inflight:
+                return
+            if self._io_pool is None:
+                self._io_pool = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=4, thread_name_prefix="datacache-io"
+                )
+            # the worker loads DIRECTLY (never through get_or_load, which
+            # would join its own in-flight future and deadlock)
+            fut = self._io_pool.submit(
+                self._load_and_insert, path, columns, key
+            )
+            self._inflight[key] = fut
+            fut.add_done_callback(
+                lambda _f, k=key: self._inflight.pop(k, None)
+            )
 
     def get_or_load(
         self, path: str, columns: Optional[Sequence[str]] = None
@@ -65,8 +94,24 @@ class DataCache:
                 self.hits += 1
                 _rep.increment_counter(_rep.METRIC_CACHE_HITS)
                 return hit
+            fut = self._inflight.get(key)
+        if fut is not None:
+            try:
+                table = fut.result()
+                with self._lock:
+                    self.hits += 1
+                    _rep.increment_counter(_rep.METRIC_CACHE_HITS)
+                return table
+            except Exception:
+                pass  # prefetch failed: fall through to a direct load
+        with self._lock:
             self.misses += 1
             _rep.increment_counter(_rep.METRIC_CACHE_MISSES)
+        return self._load_and_insert(path, columns, key)
+
+    def _load_and_insert(
+        self, path: str, columns: Optional[Sequence[str]], key
+    ) -> Table:
         table = Table.load_parquet(path, columns=columns)
         nbytes = _table_bytes(table)
         with self._lock:
