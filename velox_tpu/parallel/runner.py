@@ -452,7 +452,11 @@ class DistributedExecutor:
 
     # ------------------------------------------------------------------
     def _local_batch(self, arrays, active) -> Batch:
-        """Rebuild a per-device Batch from flattened shard arrays."""
+        """Rebuild a per-device Batch from flattened shard arrays.  The last
+        array is the device's GLOBAL row offset (shape (1,) after sharding)
+        — without it AssignUniqueId would number rows identically on every
+        device and the uid/inner/left join rewrites would cross-match rows
+        from different devices."""
         per_dev = self.per_dev
         schema = self._batch_schema
         local_cols = []
@@ -467,7 +471,13 @@ class DistributedExecutor:
                 validity = arrays[pos]
                 pos += 1
             local_cols.append(Column.flat(values, dtype, validity, strings))
-        lb = Batch.make(schema, local_cols, length=per_dev, capacity=per_dev)
+        lb = Batch.make(
+            schema,
+            local_cols,
+            length=per_dev,
+            capacity=per_dev,
+            row_offset=arrays[pos].reshape(()),
+        )
         return dataclasses.replace(lb, selection=active)
 
     def _flatten_batch(self, batch: Batch):
@@ -480,6 +490,17 @@ class DistributedExecutor:
                 layout.append((True, c.strings))
             else:
                 layout.append((False, c.strings))
+        # per-device global row offsets (P(axis)-sharded: one element each);
+        # tile base + device shard start, matching Table.tile's numbering so
+        # distributed AssignUniqueId ids equal the local executor's
+        base = (
+            batch.row_offset
+            if batch.row_offset is not None
+            else jnp.zeros((), jnp.int64)
+        )
+        arrays.append(
+            base + jnp.arange(self.n, dtype=jnp.int64) * self.per_dev
+        )
         self._batch_schema = batch.schema
         self._batch_layout = layout
         self._n_scan_arrays = len(arrays)
