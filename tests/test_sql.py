@@ -767,3 +767,28 @@ def test_select_list_scalar_subqueries():
     got = {int(r.k): (None if pd.isna(r.s) else int(r.s))
            for r in out.itertuples()}
     assert got == {1: 109, 2: 25, 3: None}  # missing group -> NULL scalar
+
+
+def test_correlated_not_in_subquery():
+    """x NOT IN (SELECT y FROM t WHERE t.k = o.k): null-aware semantics
+    resolve per correlation key (NULL in the key's set drops the row, an
+    empty set keeps it, a NULL x against a non-empty set drops)."""
+    from velox_tpu.dtypes import BIGINT
+
+    O = Table(
+        RowType(["k", "v"], [BIGINT, BIGINT]),
+        {"k": np.array([1, 1, 2, 3, 4], np.int64),
+         "v": np.array([10, 11, 20, 30, 40], np.int64)},
+        validities={"v": np.array([1, 1, 1, 1, 0], bool)},
+    )
+    T = Table(
+        RowType(["tk", "ty"], [BIGINT, BIGINT]),
+        {"tk": np.array([1, 1, 2, 2, 4], np.int64),
+         "ty": np.array([10, 99, 77, 25, 5], np.int64)},
+        validities={"ty": np.array([1, 1, 0, 1, 1], bool)},
+    )
+    out = run_sql(
+        "SELECT v FROM O WHERE v NOT IN (SELECT ty FROM T WHERE tk = k)",
+        {"O": O, "T": T},
+    ).to_pandas()
+    assert sorted(out["v"].tolist()) == [11, 30]

@@ -1063,8 +1063,13 @@ def _apply_subquery_ops(plan: PlanBuilder, ops, catalog, scope) -> PlanBuilder:
             )
         elif kind == "in":
             _, positive, lhs, sub_toks = op
-            sub, entries = _plan_subquery(sub_toks, catalog, scope, positive)
+            sub, entries = _plan_subquery(sub_toks, catalog, scope, True)
             lhs_name = scope.resolve(lhs.text) or lhs.text
+            if not positive and any(e[0] == "eq" for e in entries):
+                plan = _apply_correlated_not_in(
+                    plan, lhs_name, sub, entries, scope
+                )
+                continue
             # IN -> left-semi (a NULL on either side never matches, which
             # already realizes IN's three-valued outcome of "not kept");
             # NOT IN -> NULL-AWARE anti join (reference: nullAware flag on
@@ -1100,6 +1105,68 @@ def _apply_subquery_ops(plan: PlanBuilder, ops, catalog, scope) -> PlanBuilder:
             plan.filter(_detok(scope.rewrite(conj)))
             plan.project([n for n in plan.schema.names if n not in phs])
     return plan
+
+
+def _apply_correlated_not_in(
+    plan: PlanBuilder, lhs_name: str, sub: PlanBuilder, entries, scope
+) -> PlanBuilder:
+    """x NOT IN (SELECT y FROM t WHERE t.k = o.k): null-aware semantics
+    resolve PER CORRELATION KEY (reference: nullAware HashJoinNode + the
+    per-group argument of HashJoinBridge):
+
+      per key k:  S(k) = {y}
+        S(k) has a NULL      -> row drops (x NOT IN (..., NULL) never TRUE)
+        S(k) empty (no group)-> row keeps
+        x IS NULL, S nonempty-> row drops
+        else                 -> plain compound-key ANTI join on (x, k)
+
+    Lowered to: LEFT join per-key (rows, nulls) counts; rows with no group
+    keep outright; surviving rows take a plain ANTI join (NULLs all
+    resolved above); the two branches UNION ALL."""
+    if any(e[0] == "pred" for e in entries):
+        raise NotImplementedError(
+            "correlated NOT IN supports equality correlations only"
+        )
+    eqs = [(e[1], e[2]) for e in entries if e[0] == "eq"]
+    inner_keys = [i for _, i in eqs]
+    outer_keys = [scope.resolve(o) or o for o, _ in eqs]
+    val = next(n for n in sub.schema.names if n not in set(inner_keys))
+    cnt, nnul = "__nin_c", "__nin_n"
+    counts = PlanBuilder(sub.node).aggregation(
+        inner_keys,
+        [
+            f"count(*) as {cnt}",
+            f"count_if({val} is null) as {nnul}",
+        ],
+    )
+    out_names = list(plan.schema.names)
+    joined = plan.hash_join(
+        counts,
+        outer_keys,
+        inner_keys,
+        output=out_names + [cnt, nnul],
+        join_type="left",
+    )
+    keep = (
+        PlanBuilder(joined.node)
+        .filter(f"{cnt} is null")
+        .project(out_names)
+    )
+    rest = (
+        PlanBuilder(joined.node)
+        .filter(
+            f"{cnt} is not null and {nnul} = 0 and {lhs_name} is not null"
+        )
+        .project(out_names)
+        .hash_join(
+            PlanBuilder(sub.node).filter(f"{val} is not null").build(),
+            [lhs_name] + outer_keys,
+            [val] + inner_keys,
+            output=out_names,
+            join_type="anti",
+        )
+    )
+    return PlanBuilder().union_all([keep.build(), rest.build()])
 
 
 def _attach_scalar_subquery(
