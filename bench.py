@@ -218,8 +218,11 @@ def measure_device_seconds(executor, tiles, repeats=3, k=9):
                 _, zero = jax.lax.optimization_barrier(
                     (acc, jnp.zeros((), jnp.int64))
                 )
+                # perturb EVERY candidate leaf: perturbing only the first
+                # left programs that never read that column loop-invariant,
+                # and the whole body hoisted (measured: q6's device time
+                # collapsed to ~0 and its roofline read 2e7%)
                 leaves[i] = leaf + zero.astype(leaf.dtype)
-                break
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
     if kind == "direct_agg":
@@ -247,7 +250,13 @@ def measure_device_seconds(executor, tiles, repeats=3, k=9):
     int(chained(tile, 1))  # compile + warm (ONE program: kk is dynamic)
     t1 = time_best(lambda: int(chained(tile, 1)), repeats)
     tk = time_best(lambda: int(chained(tile, k)), repeats)
-    return max((tk - t1) / (k - 1), 1e-9)
+    per_run = (tk - t1) / (k - 1)
+    if per_run < 2e-6:
+        # K runs took no longer than 1: the loop body was hoisted despite
+        # the perturbation — the measurement is invalid, refuse to report it
+        log("device-loop measurement hoisted (K==1 time); dropping it")
+        return None
+    return per_run
 
 
 def query_min_bytes(plan, tables) -> int:

@@ -396,6 +396,61 @@ class TestQueries:
                 .build()
             )
 
+    def test_long_multiply_overflow_raises(self):
+        """128x128 products past int128 raise per-row (reference:
+        DecimalUtil.h __builtin_mul_overflow -> VeloxUserError)."""
+        from velox_tpu.exec.runner import QueryError
+
+        vals = [2 * 10**21]  # squared = 4e42 > 2^127-1
+        hi, lo = np_from_int(vals)
+        t = Table(
+            RowType(["a"], [decimal(38, 2)]),
+            {"a": np.stack([lo, hi], axis=1)},
+        )
+        with pytest.raises(QueryError):
+            run_plan(
+                PlanBuilder().table_scan(t).project(["a * a as p"]).build()
+            )
+        # try() nulls the overflowing row instead
+        out = run_plan(
+            PlanBuilder().table_scan(t).project(["try(a * a) as p"]).build()
+        ).to_pandas()
+        assert out["p"].isna().all()
+
+    def test_cast_double_to_long_decimal_exact(self):
+        """double -> DECIMAL(38,10) is exact for every representable value
+        (reference: DecimalUtil::rescaleDouble).  Guards the limb-split bug
+        where lo was computed in float64 and lost the low 11 bits."""
+        import math
+        from decimal import Decimal, localcontext
+
+        from velox_tpu.exec.runner import QueryError
+
+        xs = [1.5, -2.25, 1e20, 0.0, 123456789.123456789, -2.0**80,
+              2.0**26 + 0.5, 1e-11]
+        t = Table(RowType(["x"], [vt.DOUBLE]), {"x": np.array(xs)})
+        out = run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .project(["cast(x as decimal(38,10)) as d"])
+            .build()
+        ).to_pandas()
+        with localcontext() as cx:
+            cx.prec = 60
+            for x, g in zip(xs, out["d"]):
+                raw = int(math.floor(abs(x * 10**10) + 0.5))
+                exp = Decimal(raw if x >= 0 else -raw) / Decimal(10**10)
+                assert g == exp, (x, g, exp)
+        for bad in (float("nan"), float("inf"), 1e38):
+            tb = Table(RowType(["x"], [vt.DOUBLE]), {"x": np.array([bad])})
+            with pytest.raises(QueryError):
+                run_plan(
+                    PlanBuilder()
+                    .table_scan(tb)
+                    .project(["cast(x as decimal(38,2)) as d"])
+                    .build()
+                )
+
     def test_unsupported_raises(self):
         t, _ = long_table(100, seed=21)
         with pytest.raises(NotImplementedError, match="long decimal|long-decimal"):

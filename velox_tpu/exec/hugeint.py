@@ -16,10 +16,11 @@ comparisons, rescaling casts in both directions, narrowing casts to short
 DECIMAL / BIGINT / DOUBLE), GROUP BY and equi-join on long-decimal keys,
 ORDER BY/TopN, and sum/count/avg/min/max aggregation — sums accumulate in
 four 32-bit pieces per value (each piece sum is exact in int64 for < 2^31
-rows) and recombine into limbs on device.  Rescale overflow and narrow
-overflow surface as per-row query errors (the reference throws
-VeloxUserError); long x long multiply overflow past 128 bits wraps
-(documented deviation — the reference checks via __int128 builtins).
+rows) and recombine into limbs on device.  Rescale overflow, narrow
+overflow, long x long multiply overflow past 128 bits, and non-finite /
+out-of-range floating-point casts all surface as per-row query errors
+(the reference throws VeloxUserError via __int128 builtins /
+DecimalUtil::rescaleDouble); try(...) nulls them per row instead.
 Unsupported shapes raise NotImplementedError naming the construct.  Results surface as (n, 2) [lo, hi] numpy columns;
 Table.to_pandas renders them as exact ``decimal.Decimal`` objects.
 """
@@ -190,6 +191,17 @@ class _Lowerer:
             return (
                 Call(BIGINT, "__i128_add_hi", (ah, al, bh, bl)),
                 Call(BIGINT, "__i128_add_lo", (al, bl)),
+            )
+        if isinstance(e, Special) and e.form == SpecialForm.TRY:
+            # TRY over a long-decimal expression: link the hi limb's error
+            # lane into the lo limb (arg errors propagate through calls),
+            # then TRY each limb — the row nulls consistently in BOTH limbs
+            # (merge_result reads the packed column's validity from lo).
+            ch, cl = self.pair(e.children[0])
+            lo_linked = Call(BIGINT, "__i128_pair_lo", (cl, ch))
+            return (
+                Special(BIGINT, SpecialForm.TRY, (ch,)),
+                Special(BIGINT, SpecialForm.TRY, (lo_linked,)),
             )
         if isinstance(e, Call) and e.name == "negate":
             ah, al = self.pair(e.args[0])

@@ -296,18 +296,51 @@ def register_i128_functions() -> None:
 
     f("__i128_mul_chk_hi", 4, BIGINT, _mul_chk_hi)
 
+    # identity on the lo limb whose second arg exists only to pull the hi
+    # limb's error lane into this expression (TRY-over-long-decimal lowering)
+    reg.register(
+        "__i128_pair_lo", [NUMERIC, NUMERIC], BIGINT,
+        lambda ctx, out_t, arg_ts, lo, hi: lo,
+    )
+
     # double -> i128 limbs with round-half-away (reference:
     # DecimalUtil::rescaleDouble — the scale factor is multiplied in by the
     # lowering as a DOUBLE expression before this conversion)
     def _from_double(x, which):
+        # Exact conversion: a float64's integer value is mantissa * 2^e with a
+        # 53-bit mantissa, so decompose with frexp and shift the mantissa into
+        # the limbs with INTEGER ops.  Computing lo as a float64 difference
+        # (the first implementation) rounds to the float spacing near 2^64
+        # (2048), silently corrupting the low 11 bits of every converted
+        # value — e.g. cast(-2.25 as decimal(30,10)) came back -2.2499999744.
         r = jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
         err = ~jnp.isfinite(x) | (jnp.abs(r) >= 2.0**127)
         rs = jnp.where(err, 0.0, r)
-        hi_f = jnp.floor(rs / 2.0**64)
-        lo_f = rs - hi_f * 2.0**64  # in [0, 2^64)
+        m2, e2 = jnp.frexp(jnp.abs(rs))  # |rs| = m2 * 2^e2, m2 in [0.5, 1)
+        m = (m2 * 2.0**53).astype(jnp.uint64)  # exact: integer in [2^52, 2^53)
+        sh = e2.astype(jnp.int64) - 53  # value = m << sh (sh in [-53, 74])
+        shn = _u(jnp.maximum(-sh, 0))  # |rs| integer => low shn bits of m are 0
+        shp = _u(jnp.minimum(jnp.maximum(sh, 0), 127))
+        u64, u63, u0 = jnp.uint64(64), jnp.uint64(63), jnp.uint64(0)
+        m = m >> shn
+        lo = jnp.where(shp < u64, m << shp, u0)
+        hi = jnp.where(
+            shp == u0,
+            u0,
+            jnp.where(
+                shp < u64,
+                m >> (u64 - jnp.minimum(shp, u63)),
+                m << (shp - u64),
+            ),
+        )
+        neg = rs < 0.0
+        nlo = -lo
+        nhi = ~hi + (lo == jnp.uint64(0)).astype(jnp.uint64)
+        lo = jnp.where(neg, nlo, lo)
+        hi = jnp.where(neg, nhi, hi)
         if which == "hi":
-            return hi_f.astype(jnp.int64), err
-        return lo_f.astype(jnp.uint64).astype(jnp.int64)
+            return hi.astype(jnp.int64), err
+        return lo.astype(jnp.int64)
 
     reg.register(
         "__i128_from_double_hi", [NUMERIC], BIGINT,
