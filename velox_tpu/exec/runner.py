@@ -1163,6 +1163,9 @@ class LocalExecutor:
             # the writer consumes the child pipeline's full result
             self._write_sink_factory = root.sink_factory
             root = root.source
+        from .strcast import rewrite_string_construction
+
+        root, self._strcast_specs = rewrite_string_construction(root)
         from .sketch import rewrite_sketch_aggregates
 
         root = rewrite_sketch_aggregates(root)
@@ -1802,6 +1805,10 @@ class LocalExecutor:
             from .hugeint import merge_result
 
             result = merge_result(result, self._hugeint_logical)
+        if getattr(self, "_strcast_specs", None):
+            from .strcast import render_result
+
+            result = render_result(result, self._strcast_specs)
         if self._write_sink_factory is not None:
             from ..dtypes import BIGINT as _BIGINT
 

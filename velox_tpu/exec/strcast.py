@@ -1,0 +1,487 @@
+"""Data-dependent string CONSTRUCTION as a plan rewrite.
+
+Reference: velox/expression/CastExpr.cpp (numeric -> VARCHAR casts via
+folly::to / DecimalUtil::toString), velox/functions/sparksql/Bin.h (bin),
+velox/functions/prestosql/StringFunctions.cpp (chr),
+velox/functions/prestosql/ArrayFunctions (array_join).
+
+TPU re-design: device strings are int32 dictionary codes whose tables are
+static at trace time, so a string whose VALUE depends on device data cannot
+exist on device.  But the engine rarely needs it to: a constructed string is
+(a) carried to the output, (b) compared for equality, or (c) used as a
+grouping/DISTINCT key — and for injective renderings all three are answered
+by the UNDERLYING VALUE.  So construction lowers as a plan rewrite (the same
+strategy as exec/hugeint.py and exec/sketch.py): the physical plan carries
+the source value under the output name; grouping keys stay numeric (the
+rendering is injective, so numeric equality IS string equality); and the
+render to actual strings happens ONCE, on the host, at result
+materialization — O(result rows), not O(input rows).
+
+Uses that genuinely need the string VALUE on device raise
+NotImplementedError naming the construct: ORDER BY a constructed string
+(lexicographic order != numeric order), joining it against a scanned string
+column (dictionary codes and raw values don't compare), feeding it to
+another string function, or non-count aggregates over it.  array_join is
+additionally non-injective ("a,b" from ["a","b"] or ["a,b"]), so it renders
+at the output only — never as a key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..dtypes import DataType, RowType, TypeKind, VARCHAR
+from ..expr.ir import Call, Expr, FieldAccess, Special, SpecialForm
+from ..io.table import Table
+from ..plan.nodes import (
+    AggregationNode,
+    ArrowStreamNode,
+    AssignUniqueIdNode,
+    EnforceSingleRowNode,
+    ExchangeNode,
+    FilterNode,
+    GroupIdNode,
+    HashJoinNode,
+    LimitNode,
+    LocalPartitionNode,
+    MergeExchangeNode,
+    OrderByNode,
+    PartitionedOutputNode,
+    PlanNode,
+    ProjectNode,
+    TableScanNode,
+    TopNNode,
+    UnionAllNode,
+    UnnestNode,
+    ValuesNode,
+)
+from ..vector.string_table import StringTable
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSpec:
+    """How to turn a physical column back into its constructed string."""
+
+    kind: str  # 'cast' | 'bin' | 'chr' | 'array_join'
+    src_type: DataType  # the physical column's type
+    sep: Optional[str] = None  # array_join only
+    null_repl: Optional[str] = None  # array_join only
+
+    @property
+    def injective(self) -> bool:
+        # distinct inputs always render to distinct strings for the scalar
+        # kinds; array_join is lossy about element boundaries
+        return self.kind != "array_join"
+
+
+def _unsupported(use: str):
+    raise NotImplementedError(
+        f"a constructed string (cast-to-varchar / bin / chr / array_join) "
+        f"is used {use}; only output projection, equality, grouping and "
+        "DISTINCT keys are supported for data-dependent strings "
+        "(docs/roadmap.md)"
+    )
+
+
+_RENDERABLE = (
+    TypeKind.BOOLEAN,
+    TypeKind.TINYINT,
+    TypeKind.SMALLINT,
+    TypeKind.INTEGER,
+    TypeKind.BIGINT,
+    TypeKind.REAL,
+    TypeKind.DOUBLE,
+    TypeKind.DATE,
+    TypeKind.TIMESTAMP,
+    TypeKind.DECIMAL,
+)
+
+
+def _match_construction(e: Expr) -> Optional[Tuple[Expr, RenderSpec]]:
+    """Return (underlying value expr, spec) when ``e`` is a string
+    construction this rewrite handles, else None."""
+    if isinstance(e, Special) and e.form == SpecialForm.TRY and len(e.args) == 1:
+        # the renderable constructions cannot error per-row; TRY is a no-op
+        inner = _match_construction(e.args[0])
+        if inner is not None:
+            return inner
+        return None
+    if (
+        isinstance(e, Special)
+        and e.form in (SpecialForm.CAST, SpecialForm.TRY_CAST)
+        and e.dtype.kind == TypeKind.VARCHAR
+    ):
+        child = e.args[0]
+        if child.dtype.kind in _RENDERABLE and not child.dtype.is_long_decimal:
+            return child, RenderSpec("cast", child.dtype)
+        return None
+    if isinstance(e, Call) and e.name == "bin" and len(e.args) == 1:
+        child = e.args[0]
+        if child.dtype.is_integer:
+            return child, RenderSpec("bin", child.dtype)
+    if isinstance(e, Call) and e.name == "chr" and len(e.args) == 1:
+        child = e.args[0]
+        if child.dtype.is_integer:
+            return child, RenderSpec("chr", child.dtype)
+    if isinstance(e, Call) and e.name == "array_join" and len(e.args) in (2, 3):
+        from ..expr.ir import Constant
+
+        arr, sep = e.args[0], e.args[1]
+        null_repl = e.args[2] if len(e.args) == 3 else None
+        if (
+            arr.dtype.kind == TypeKind.ARRAY
+            and isinstance(sep, Constant)
+            and isinstance(sep.value, str)
+            and (null_repl is None or isinstance(null_repl, Constant))
+        ):
+            elem = arr.dtype.element
+            if elem.kind == TypeKind.VARCHAR or (
+                elem.kind in _RENDERABLE and not elem.is_long_decimal
+            ):
+                return arr, RenderSpec(
+                    "array_join",
+                    arr.dtype,
+                    sep=sep.value,
+                    null_repl=(
+                        None if null_repl is None else null_repl.value
+                    ),
+                )
+    return None
+
+
+def _refs(e: Expr, names) -> bool:
+    """Does ``e`` reference any of ``names`` (a set) via FieldAccess?"""
+    if isinstance(e, FieldAccess):
+        return e.name in names
+    for c in getattr(e, "children", ()) or ():
+        if _refs(c, names):
+            return True
+    return False
+
+
+def rewrite_string_construction(root: PlanNode):
+    """Returns (new_root, specs | None).  ``specs`` maps output column name
+    -> RenderSpec for columns the executor must render at materialization."""
+    if not _plan_has_construction(root):
+        return root, None
+    new_root, specs = _rw(root)
+    return new_root, (specs or None)
+
+
+def _expr_has_construction(e: Expr) -> bool:
+    if _match_construction(e) is not None:
+        return True
+    return any(
+        _expr_has_construction(c) for c in (getattr(e, "children", ()) or ())
+    )
+
+
+def _node_exprs(node: PlanNode):
+    if isinstance(node, ProjectNode):
+        return node.exprs
+    if isinstance(node, FilterNode):
+        return (node.predicate,)
+    if isinstance(node, AggregationNode):
+        return node.aggregates
+    if isinstance(node, HashJoinNode) and node.filter is not None:
+        return (node.filter,)
+    return ()
+
+
+def _plan_has_construction(node: PlanNode) -> bool:
+    if any(_expr_has_construction(e) for e in _node_exprs(node)):
+        return True
+    return any(_plan_has_construction(s) for s in node.sources)
+
+
+def _retype(e: Expr, cspecs: Dict[str, RenderSpec]) -> Expr:
+    """Fix FieldAccess dtypes for columns whose physical type changed."""
+    if isinstance(e, FieldAccess) and e.name in cspecs:
+        return FieldAccess(cspecs[e.name].src_type, e.name)
+    return e
+
+
+def _rw(node: PlanNode) -> Tuple[PlanNode, Dict[str, RenderSpec]]:
+    # rewrite children first
+    kids: Dict[str, PlanNode] = {}
+    child_specs: Dict[str, RenderSpec] = {}
+    for attr in ("source", "left", "right"):
+        child = getattr(node, attr, None)
+        if isinstance(child, PlanNode):
+            new_child, specs = _rw(child)
+            kids[attr] = new_child
+            child_specs.update(specs)
+    inputs = getattr(node, "inputs", None)
+    if inputs and all(isinstance(i, PlanNode) for i in inputs):
+        rewritten = []
+        for i in inputs:
+            ni, specs = _rw(i)
+            rewritten.append(ni)
+            if specs:
+                _unsupported("under a UNION (branch renders could disagree)")
+        kids["inputs"] = tuple(rewritten)
+
+    if isinstance(node, (TableScanNode, ValuesNode, ArrowStreamNode)):
+        return node, {}
+
+    cs = set(child_specs)
+
+    if isinstance(node, ProjectNode):
+        names: List[str] = []
+        exprs: List[Expr] = []
+        out_specs: Dict[str, RenderSpec] = {}
+        src = kids["source"]
+        for name, e in zip(node.names, node.exprs):
+            m = _match_construction(e)
+            if m is not None:
+                under, spec = m
+                if _refs(under, cs) or _expr_has_construction(under):
+                    _unsupported("inside another string construction")
+                names.append(name)
+                exprs.append(under)
+                out_specs[name] = spec
+                continue
+            if isinstance(e, FieldAccess) and e.name in child_specs:
+                names.append(name)
+                exprs.append(_retype(e, child_specs))
+                out_specs[name] = child_specs[e.name]
+                continue
+            if _refs(e, cs):
+                _unsupported("inside another expression")
+            if _expr_has_construction(e):
+                _unsupported(
+                    "nested inside an expression (only a top-level projected "
+                    "construction is supported)"
+                )
+            names.append(name)
+            exprs.append(e)
+        return ProjectNode(src, tuple(names), tuple(exprs)), out_specs
+
+    if isinstance(node, FilterNode):
+        if _refs(node.predicate, cs):
+            _unsupported("in a filter predicate")
+        if _expr_has_construction(node.predicate):
+            _unsupported("in a filter predicate")
+        return dataclasses.replace(node, **kids), child_specs
+
+    if isinstance(node, AggregationNode):
+        out_specs = {}
+        for k in node.grouping_keys:
+            if k in child_specs:
+                if not child_specs[k].injective:
+                    _unsupported(
+                        "as a grouping key (array_join is not injective)"
+                    )
+                out_specs[k] = child_specs[k]
+        for name, call in zip(node.agg_names, node.aggregates):
+            if any(_expr_has_construction(a) for a in call.args):
+                _unsupported("inside an aggregate argument")
+            if any(_refs(a, cs) for a in call.args):
+                if call.name in ("count", "count_if"):
+                    continue  # count only reads validity
+                if call.name == "arbitrary":
+                    argn = call.args[0]
+                    if isinstance(argn, FieldAccess):
+                        out_specs[name] = child_specs[argn.name]
+                        continue
+                _unsupported(f"as an argument of aggregate {call.name}()")
+        # rebuild so the agg binds against the physical (numeric) key types
+        new = AggregationNode(
+            kids["source"],
+            node.step,
+            node.grouping_keys,
+            node.agg_names,
+            tuple(
+                dataclasses.replace(
+                    c, args=tuple(_retype(a, child_specs) for a in c.args)
+                )
+                for c in node.aggregates
+            ),
+        )
+        return new, out_specs
+
+    if isinstance(node, (OrderByNode, TopNNode, MergeExchangeNode)):
+        for k in getattr(node, "keys", ()):
+            if k.name in cs:
+                _unsupported(
+                    "as a sort key (string order is lexicographic; sort the "
+                    "underlying value explicitly instead)"
+                )
+        return dataclasses.replace(node, **kids), child_specs
+
+    if isinstance(node, HashJoinNode):
+        if any(k in cs for k in node.left_keys) or any(
+            k in cs for k in node.right_keys
+        ):
+            _unsupported(
+                "as a join key (the other side's dictionary codes don't "
+                "compare with raw values)"
+            )
+        if node.filter is not None and _refs(node.filter, cs):
+            _unsupported("in a join filter")
+        out = {
+            n: s for n, s in child_specs.items() if n in node.output_columns
+        }
+        return dataclasses.replace(node, **kids), out
+
+    if isinstance(node, UnnestNode):
+        if any(c in cs for c in node.unnest):
+            _unsupported("as an unnest input")
+        return dataclasses.replace(node, **kids), child_specs
+
+    if isinstance(node, GroupIdNode):
+        for s in child_specs.values():
+            if not s.injective:
+                _unsupported("as a grouping-set key")
+        return dataclasses.replace(node, **kids), child_specs
+
+    from .window import WindowNode
+
+    if isinstance(node, WindowNode):
+        if any(k.name in cs for k in node.order_keys):
+            _unsupported("as a window order key")
+        if any((c.arg or "") in cs for c in node.calls):
+            _unsupported("as a window function argument")
+        for k in node.partition_keys:
+            if k in child_specs and not child_specs[k].injective:
+                _unsupported("as a window partition key")
+        return dataclasses.replace(node, **kids), child_specs
+
+    if isinstance(
+        node,
+        (
+            LimitNode,
+            EnforceSingleRowNode,
+            LocalPartitionNode,
+            PartitionedOutputNode,
+            ExchangeNode,
+            AssignUniqueIdNode,
+            UnionAllNode,
+        ),
+    ):
+        return dataclasses.replace(node, **kids), child_specs
+
+    if child_specs:
+        _unsupported(f"under a {type(node).__name__}")
+    return (dataclasses.replace(node, **kids) if kids else node), child_specs
+
+
+# ---------------------------------------------------------------------------
+# Host rendering at result materialization
+
+
+def _render_scalar(spec: RenderSpec, values: np.ndarray) -> List[str]:
+    t = spec.src_type
+    if spec.kind == "bin":
+        return [format(int(v) & ((1 << 64) - 1), "b") for v in values]
+    if spec.kind == "chr":
+        return [chr(int(v)) for v in values]
+    k = t.kind
+    if k == TypeKind.BOOLEAN:
+        return ["true" if v else "false" for v in values]
+    if t.is_integer and k != TypeKind.DECIMAL:
+        return [str(int(v)) for v in values]
+    if k in (TypeKind.REAL, TypeKind.DOUBLE):
+        # shortest round-trip (numpy dragon4), Java-style specials; exponent
+        # spelling follows numpy ("1e+20"), a documented deviation from
+        # folly's formatting of the same value
+        out = []
+        for v in values:
+            if np.isnan(v):
+                out.append("NaN")
+            elif np.isinf(v):
+                out.append("Infinity" if v > 0 else "-Infinity")
+            else:
+                out.append(str(v))
+        return out
+    if k == TypeKind.DATE:
+        base = np.datetime64("1970-01-01", "D")
+        return [str(base + np.timedelta64(int(v), "D")) for v in values]
+    if k == TypeKind.TIMESTAMP:
+        # Presto cast(timestamp as varchar): 'YYYY-MM-DD HH:MM:SS.mmm'
+        base = np.datetime64("1970-01-01T00:00:00", "us")
+        out = []
+        for v in values:
+            s = str(base + np.timedelta64(int(v), "us"))  # ...THH:MM:SS[.ffffff]
+            date, time = s.split("T")
+            if "." in time:
+                hms, frac = time.split(".")
+                time = f"{hms}.{frac[:3].ljust(3, '0')}"
+            else:
+                time = f"{time}.000"
+            out.append(f"{date} {time}")
+        return out
+    if k == TypeKind.DECIMAL:
+        s = t.scale
+        out = []
+        for v in values:
+            v = int(v)
+            sign = "-" if v < 0 else ""
+            a = abs(v)
+            if s == 0:
+                out.append(f"{sign}{a}")
+            else:
+                out.append(f"{sign}{a // 10**s}.{a % 10**s:0{s}d}")
+        return out
+    raise NotImplementedError(f"no varchar rendering for {t}")
+
+
+def _render_array_join(spec: RenderSpec, col, validity) -> Tuple[
+    List[Optional[str]], np.ndarray
+]:
+    """array_join over the host ARRAY column; returns (strings, validity)."""
+    rows = col.to_pylist(validity)
+    elem = spec.src_type.element
+    out: List[Optional[str]] = []
+    valid = np.ones(len(rows), dtype=bool)
+    for r in rows:
+        if r is None:
+            out.append("")
+            valid[len(out) - 1] = False
+            continue
+        parts = []
+        for v in r:
+            if v is None:
+                if spec.null_repl is not None:
+                    parts.append(str(spec.null_repl))
+                continue  # Presto skips NULL elements without a replacement
+            if elem.kind == TypeKind.VARCHAR:
+                parts.append(v)
+            else:
+                parts.append(_render_scalar(RenderSpec("cast", elem), np.asarray([v]))[0])
+        out.append(spec.sep.join(parts))
+    return out, valid
+
+
+def render_result(result: Table, specs: Dict[str, RenderSpec]) -> Table:
+    """Render constructed-string columns into dictionary codes + tables."""
+    names = list(result.schema.names)
+    types = list(result.schema.types)
+    cols = dict(result.columns)
+    tables = dict(result.string_tables)
+    validities = dict(result.validities)
+    for name, spec in specs.items():
+        if name not in cols:
+            continue
+        validity = validities.get(name)
+        if spec.kind == "array_join":
+            strings, valid = _render_array_join(spec, cols[name], validity)
+            if validity is None and not valid.all():
+                validities[name] = valid
+        else:
+            values = np.asarray(cols[name])
+            strings = _render_scalar(spec, values)
+            if validity is not None:
+                strings = [
+                    s if ok else "" for s, ok in zip(strings, validity)
+                ]
+        uniq, inverse = np.unique(np.asarray(strings, dtype=object), return_inverse=True)
+        table = StringTable()
+        code_of = np.asarray([table.intern(u) for u in uniq], dtype=np.int32)
+        cols[name] = code_of[inverse.reshape(-1)].astype(np.int32)
+        tables[name] = table
+        types[names.index(name)] = VARCHAR
+    return Table(RowType(names, types), cols, tables, validities)

@@ -107,6 +107,17 @@ def _rewrite(expr: Expr, tables, context_table: Optional[StringTable]) -> Expr:
             inner = Call(expr.dtype, "from_unixtime", rest)
             return Call(expr.dtype, register_zone_fn("at", zone), (inner,))
         return Call(expr.dtype, register_zone_fn(_TZ_FNS[expr.name], zone), rest)
+    if isinstance(expr, Call) and expr.name == "array_join":
+        # the separator / null-replacement literals must SURVIVE as strings:
+        # the string-construction plan rewrite (exec/strcast.py) renders the
+        # joined value on the host at materialization and needs their text,
+        # not a dictionary code
+        return Call(
+            expr.dtype,
+            expr.name,
+            (_rewrite(expr.args[0], tables, context_table),)
+            + tuple(expr.args[1:]),
+        )
     if (
         isinstance(expr, Call)
         and expr.name in _STRING_FN_BINDERS

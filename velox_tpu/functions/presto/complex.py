@@ -1063,6 +1063,19 @@ def _sequence(ctx, expr: Call):
     )
 
 
+def _array_join_gate(ctx, expr: Call):
+    """array_join is lowered by the string-construction plan rewrite
+    (exec/strcast.py) when it is a top-level projected output; any other
+    position needs the joined string's VALUE on device, which has no
+    dictionary form.  Reference: ArrayJoin in
+    velox/functions/prestosql/ArrayFunctions."""
+    raise NotImplementedError(
+        "array_join builds a data-dependent string; supported only as a "
+        "top-level projected output column (rendered at materialization) — "
+        "docs/roadmap.md"
+    )
+
+
 def _row_constructor(ctx, expr: Call):
     """row(a, b, ...) -> ROW value (reference: RowConstructor.cpp)."""
     from ...expr.seg import StructValue
@@ -1610,6 +1623,7 @@ COMPLEX_FNS: Dict[str, Callable] = {
     "arrays_overlap": _array_setop("overlap"),
     "map_concat": _map_concat,
     "cosine_similarity": _cosine_similarity,
+    "array_join": _array_join_gate,
     "row": _row_constructor,
     "row_field": _row_field,
     "split": _split,
@@ -1691,6 +1705,12 @@ def _register_all():
         _stub,
     )
     reg.register("cosine_similarity", [_M, _M], DOUBLE, _stub)
+    from ...dtypes import VARCHAR as _VC_
+
+    reg.register("array_join", [_A, TypeKind.VARCHAR], _VC_, _stub)
+    reg.register(
+        "array_join", [_A, TypeKind.VARCHAR, TypeKind.VARCHAR], _VC_, _stub
+    )
     # lambda-taking functions: the lambda arg matches ANY (its dtype is the
     # body's result type)
     reg.register(
