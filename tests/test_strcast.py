@@ -275,3 +275,32 @@ class TestSql:
         out = run_plan(plan).to_pandas().sort_values("sx")
         assert out["sx"].tolist() == ["1", "2"]
         assert out["s"].tolist() == [5.0, 2.0]
+
+
+def test_distributed_matches_local():
+    import jax
+
+    from velox_tpu.parallel.runner import DistributedExecutor, make_mesh
+
+    t = Table(
+        RowType(["x", "v"], [BIGINT, DOUBLE]),
+        {"x": np.arange(1000) % 7, "v": np.arange(1000.0)},
+    )
+    plan = (
+        PlanBuilder()
+        .table_scan(t)
+        .project(["cast(x as varchar) as sx", "v"])
+        .aggregation(["sx"], ["sum(v) as s"])
+        .build()
+    )
+    local = run_plan(plan).to_pandas().sort_values("sx").reset_index(drop=True)
+    mesh = make_mesh(len(jax.devices()))
+    dist = (
+        DistributedExecutor(plan, mesh, per_device_rows=64)
+        .run()
+        .to_pandas()
+        .sort_values("sx")
+        .reset_index(drop=True)
+    )
+    assert local["sx"].tolist() == dist["sx"].tolist()
+    assert local["s"].tolist() == dist["s"].tolist()

@@ -98,6 +98,9 @@ class DistributedExecutor:
         self.axis = axis
         self.n = mesh.devices.size
         self.config = config or DEFAULT_CONFIG
+        from ..exec.strcast import rewrite_string_construction
+
+        root, self._strcast_specs = rewrite_string_construction(root)
         root = rewrite_sketch_aggregates(root)
         from ..exec.joins import rewrite_filtered_existence_joins
 
@@ -580,6 +583,10 @@ class DistributedExecutor:
             from ..exec.hugeint import merge_result
 
             result = merge_result(result, self._hugeint_logical)
+        if getattr(self, "_strcast_specs", None):
+            from ..exec.strcast import render_result
+
+            result = render_result(result, self._strcast_specs)
         return result
 
     # ---- ungrouped / array-mode aggregation ---------------------------
