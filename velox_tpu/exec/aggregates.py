@@ -390,6 +390,27 @@ def bind_aggregate(
             arg_roles=("plain",) * len(types),
         )
 
+    if name == "bloom_filter_agg":
+        # Lowered to the grouped bitwise-OR plan rewrite (exec/sketch.py
+        # _rewrite_bloom; reference: sparksql BloomFilterAggAggregate.cpp).
+        # This binding only supplies the VARBINARY result type.
+        from ..dtypes import VARBINARY as _VB
+
+        def _unlowered_bloom(values, mask):
+            raise NotImplementedError(
+                "bloom_filter_agg must be lowered by "
+                "exec.sketch.rewrite_sketch_aggregates (size arguments must "
+                "be literals)"
+            )
+
+        return BoundAggregate(
+            "bloom_filter_agg", _VB, (jnp.int64,), ("bor",),
+            _unlowered_bloom,
+            lambda accs: (accs[0], None),
+            input_index,
+            arg_roles=("plain",) * len(types),
+        )
+
     assert types, f"{name} requires an argument"
     t0 = types[0]
     at = _acc_dtype(t0)
@@ -660,4 +681,5 @@ AGGREGATE_NAMES = (
     "variance", "var_samp", "var_pop", "stddev", "stddev_samp", "stddev_pop",
     "geometric_mean", "checksum", "covar_pop", "covar_samp", "corr",
     "skewness", "kurtosis", "bitwise_and_agg", "bitwise_or_agg",
+    "approx_distinct", "bloom_filter_agg",
 )

@@ -31,6 +31,7 @@ COLLECT_AGG_NAMES = (
     "entropy",
     "multimap_agg",
     "__dd_quantile",
+    "__bloom_assemble",
 )
 
 
@@ -108,6 +109,16 @@ def bind_collect(name: str, types: Tuple[DataType, ...]) -> CollectAggregate:
         assert len(types) == 3
         return CollectAggregate(
             name, DOUBLE, types, ("plain", "plain", "plain")
+        )
+    if name == "__bloom_assemble":
+        # (word_idx, or_bits, num_words) -> Spark-format serialized bloom
+        # filter (exec/sketch.py bloom_filter_agg rewrite; reference:
+        # sparksql/aggregates/BloomFilterAggAggregate.cpp)
+        from ..dtypes import VARBINARY
+
+        assert len(types) == 3
+        return CollectAggregate(
+            name, VARBINARY, types, ("plain", "plain", "plain")
         )
     raise KeyError(name)
 
@@ -336,6 +347,23 @@ def compute_collect(
         else:
             out = np.zeros(num_groups, v.dtype)
         return out, counts > 0
+
+    if agg.name == "__bloom_assemble":
+        # per-group: scatter (word_idx -> or_bits) into a zeroed word array
+        # and emit the Spark wire format (utils/spark_bloom.serialize)
+        from ..utils.spark_bloom import serialize
+
+        w = np.asarray(args[0]).astype(np.int64)
+        bits = np.asarray(args[1]).astype(np.int64).view(np.uint64)
+        nwords = int(np.asarray(args[2])[0]) if n else 4
+        out = np.empty(num_groups, dtype=object)
+        for g in range(num_groups):
+            s = starts[g]
+            e = starts[g + 1] if g + 1 < num_groups else n
+            words = np.zeros(nwords, dtype=np.uint64)
+            words[w[s:e]] = bits[s:e]
+            out[g] = serialize(words)
+        return out, None
 
     if agg.name == "__dd_quantile":
         from .sketch import dd_bucket_value

@@ -183,6 +183,129 @@ def _percentile_eligible(c) -> bool:
     )
 
 
+def _bloom_eligible(c) -> bool:
+    """bloom_filter_agg(x[, estimatedNumItems[, numBits]]) (reference:
+    sparksql/aggregates/BloomFilterAggAggregate.cpp).  The builder
+    auto-projects every argument to a column; size arguments must resolve
+    to literals through provenance (_const_field_value) at rewrite time."""
+    return (
+        c.name == "bloom_filter_agg"
+        and 1 <= len(c.args) <= 3
+        and all(isinstance(a, FieldAccess) for a in c.args)
+    )
+
+
+def _const_field_value(src: PlanNode, name: str):
+    """Resolve a column to its defining literal, walking pass-through
+    projects and filters; None when not a literal."""
+    from ..expr.ir import Constant
+    from ..plan.nodes import FilterNode, ProjectNode
+
+    node = src
+    while node is not None:
+        if isinstance(node, ProjectNode):
+            if name not in node.names:
+                return None
+            e = node.exprs[node.names.index(name)]
+            if isinstance(e, Constant):
+                return e.value
+            if isinstance(e, FieldAccess):
+                name = e.name
+                node = node.source
+                continue
+            return None
+        if isinstance(node, FilterNode):
+            node = node.source
+            continue
+        return None
+    return None
+
+
+def _rewrite_bloom(node: AggregationNode) -> PlanNode:
+    """bloom_filter_agg -> per-row (block index, block mask) projections +
+    grouped bitwise-OR + a per-group assemble collect into the Spark wire
+    format.  The build is scatter-free on device: OR-ing per block IS the
+    insert (utils/spark_bloom.py)."""
+    from ..expr.parser import parse_expr
+    from ..plan.nodes import FilterNode, ProjectNode
+    from ..utils.spark_bloom import (
+        DEFAULT_NUM_BITS,
+        num_words,
+        register_bloom_device_fns,
+    )
+
+    register_bloom_device_fns()
+    call = node.aggregates[0]
+    gkeys = list(node.grouping_keys)
+    out_name = node.agg_names[0]
+    xcol = call.args[0].name
+    src = node.source
+    size_args = []
+    for a in call.args[1:]:
+        v = _const_field_value(src, a.name)
+        if v is None:
+            raise NotImplementedError(
+                "bloom_filter_agg size arguments must be literals "
+                "(reference requires constants too: "
+                "BloomFilterAggAggregate.cpp setConstantArgument)"
+            )
+        size_args.append(int(v))
+    if len(size_args) == 2:
+        bits = size_args[1]
+    elif len(size_args) == 1:
+        bits = size_args[0] * 8
+    else:
+        bits = DEFAULT_NUM_BITS
+    nwords = num_words(bits)
+
+    def proj(source, names, texts):
+        s = source.output_schema
+        return ProjectNode(
+            source, tuple(names), tuple(parse_expr(t, s) for t in texts)
+        )
+
+    flt = FilterNode(src, parse_expr(f"{xcol} is not null", src.output_schema))
+    p1 = proj(
+        flt,
+        gkeys + ["__bf_w", "__bf_m", "__bf_n"],
+        gkeys
+        + [
+            f"__bloom_word64({xcol}, {nwords})",
+            f"__bloom_mask64({xcol})",
+            str(nwords),
+        ],
+    )
+    a1 = AggregationNode(
+        p1,
+        node.step,
+        tuple(gkeys + ["__bf_w"]),
+        ("__bf_b", "__bf_nn"),
+        (
+            Call(BIGINT, "bitwise_or_agg", (FieldAccess(BIGINT, "__bf_m"),)),
+            Call(BIGINT, "min", (FieldAccess(BIGINT, "__bf_n"),)),
+        ),
+    )
+    from ..dtypes import VARBINARY
+
+    return AggregationNode(
+        a1,
+        node.step,
+        tuple(gkeys),
+        (out_name,),
+        (
+            Call(
+                VARBINARY,
+                "__bloom_assemble",
+                (
+                    FieldAccess(BIGINT, "__bf_w"),
+                    FieldAccess(BIGINT, "__bf_b"),
+                    FieldAccess(BIGINT, "__bf_nn"),
+                ),
+            ),
+        ),
+    )
+
+
 def _rewrite_percentile(node: AggregationNode) -> PlanNode:
     """approx_percentile(x, [w,] p) -> dd-bucket counts (weight-summed for
     the weighted form) + a tiny per-group quantile-from-buckets collect
@@ -262,7 +385,7 @@ def _split_mixed_node(node: AggregationNode, rewrite) -> PlanNode:
     from ..plan.nodes import HashJoinNode, JoinType, ProjectNode
 
     def _eligible(c) -> bool:
-        if _percentile_eligible(c):
+        if _percentile_eligible(c) or _bloom_eligible(c):
             return True
         return (
             c.name == "approx_distinct"
@@ -388,7 +511,7 @@ def rewrite_sketch_aggregates(root: PlanNode) -> PlanNode:
             return node
 
         def _eligible(c) -> bool:
-            if _percentile_eligible(c):
+            if _percentile_eligible(c) or _bloom_eligible(c):
                 return True
             return (
                 c.name == "approx_distinct"
@@ -403,6 +526,8 @@ def rewrite_sketch_aggregates(root: PlanNode) -> PlanNode:
         call = node.aggregates[0]
         if _percentile_eligible(call):
             return _rewrite_percentile(node)
+        if _bloom_eligible(call):
+            return _rewrite_bloom(node)
         if call.name != "approx_distinct" or len(call.args) != 1:
             return node
         arg = call.args[0]

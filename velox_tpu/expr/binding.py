@@ -51,6 +51,19 @@ def bind_string_literals(expr: Expr, tables: Dict[str, StringTable]) -> Expr:
     return _rewrite(expr, tables, None)
 
 
+def _uncast_const(e: Expr) -> Expr:
+    """Strip a CAST wrapped around a literal (e.g. cast(null as varbinary))."""
+    from .ir import Special, SpecialForm
+
+    while (
+        isinstance(e, Special)
+        and e.form in (SpecialForm.CAST, SpecialForm.TRY_CAST)
+        and len(e.args) == 1
+    ):
+        e = e.args[0]
+    return e
+
+
 def _find_table(expr: Expr, tables: Dict[str, StringTable]) -> Optional[StringTable]:
     if isinstance(expr, FieldAccess) and (
         expr.dtype.is_string or expr.dtype.is_complex
@@ -107,6 +120,27 @@ def _rewrite(expr: Expr, tables, context_table: Optional[StringTable]) -> Expr:
             inner = Call(expr.dtype, "from_unixtime", rest)
             return Call(expr.dtype, register_zone_fn("at", zone), (inner,))
         return Call(expr.dtype, register_zone_fn(_TZ_FNS[expr.name], zone), rest)
+    if (
+        isinstance(expr, Call)
+        and expr.name == "might_contain"
+        and expr.args
+        and isinstance(_uncast_const(expr.args[0]), Constant)
+    ):
+        expr = Call(
+            expr.dtype, expr.name, (_uncast_const(expr.args[0]),) + expr.args[1:]
+        )
+        # literal Spark-serialized bloom filter: specialize a device probe
+        # closing over the deserialized words (utils/spark_bloom.py);
+        # reference: velox/functions/sparksql/MightContain.h
+        from ..utils.spark_bloom import register_bloom_probe
+
+        data = expr.args[0].value
+        fn = register_bloom_probe(None if data is None else bytes(data))
+        return Call(
+            expr.dtype,
+            fn,
+            (_rewrite(expr.args[1], tables, context_table),),
+        )
     if isinstance(expr, Call) and expr.name == "array_join":
         # the separator / null-replacement literals must SURVIVE as strings:
         # the string-construction plan rewrite (exec/strcast.py) renders the

@@ -353,6 +353,12 @@ class ExprParser:
         if t.kind == "case":
             return self._parse_case()
         if t.kind == "name":
+            if t.text.lower() == "x" and self._peek().kind == "string":
+                # X'AB12' VARBINARY literal (Presto/Spark hex binary syntax)
+                s = self._next()
+                return Constant(
+                    VARBINARY, bytes.fromhex(s.text.replace(" ", ""))
+                )
             if (
                 t.text.lower() == "array"
                 and self._peek().kind == "op"

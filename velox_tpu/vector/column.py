@@ -210,7 +210,12 @@ class Column:
     ) -> "Column":
         if dtype.is_string and arr.dtype.kind in ("U", "S", "O"):
             table = strings if strings is not None else StringTable()
-            codes = table.intern_all([("" if v is None else str(v)) for v in arr])
+            # VARBINARY values are bytes and must round-trip as bytes —
+            # str() of bytes would bake in python's b'...' repr
+            codes = table.intern_all(
+                ["" if v is None else (v if isinstance(v, bytes) else str(v))
+                 for v in arr]
+            )
             return Column.flat(
                 jnp.asarray(codes),
                 dtype,
