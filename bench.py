@@ -187,6 +187,12 @@ def measure_device_seconds(executor, tiles, repeats=3, k=9):
 
     if len(tiles) != 1:
         return None
+    if getattr(executor, "_split_mode", False):
+        # split-dispatch pipelines run as SEVERAL programs with host-level
+        # sort dispatch between them (config.split_sort_programs); tracing
+        # them into one chained program would inline the sorts and recreate
+        # the per-program compile cost this mode exists to avoid
+        return None
     tile = tiles[0]
     kind = executor.kind
 

@@ -65,6 +65,13 @@ class QueryConfig:
     # carry state, no per-tile host fetches).  False = legacy host merge,
     # which supports spilling when partials exceed spill_bytes_threshold.
     device_agg_merge: bool = True
+    # Split pipelines at sort boundaries and dispatch sorts through the
+    # canonical shared programs (ops/shared_sort.py): the remote TPU compiler
+    # charges 40-160 s for ANY program containing a lax.sort, so per-query
+    # programs must not contain one.  False = fuse sorts into the per-query
+    # programs (fastest steady-state by a few ms/tile; minutes of cold
+    # compile per query).
+    split_sort_programs: bool = True
     # Expression eval: raise on row errors (False = silently null, non-Presto).
     strict_errors: bool = True
     # Exchange: per-destination bucket capacity override (None = tile size).

@@ -269,6 +269,50 @@ class SortGrouping:
         runs = SortedRuns(boundary, sorted_mask)
         return sorted_keys, sorted_payload, sorted_mask, runs
 
+    # ---- split-dispatch halves (ops/shared_sort.py) ----------------------
+    # Same math as sort_and_group's packed path, but the sort itself runs as
+    # the canonical shared program between two cheap glue programs — the
+    # remote compiler charges minutes for any program CONTAINING a sort, so
+    # query-specific programs must not contain one (measured:
+    # scripts/profile_q3_compile.py, round 4).
+
+    def supports_split(self, cap: int) -> bool:
+        from ..ops.shared_sort import _BUCKETS
+
+        return not self.presorted and self.pack_plan(cap) is not None
+
+    def sort_inputs(self, batch: Batch, payload, mask):
+        """Pre-sort glue: (merged key word, carried operand list)."""
+        cap = batch.capacity
+        key_vals, key_valid = self._decode_keys(batch)
+        plan = self.pack_plan(cap)
+        assert plan is not None, "call supports_split first"
+        idx64 = jnp.arange(cap, dtype=jnp.int64)
+        packed = plan.pack_with_sentinel(key_vals, ~mask, key_valid)
+        self._split_key_dtypes = [kv.dtype for kv in key_vals]
+        return packed | idx64, list(payload) + [mask]
+
+    def group_from_sorted(self, s_merged, s_carried, n_payload: int):
+        """Post-sort glue: unpack keys + run structure from the sorted word.
+        Returns the same tuple as sort_and_group."""
+        from ..ops.segmented import SortedRuns, run_boundaries
+
+        cap = s_merged.shape[0]
+        plan = self.pack_plan(cap)
+        s = s_merged
+        low = plan.shifts[-1] if plan.shifts else 0
+        codes = s >> low
+        sorted_keys = [
+            plan.unpack(s, i).astype(dt)
+            for i, dt in enumerate(self._split_key_dtypes)
+        ]
+        sorted_payload = list(s_carried[:n_payload])
+        sorted_mask = s_carried[-1].astype(jnp.bool_)
+        diff = codes != jnp.roll(codes, 1)
+        boundary = run_boundaries(diff, sorted_mask)
+        runs = SortedRuns(boundary, sorted_mask)
+        return sorted_keys, sorted_payload, sorted_mask, runs
+
     @staticmethod
     def group_keys(sorted_keys, runs):
         """Representative key value per run slot (keys are equal within a run)."""

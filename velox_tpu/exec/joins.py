@@ -258,6 +258,14 @@ class HashJoinExec:
         default=None, kw_only=True
     )
     bp_fields: Optional[Tuple] = dataclasses.field(default=None, kw_only=True)
+    # split-dispatch probe state (probe_split_host): cached (pre, post) jits
+    # and the operand layout recorded at pre-trace time for the post trace
+    _split_jits: Optional[Tuple] = dataclasses.field(
+        default=None, kw_only=True, repr=False, compare=False
+    )
+    _split_meta: Optional[Tuple] = dataclasses.field(
+        default=None, kw_only=True, repr=False, compare=False
+    )
 
     def _prepare_build_payload(self, bounds_map) -> None:
         """Pack the build's non-key output columns (+ validity bits) into one
@@ -462,7 +470,9 @@ class HashJoinExec:
         return exec_
 
     @staticmethod
-    def build_from_device(node: HashJoinNode, batches, err_scalar) -> "HashJoinExec":
+    def build_from_device(
+        node: HashJoinNode, batches, err_scalar, split_sorts: bool = True
+    ) -> "HashJoinExec":
         """Construct the bridge from device-resident compacted tile batches —
         the build data never round-trips to the host; only a handful of scalars
         (row count, duplicate count, key ranges) are fetched.
@@ -631,10 +641,119 @@ class HashJoinExec:
                 jnp.sum(mask.astype(jnp.int32)), stats_vec,
             )
 
-        (
-            s_key, s_hi, cols, n_valid_d, dup_d, err_d, kmin_d, kmax_d,
-            n_live_d, stats_d,
-        ) = prepare(batches, err_scalar)
+        if split_sorts and not semi:
+            # split-dispatch build: the build sort runs as the canonical
+            # shared program (ops/shared_sort.py) between two glue programs,
+            # keeping this BUILD's compiled programs sort-free — the remote
+            # compiler charges 40-160 s per sort-containing program, which
+            # was most of the executor-build cost (round-4 measurement:
+            # scripts/profile_q3_compile.py "build(execs+joins): 153 s" at
+            # SF0.01, compile-bound not data-bound)
+            from ..ops.shared_sort import shared_sort_ops
+
+            @jax.jit
+            def prepare_pre(bs, err):
+                if isinstance(err, (tuple, list)):
+                    total = jnp.zeros((), dtype=jnp.int64)
+                    for e in err:
+                        total = total + e
+                    err = total
+                mask = jnp.concatenate([b.active_mask() for b in bs])
+                kvalid = mask
+                keys = []
+                for k in key_names:
+                    d, val = _concat_col(bs, k)
+                    keys.append(d.astype(jnp.int64))
+                    if val is not None:
+                        kvalid = kvalid & val
+                if normalizer is None:
+                    packed_hi, packed = None, keys[0]
+                else:
+                    (packed_hi, packed), _ = normalizer.pack_device_limbs(
+                        keys, kvalid
+                    )
+                packed = jnp.where(kvalid, packed, jnp.int64(_KEY_SENTINEL))
+                n = packed.shape[0]
+                orig = jnp.arange(n, dtype=jnp.int32)
+                hi_t = ()
+                if packed_hi is not None:
+                    hi_t = (
+                        jnp.where(
+                            kvalid, packed_hi, jnp.int64(_KEY_SENTINEL)
+                        ),
+                    )
+                return ~kvalid, hi_t, packed, orig, err, mask
+
+            @jax.jit
+            def prepare_post(bs, s_inv, s_hi_t, s_key, s_orig, err, mask):
+                s_hi = s_hi_t[0] if s_hi_t else None
+                s_valid = ~s_inv
+                n = s_key.shape[0]
+                pos = jnp.arange(n, dtype=jnp.int32)
+                prev_eq = (
+                    (pos > 0)
+                    & s_valid
+                    & jnp.roll(s_valid, 1)
+                    & (s_key == jnp.roll(s_key, 1))
+                )
+                if s_hi is not None:
+                    prev_eq = prev_eq & (s_hi == jnp.roll(s_hi, 1))
+                big = jnp.int64(1) << 62
+                kmin = jnp.min(jnp.where(s_valid, s_key, big))
+                kmax = jnp.max(jnp.where(s_valid, s_key, -big))
+                n_valid = jnp.sum(s_valid.astype(jnp.int32))
+                dup = jnp.sum(prev_eq.astype(jnp.int32))
+                cols = {}
+                for name in col_names:
+                    data, validity = _concat_col(bs, name)
+                    g = jnp.take(data, s_orig, mode="clip")
+                    gv = (
+                        None
+                        if validity is None
+                        else jnp.take(validity, s_orig, mode="clip")
+                    )
+                    cols[name] = (g, gv)
+                col_stats = []
+                for nm in col_names:
+                    g, gv = cols[nm]
+                    if not (
+                        jnp.issubdtype(g.dtype, jnp.integer)
+                        or g.dtype == jnp.bool_
+                    ):
+                        continue
+                    m = s_valid if gv is None else (s_valid & gv)
+                    v = g.astype(jnp.int64)
+                    col_stats.append(jnp.min(jnp.where(m, v, big)))
+                    col_stats.append(jnp.max(jnp.where(m, v, -big)))
+                stats_vec = (
+                    jnp.stack(col_stats)
+                    if col_stats
+                    else jnp.zeros((0,), jnp.int64)
+                )
+                return (
+                    s_key, s_hi, cols, n_valid, dup, err, kmin, kmax,
+                    jnp.sum(mask.astype(jnp.int32)), stats_vec,
+                )
+
+            inv, hi_t, packed, orig, err_pre, mask_pre = prepare_pre(
+                batches, err_scalar
+            )
+            key_ops = [inv] + list(hi_t) + [packed]
+            s_keys, s_pays = shared_sort_ops(key_ops, [orig])
+            s_inv_a = s_keys[0].astype(jnp.bool_)
+            s_hi_tuple = tuple(s_keys[1:-1])
+            (
+                s_key, s_hi, cols, n_valid_d, dup_d, err_d, kmin_d, kmax_d,
+                n_live_d, stats_d,
+            ) = prepare_post(
+                batches, s_inv_a, s_hi_tuple, s_keys[-1], s_pays[0],
+                err_pre, mask_pre,
+            )
+        else:
+            (
+                s_key, s_hi, cols, n_valid_d, dup_d, err_d, kmin_d, kmax_d,
+                n_live_d, stats_d,
+            ) = prepare(batches, err_scalar)
         n_valid, dup, err, kmin, kmax, n_live, stats = fetch_tree(
             (n_valid_d, dup_d, err_d, kmin_d, kmax_d, n_live_d, stats_d)
         )  # round trip
@@ -1199,9 +1318,19 @@ class HashJoinExec:
 
         Returns None (statically) when preconditions fail; the caller falls
         back to the classification-sort path."""
+        plan = self._fused_static(batch.capacity)
+        if plan is None:
+            return None
+        word, ops, vbits = self._fused_pre(batch, plan)
+        sort_ops = [word] + list(ops) + list(vbits)
+        out = jax.lax.sort(sort_ops, num_keys=1)
+        return self._fused_post(plan, out[0], tuple(out[1:]))
+
+    def _fused_static(self, cap: int):
+        """Static eligibility + bit-layout plan for the fused probe; shared
+        by the in-program path (_probe_fused) and the split-dispatch path
+        (probe_split_host, ops/shared_sort.py).  None = not eligible."""
         node = self.node
-        jt = node.join_type
-        cap = batch.capacity
         B = self.build_size
         if self.expansion or B == 0 or self.key_range is None:
             return None
@@ -1239,6 +1368,90 @@ class HashJoinExec:
                     return None
             else:
                 return None
+        # the left columns the output needs (their count bounds the sort's
+        # payload-operand count for the split path)
+        needed_left: List[str] = []
+        for name in node.output_schema.names:
+            ln = name if name in left_schema else right_key_to_left.get(name)
+            if ln is not None and ln not in needed_left:
+                needed_left.append(ln)
+        return {
+            "cap": cap,
+            "B": B,
+            "tier1": tier1,
+            "L": L,
+            "lo": lo,
+            "span": span,
+            "out_build": out_build,
+            "needed_left": needed_left,
+            "left_schema": left_schema,
+            "right_key_to_left": right_key_to_left,
+        }
+
+    def supports_split_probe(self, cap: int) -> bool:
+        """Can this probe run as [pre glue] -> canonical shared sort ->
+        [post glue] (three dispatches)?  Requires fused-probe eligibility and
+        a payload count within the canonical bucket family."""
+        from ..ops.shared_sort import _BUCKETS
+
+        node = self.node
+        if node.join_type not in (
+            JoinType.INNER, JoinType.LEFT_SEMI, JoinType.ANTI, JoinType.LEFT
+        ):
+            return False
+        if node.null_aware and self.build_has_null_key:
+            return False  # statically-empty result; trivial fused program
+        plan = self._fused_static(cap)
+        if plan is None:
+            return False
+        # ops (needed_left) + at most one vbits operand
+        return len(plan["needed_left"]) + 1 <= _BUCKETS[-1]
+
+    def probe_output_capacity(self, cap: int) -> int:
+        """Output capacity of probe() for a probe batch of capacity cap."""
+        if self._fused_static(cap) is not None:
+            return self.build_size + cap
+        return cap
+
+    def probe_split_host(self, batch: Batch) -> Batch:
+        """HOST-LEVEL fused probe: dispatches pre-glue, the canonical shared
+        sort (ops/shared_sort.py), and post-glue as separate programs.  Same
+        math as _probe_fused, but the expensive-to-compile sort is a shared
+        per-shape executable instead of part of this query's program —
+        remote-compile cost drops from minutes per query to seconds of glue
+        (see ops/shared_sort.py header for the measurements)."""
+        from ..ops.shared_sort import shared_sort_word
+
+        plan = self._fused_static(batch.capacity)
+        assert plan is not None, "call supports_split_probe first"
+        jits = self._split_jits
+        if jits is None:
+
+            def pre(b):
+                return self._fused_pre(b, plan)
+
+            def post(s_word, payloads):
+                return self._fused_post(plan, s_word, payloads)
+
+            jits = (jax.jit(pre), jax.jit(post))
+            self._split_jits = jits
+        pre_jit, post_jit = jits
+        word, ops, vbits = pre_jit(batch)
+        s_word, s_pay = shared_sort_word(word, list(ops) + list(vbits))
+        return post_jit(s_word, tuple(s_pay))
+
+    def _fused_pre(self, batch: Batch, plan):
+        """Everything before the fused probe's sort: packed words + riding
+        payload operands.  Returns (word, ops, vbits_tuple); records the
+        per-column operand layout in self._split_meta for _fused_post."""
+        node = self.node
+        cap = plan["cap"]
+        B = plan["B"]
+        tier1 = plan["tier1"]
+        L = plan["L"]
+        lo, span = plan["lo"], plan["span"]
+        out_build = plan["out_build"]
+        left_schema = plan["left_schema"]
 
         # ---- probe keys + masks
         probe_vals: List[jax.Array] = []
@@ -1277,15 +1490,7 @@ class HashJoinExec:
         word = jnp.concatenate([word_b, word_p])
 
         # ---- carried probe columns (the left side of every output column)
-        needed_left: List[str] = []
-        for name in node.output_schema.names:
-            ln = (
-                name
-                if name in left_schema
-                else right_key_to_left.get(name)
-            )
-            if ln is not None and ln not in needed_left:
-                needed_left.append(ln)
+        needed_left = plan["needed_left"]
         ops: List[jax.Array] = []
         meta = {}  # left name -> (op index, validity bit | -1, strings)
         vbits = None
@@ -1310,10 +1515,25 @@ class HashJoinExec:
                 vbit = bit
                 bit += 1
             meta[ln] = (len(ops) - 1, vbit, col.strings)
-        sort_ops = [word] + ops + ([vbits] if vbits is not None else [])
-        out = jax.lax.sort(sort_ops, num_keys=1)
-        s = out[0]
-        out_vbits = out[-1] if vbits is not None else None
+        # static operand layout, read back by _fused_post (trace of pre
+        # always precedes trace of post for a given batch layout)
+        self._split_meta = (meta, vbits is not None)
+        return word, tuple(ops), (vbits,) if vbits is not None else ()
+
+    def _fused_post(self, plan, s: jax.Array, payloads: Tuple[jax.Array, ...]):
+        """Everything after the fused probe's sort: the cummax candidate
+        scan + output-column assembly in merged order."""
+        node = self.node
+        jt = node.join_type
+        cap = plan["cap"]
+        B = plan["B"]
+        tier1 = plan["tier1"]
+        L = plan["L"]
+        left_schema = plan["left_schema"]
+        right_key_to_left = plan["right_key_to_left"]
+        meta, has_vbits = self._split_meta
+        out = (s,) + payloads
+        out_vbits = out[-1] if has_vbits else None
 
         # ---- one scan: candidate build word per probe row
         is_probe = ((s >> (3 + L)) & 1).astype(jnp.bool_)

@@ -596,9 +596,7 @@ class AggExecutor:
         return (tuple(out), rowcounts)
 
     # ---- sort mode: per-tile partial groups -------------------------------
-    def tile_partial(self, batch: Batch):
-        """Returns (key_arrays, accs_nested, num_groups_scalar)."""
-        mask = batch.active_mask()
+    def _payload_and_plan(self, batch: Batch):
         payload: List[jax.Array] = []
         plan: List[Tuple[int, bool]] = []  # per agg: (n_args, has_validity)
         for i in range(len(self.aggs)):
@@ -607,12 +605,9 @@ class AggExecutor:
             if validity is not None:
                 payload.append(validity)
             plan.append((len(values), validity is not None))
-        (
-            sorted_keys,
-            sorted_payload,
-            sorted_mask,
-            runs,
-        ) = self.grouping.sort_and_group(batch, payload, mask)
+        return payload, plan
+
+    def _reduce_sorted(self, plan, sorted_keys, sorted_payload, sorted_mask, runs):
         accs_out = []
         pos = 0
         for (n_args, has_validity), agg in zip(plan, self.aggs):
@@ -620,11 +615,52 @@ class AggExecutor:
             pos += n_args
             m = sorted_mask
             if has_validity:
-                m = m & sorted_payload[pos]
+                m = m & sorted_payload[pos].astype(jnp.bool_)
                 pos += 1
             accs_out.append(agg.run_reduce(values, m, runs))
         key_arrays = SortGrouping.group_keys(sorted_keys, runs)
         return key_arrays, tuple(accs_out), runs.num_runs
+
+    def tile_partial(self, batch: Batch):
+        """Returns (key_arrays, accs_nested, num_groups_scalar)."""
+        mask = batch.active_mask()
+        payload, plan = self._payload_and_plan(batch)
+        (
+            sorted_keys,
+            sorted_payload,
+            sorted_mask,
+            runs,
+        ) = self.grouping.sort_and_group(batch, payload, mask)
+        return self._reduce_sorted(
+            plan, sorted_keys, sorted_payload, sorted_mask, runs
+        )
+
+    # ---- split-dispatch halves (ops/shared_sort.py): the grouping sort runs
+    # as a canonical shared program between these two glue programs, so the
+    # per-query program contains no lax.sort (remote-compile cost; see
+    # config.split_sort_programs)
+
+    def tile_partial_pre(self, batch: Batch):
+        mask = batch.active_mask()
+        payload, plan = self._payload_and_plan(batch)
+        # static layout, read back by tile_partial_post (pre traces first)
+        self._split_agg_plan = (plan, len(payload))
+        merged, carried = self.grouping.sort_inputs(batch, payload, mask)
+        return merged, tuple(carried)
+
+    def tile_partial_post(self, s_merged, s_carried):
+        plan, n_payload = self._split_agg_plan
+        (
+            sorted_keys,
+            sorted_payload,
+            sorted_mask,
+            runs,
+        ) = self.grouping.group_from_sorted(
+            s_merged, list(s_carried), n_payload
+        )
+        return self._reduce_sorted(
+            plan, sorted_keys, sorted_payload, sorted_mask, runs
+        )
 
     # ---- device-resident sorted-carry merge for sort mode ------------------
     #
@@ -1206,7 +1242,10 @@ class LocalExecutor:
                         batches, err = device
                         try:
                             exec_ = HashJoinExec.build_from_device(
-                                step[1], batches, err
+                                step[1], batches, err,
+                                split_sorts=getattr(
+                                    self.config, "split_sort_programs", True
+                                ),
                             )
                         except DuplicateBuildKeys:
                             pass  # N:M build: host path constructs run spans
@@ -1426,7 +1465,17 @@ class LocalExecutor:
                 # ~0.1 ms.  Pipelines containing joins (several large sorts
                 # each) additionally split at the pipeline/grouping boundary.
                 has_joins = any(s[0] == "join" for s in lin.steps)
-                if has_joins:
+                split_plan = (
+                    self._plan_split_sorts(lin, ex)
+                    if getattr(self.config, "split_sort_programs", True)
+                    else None
+                )
+                if split_plan is not None:
+                    sort_tile_partial = self._make_split_tile_partial(
+                        split_plan, ex
+                    )
+                    self._split_mode = True
+                elif has_joins:
                     steps_jit = jax.jit(
                         lambda batch: apply_streaming(batch, lin.steps)
                     )
@@ -1462,11 +1511,20 @@ class LocalExecutor:
                 self._tile_partial = tile_partial
         else:
             self.kind = "collect"
+            collect_split = (
+                self._plan_split_collect(lin)
+                if getattr(self.config, "split_sort_programs", True)
+                else None
+            )
+            if collect_split is not None:
+                tile_out = self._make_split_tile_out(collect_split)
+                self._split_mode = True
+            else:
 
-            @jax.jit
-            def tile_out(batch):
-                batch2, err = apply_streaming(batch, lin.steps)
-                return compact(batch2), err
+                @jax.jit
+                def tile_out(batch):
+                    batch2, err = apply_streaming(batch, lin.steps)
+                    return compact(batch2), err
 
             self._tile_out = tile_out
             out_schema = lin.source.output_schema
@@ -1543,6 +1601,157 @@ class LocalExecutor:
         total = sum(int(e) for e in fetch_tree(list(self._pending_errs)))
         self._pending_errs = []
         return total
+
+    # ---- split-dispatch pipelines (ops/shared_sort.py) -------------------
+
+    def _plan_split_sorts(self, lin, ex):
+        """Segment the pipeline at sort boundaries so every lax.sort runs as
+        a canonical SHARED program (ops/shared_sort.py) instead of inside
+        this query's own programs — the remote TPU compiler charges 40-160 s
+        per program CONTAINING a sort (scripts/profile_q3_compile.py), which
+        is the entire cold-start cost of join/group-heavy queries.
+
+        Returns a list of ("glue", steps_tuple) / ("join", exec) segments,
+        or None when the pipeline has shapes this path does not cover
+        (expansion joins, presorted or unpackable grouping, too many riding
+        payload operands)."""
+        if ex.mode != "sort":
+            return None
+        allowed = ("filter", "project", "join", "left_join_filter")
+        if any(s[0] not in allowed for s in lin.steps):
+            return None
+        from .grouping import SortGrouping
+
+        if not isinstance(ex.grouping, SortGrouping):
+            return None
+        segments: List[Tuple[str, object]] = []
+        glue: List[Tuple] = []
+        cap = self.capacity
+        any_split_join = False
+        for step in lin.steps:
+            if step[0] == "join":
+                exec_ = step[1]
+                if exec_.supports_split_probe(cap):
+                    if glue:
+                        segments.append(("glue", tuple(glue)))
+                        glue = []
+                    segments.append(("join", exec_))
+                    any_split_join = True
+                else:
+                    glue.append(step)
+                cap = exec_.probe_output_capacity(cap)
+            else:
+                glue.append(step)
+        if glue:
+            segments.append(("glue", tuple(glue)))
+        group_split = ex.grouping.supports_split(cap)
+        if group_split:
+            # riding payload bound (canonical bucket family): worst case one
+            # validity operand per aggregate plus the mask
+            n_payload = sum(a.num_args + 1 for a in ex.aggs) + 1
+            from ..ops.shared_sort import _BUCKETS
+
+            if n_payload > _BUCKETS[-1]:
+                group_split = False
+        if not group_split and not any_split_join:
+            # nothing to hoist: presorted grouping is sort-free and no join
+            # qualified — the fused paths are already cheap to compile
+            return None
+        return segments, group_split
+
+    def _plan_split_collect(self, lin):
+        """Segment a collect-kind pipeline: split probes out of the per-query
+        program and hoist the final compaction's argsort into the canonical
+        shared sort.  None when a step kind is not covered."""
+        allowed = ("filter", "project", "join", "left_join_filter")
+        if any(s[0] not in allowed for s in lin.steps):
+            return None
+        segments: List[Tuple[str, object]] = []
+        glue: List[Tuple] = []
+        cap = self.capacity
+        for step in lin.steps:
+            if step[0] == "join" and step[1].supports_split_probe(cap):
+                if glue:
+                    segments.append(("glue", tuple(glue)))
+                    glue = []
+                segments.append(("join", step[1]))
+                cap = step[1].probe_output_capacity(cap)
+            else:
+                if step[0] == "join":
+                    cap = step[1].probe_output_capacity(cap)
+                glue.append(step)
+        if glue:
+            segments.append(("glue", tuple(glue)))
+        return segments
+
+    def _make_split_steps_runner(self, segments):
+        """run_steps(batch) -> (batch, err): glue segments as jits, split
+        probes as host dispatches through the canonical shared sorts."""
+        compiled: List[Tuple[str, object]] = []
+        for kind, obj in segments:
+            if kind == "glue":
+                compiled.append(
+                    ("glue", jax.jit(lambda b, _st=obj: apply_streaming(b, _st)))
+                )
+            else:
+                compiled.append(("join", obj))
+
+        def run_steps(batch):
+            err_total = None
+            for kind, fn in compiled:
+                if kind == "glue":
+                    batch, e = fn(batch)
+                    err_total = e if err_total is None else err_total + e
+                else:
+                    batch = fn.probe_split_host(batch)
+            if err_total is None:
+                err_total = jnp.zeros((), dtype=jnp.int64)
+            return batch, err_total
+
+        return run_steps
+
+    def _make_split_tile_out(self, segments):
+        """Host-level collect program: glue + split probes + shared-sort
+        compaction (ops/compact.py split halves)."""
+        from ..ops.compact import compact_from_sorted_word, compaction_word
+        from ..ops.shared_sort import shared_sort_word
+
+        run_steps = self._make_split_steps_runner(segments)
+        word_jit = jax.jit(lambda b: compaction_word(b.active_mask()))
+        post_jit = jax.jit(compact_from_sorted_word)
+
+        def tile_out(batch):
+            batch, err_total = run_steps(batch)
+            s_word, _ = shared_sort_word(word_jit(batch), [])
+            return post_jit(batch, s_word), err_total
+
+        return tile_out
+
+    def _make_split_tile_partial(self, split_plan, ex):
+        """Host-level tile program: dispatches glue jits, split probes, and
+        (when the grouping splits) the canonical grouping sort as separate
+        programs."""
+        from ..ops.shared_sort import shared_sort_word
+
+        segments, group_split = split_plan
+        run_steps = self._make_split_steps_runner(segments)
+        if group_split:
+            pre_jit = jax.jit(ex.tile_partial_pre)
+            post_jit = jax.jit(ex.tile_partial_post)
+        else:
+            partial_jit = jax.jit(ex.tile_partial)
+
+        def sort_tile_partial(batch):
+            batch, err_total = run_steps(batch)
+            if group_split:
+                merged, carried = pre_jit(batch)
+                s_merged, s_carried = shared_sort_word(merged, list(carried))
+                partial = post_jit(s_merged, tuple(s_carried))
+            else:
+                partial = partial_jit(batch)
+            return partial, err_total
+
+        return sort_tile_partial
 
     def run(
         self,
@@ -1924,10 +2133,20 @@ class LocalExecutor:
                         )
                     operands.append(limb)
             perm_src = jnp.arange(G, dtype=jnp.int32)
-            sorted_ops = jax.lax.sort(
-                operands + [perm_src], num_keys=len(operands)
-            )
-            perm = sorted_ops[-1]
+            # order-preserving int64 encoding for every key operand so the
+            # sort can run as a canonical shared program (float bitcast does
+            # NOT preserve order for negatives; exec/sort.py holds the trick)
+            from .sort import float_to_ordered_i64
+
+            ops64 = [
+                float_to_ordered_i64(op)
+                if jnp.issubdtype(op.dtype, jnp.floating)
+                else op.astype(jnp.int64)
+                for op in operands
+            ]
+            return tuple(ops64), perm_src
+
+        def topn_post(keys_d, accs_d, count_d, perm):
             new_keys = tuple(jnp.take(k, perm, mode="clip") for k in keys_d)
             new_accs = tuple(
                 tuple(jnp.take(a, perm, mode="clip") for a in acc)
@@ -1935,7 +2154,28 @@ class LocalExecutor:
             )
             return new_keys, new_accs, jnp.minimum(count_d, node.count)
 
-        self._device_topn_jit = jax.jit(topn)
+        if getattr(self.config, "split_sort_programs", True):
+            from ..ops.shared_sort import shared_sort_ops
+
+            pre_jit = jax.jit(topn)
+            post_jit = jax.jit(topn_post)
+
+            def topn_split(keys_d, accs_d, count_d):
+                ops64, perm_src = pre_jit(keys_d, accs_d, count_d)
+                _, pays = shared_sort_ops(list(ops64), [perm_src])
+                return post_jit(keys_d, accs_d, count_d, pays[0])
+
+            self._device_topn_jit = topn_split
+        else:
+
+            def topn_fused(keys_d, accs_d, count_d):
+                ops64, perm_src = topn(keys_d, accs_d, count_d)
+                sorted_ops = jax.lax.sort(
+                    list(ops64) + [perm_src], num_keys=len(ops64)
+                )
+                return topn_post(keys_d, accs_d, count_d, sorted_ops[-1])
+
+            self._device_topn_jit = jax.jit(topn_fused)
         return node.count
 
     def __del__(self):
@@ -2199,21 +2439,77 @@ class LocalExecutor:
             self._sort_info = {}
             steps = lin.steps
             info = self._sort_info
+            split_steps = (
+                self._plan_split_collect(lin)
+                if getattr(self.config, "split_sort_programs", True)
+                else None
+            )
+            if split_steps is not None:
+                # sort-free programs: steps run through the segment runner,
+                # the ORDER BY sort through the canonical shared program
+                # (ops/shared_sort.py), and the gather/flatten as post glue
+                from ..ops.shared_sort import shared_sort_ops
+                from .sort import flatten_columns
 
-            @jax.jit
-            def tile_sorted(batch):
-                batch2, err = apply_streaming(batch, steps)
-                arrays, layout, count = tile_sorted_prefix(
-                    spec, batch2, tile_keep
-                )
-                # static per-program facts, captured at trace time
-                info["layout"] = layout
-                info["strings"] = {
-                    name: col.strings
-                    for name, col in zip(batch2.schema.names, batch2.columns)
-                    if col.strings is not None
-                }
-                return arrays, count, err
+                run_steps = self._make_split_steps_runner(split_steps)
+
+                @jax.jit
+                def sort_pre(batch2):
+                    mask = batch2.active_mask()
+                    ops = [~mask] + spec.operands(
+                        batch2.columns, batch2.capacity
+                    )
+                    perm_src = jnp.arange(batch2.capacity, dtype=jnp.int32)
+                    info["strings"] = {
+                        name: col.strings
+                        for name, col in zip(
+                            batch2.schema.names, batch2.columns
+                        )
+                        if col.strings is not None
+                    }
+                    return ops, perm_src, mask
+
+                @jax.jit
+                def sort_post(batch2, perm, mask):
+                    count = jnp.sum(mask).astype(jnp.int32)
+                    if tile_keep is not None and tile_keep < batch2.capacity:
+                        perm = perm[:tile_keep]
+                        count = jnp.minimum(count, tile_keep)
+                    arrays, layout = flatten_columns(
+                        [c.gather(perm) for c in batch2.columns],
+                        perm.shape[0],
+                    )
+                    info["layout"] = layout
+                    return arrays, count
+
+                def tile_sorted(batch):
+                    batch2, err = run_steps(batch)
+                    ops, perm_src, mask = sort_pre(batch2)
+                    s_keys, _ = shared_sort_ops(list(ops) + [perm_src], [])
+                    arrays, count = sort_post(
+                        batch2, s_keys[-1].astype(jnp.int32), mask
+                    )
+                    return arrays, count, err
+
+                self._split_mode = True
+            else:
+
+                @jax.jit
+                def tile_sorted(batch):
+                    batch2, err = apply_streaming(batch, steps)
+                    arrays, layout, count = tile_sorted_prefix(
+                        spec, batch2, tile_keep
+                    )
+                    # static per-program facts, captured at trace time
+                    info["layout"] = layout
+                    info["strings"] = {
+                        name: col.strings
+                        for name, col in zip(
+                            batch2.schema.names, batch2.columns
+                        )
+                        if col.strings is not None
+                    }
+                    return arrays, count, err
 
             self._tile_sorted_jit = tile_sorted
             self._merge_jits = {}

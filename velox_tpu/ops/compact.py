@@ -37,3 +37,26 @@ def compact(batch: Batch) -> Batch:
     return dataclasses.replace(
         batch, columns=cols, length=count, selection=None
     )
+
+
+def compaction_word(mask: jax.Array) -> jax.Array:
+    """The compaction permutation as ONE packed sort word (dead flag << idxb
+    | row id) — sorting it through the canonical shared program
+    (ops/shared_sort.py) replaces the in-program argsort when programs must
+    stay sort-free for the remote compiler."""
+    n = mask.shape[0]
+    idxb = max((n - 1).bit_length(), 1)
+    iota = jnp.arange(n, dtype=jnp.int64)
+    return ((~mask).astype(jnp.int64) << idxb) | iota
+
+
+def compact_from_sorted_word(batch: Batch, s_word: jax.Array) -> Batch:
+    """Post-sort half of the split compaction."""
+    n = batch.capacity
+    idxb = max((n - 1).bit_length(), 1)
+    perm = (s_word & ((jnp.int64(1) << idxb) - 1)).astype(jnp.int32)
+    count = jnp.sum(batch.active_mask()).astype(jnp.int32)
+    cols = tuple(c.gather(perm).flatten(n) for c in batch.columns)
+    return dataclasses.replace(
+        batch, columns=cols, length=count, selection=None
+    )

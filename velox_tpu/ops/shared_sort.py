@@ -1,0 +1,163 @@
+"""Canonical shared sort programs — the engine's answer to remote-compile cost.
+
+Measured on this environment's remote TPU compiler (scripts/
+profile_q3_compile.py, round 4): a program containing ONE `jax.lax.sort`
+costs 40-160 s to compile (growing with operand count and log n), while
+sort-free glue programs compile in seconds.  A query-specific fused program
+with sorts inside therefore pays minutes of cold compile per query — round
+3's bench died exactly this way (Q3 never finished compiling inside the
+watchdog window).
+
+The fix is architectural: execution SPLITS at sort boundaries, and every
+sort dispatches through this module's canonical jitted programs keyed by
+(row count, payload bucket).  Payload operands are bitcast to int64 and
+padded to bucket sizes {0, 1, 2, 4, 8}, so ALL queries with the same tile
+bucket share a handful of compiled sorts — compiled once per machine
+(persistent XLA cache) instead of once per query program.  Glue between
+sorts stays fused and cheap.
+
+Runtime cost of the canonicalization is near zero: payloads already ride
+sorts as non-key operands (a non-key operand costs ~12 ms per 8M rows vs
+~60 ms for a post-sort gather, scripts/bench_cost_model.py), bitcasting is
+free, and a padded zero operand costs one operand's ride only when the
+bucket rounds up.
+
+Reference analog: the reference pays this cost at C++ compile time once per
+BINARY (vectorized sort/probe templates, velox/exec/HashTable.cpp:360);
+here the compiled-once artifact is the XLA executable in the persistent
+cache.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# payload-count buckets: every canonical program sorts ONE int64 key operand
+# plus `bucket` int64 payload operands
+_BUCKETS = (0, 1, 2, 4, 8)
+
+_PROGRAMS: Dict[Tuple[int, int], object] = {}
+
+
+def payload_bucket(n_payloads: int) -> int:
+    for b in _BUCKETS:
+        if n_payloads <= b:
+            return b
+    raise ValueError(
+        f"{n_payloads} sort payloads exceed the canonical maximum "
+        f"({_BUCKETS[-1]}); fuse or split the payload set"
+    )
+
+
+def _program(n: int, bucket: int):
+    key = (n, bucket)
+    fn = _PROGRAMS.get(key)
+    if fn is None:
+
+        @jax.jit
+        def _sort(word, payloads):
+            out = jax.lax.sort([word] + list(payloads), num_keys=1)
+            return out[0], tuple(out[1:])
+
+        fn = _sort
+        _PROGRAMS[key] = fn
+    return fn
+
+
+def _to_i64(a: jax.Array) -> jax.Array:
+    if a.dtype == jnp.int64:
+        return a
+    if a.dtype in (jnp.float64,):
+        return jax.lax.bitcast_convert_type(a, jnp.int64)
+    if a.dtype == jnp.uint64:
+        return jax.lax.bitcast_convert_type(a, jnp.int64)
+    # bool / small ints: widen (sort payloads carry values, not key order)
+    return a.astype(jnp.int64)
+
+
+def _from_i64(a: jax.Array, dtype) -> jax.Array:
+    if dtype == jnp.int64:
+        return a
+    if dtype in (jnp.float64,):
+        return jax.lax.bitcast_convert_type(a, jnp.float64)
+    if dtype == jnp.uint64:
+        return jax.lax.bitcast_convert_type(a, jnp.uint64)
+    return a.astype(dtype)
+
+
+def shared_sort_word(
+    word: jax.Array, payloads: Sequence[jax.Array] = ()
+) -> Tuple[jax.Array, List[jax.Array]]:
+    """Sort by one fully-packed int64 key word; payloads ride as non-key
+    operands.  Dispatches the canonical cached program for this
+    (length, payload-bucket) — callers MUST invoke this at host level (not
+    inside jit; tracing it would inline the sort back into the caller's
+    program and re-create the per-program compile cost)."""
+    n = word.shape[0]
+    dtypes = [p.dtype for p in payloads]
+    ps = [_to_i64(p) for p in payloads]
+    bucket = payload_bucket(len(ps))
+    while len(ps) < bucket:
+        ps.append(jnp.zeros((n,), jnp.int64))
+    s_word, s_ps = _program(n, bucket)(word, tuple(ps))
+    return s_word, [
+        _from_i64(p, dt) for p, dt in zip(s_ps[: len(dtypes)], dtypes)
+    ]
+
+
+_MULTI_PROGRAMS: Dict[Tuple[int, int, int], object] = {}
+
+
+def _multi_program(n: int, n_keys: int, bucket: int):
+    key = (n, n_keys, bucket)
+    fn = _MULTI_PROGRAMS.get(key)
+    if fn is None:
+
+        @jax.jit
+        def _sort(keys, payloads):
+            out = jax.lax.sort(
+                list(keys) + list(payloads), num_keys=len(keys)
+            )
+            return tuple(out[: len(keys)]), tuple(out[len(keys):])
+
+        fn = _sort
+        _MULTI_PROGRAMS[key] = fn
+    return fn
+
+
+def shared_sort_ops(
+    key_ops: Sequence[jax.Array], payload_ops: Sequence[jax.Array]
+) -> Tuple[List[jax.Array], List[jax.Array]]:
+    """Multi-key canonical sort: every operand is carried as int64 (order of
+    int64-converted bool/int keys matches the original order).  Same host-
+    level dispatch contract as shared_sort_word."""
+    n = key_ops[0].shape[0]
+    kdt = [k.dtype for k in key_ops]
+    pdt = [p.dtype for p in payload_ops]
+    for k in key_ops:
+        if k.dtype in (jnp.float64, jnp.uint64):
+            raise TypeError(
+                "shared_sort_ops keys must be order-preserving under int64 "
+                "conversion (bool / signed ints)"
+            )
+    ks = [k.astype(jnp.int64) for k in key_ops]
+    ps = [_to_i64(p) for p in payload_ops]
+    bucket = payload_bucket(len(ps))
+    while len(ps) < bucket:
+        ps.append(jnp.zeros((n,), jnp.int64))
+    s_ks, s_ps = _multi_program(n, len(ks), bucket)(tuple(ks), tuple(ps))
+    return (
+        [k.astype(dt) for k, dt in zip(s_ks, kdt)],
+        [_from_i64(p, dt) for p, dt in zip(s_ps[: len(pdt)], pdt)],
+    )
+
+
+def warm(n: int, buckets: Sequence[int] = (0, 1, 2)) -> None:
+    """Precompile canonical programs for a row count (cache warming)."""
+    word = jnp.zeros((n,), jnp.int64)
+    for b in buckets:
+        _program(n, b)(word, tuple(jnp.zeros((n,), jnp.int64) for _ in range(b)))
