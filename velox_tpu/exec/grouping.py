@@ -292,7 +292,30 @@ class SortGrouping:
         self._split_key_dtypes = [kv.dtype for kv in key_vals]
         return packed | idx64, list(payload) + [mask]
 
-    def group_from_sorted(self, s_merged, s_carried, n_payload: int):
+    def sorted_boundary(self, s_merged, s_mask_raw):
+        """Run boundaries + the run-end compaction word from the sorted key
+        word — the word's canonical shared sort replaces SortedRuns'
+        in-program argsort (ops/segmented.py)."""
+        from ..ops.compact import compaction_word
+        from ..ops.segmented import run_boundaries, run_is_end
+
+        cap = s_merged.shape[0]
+        plan = self.pack_plan(cap)
+        low = plan.shifts[-1] if plan.shifts else 0
+        codes = s_merged >> low
+        mask = s_mask_raw.astype(jnp.bool_)
+        diff = codes != jnp.roll(codes, 1)
+        boundary = run_boundaries(diff, mask)
+        return boundary, compaction_word(run_is_end(boundary, mask))
+
+    def group_from_sorted(
+        self,
+        s_merged,
+        s_carried,
+        n_payload: int,
+        boundary=None,
+        end_positions=None,
+    ):
         """Post-sort glue: unpack keys + run structure from the sorted word.
         Returns the same tuple as sort_and_group."""
         from ..ops.segmented import SortedRuns, run_boundaries
@@ -308,9 +331,10 @@ class SortGrouping:
         ]
         sorted_payload = list(s_carried[:n_payload])
         sorted_mask = s_carried[-1].astype(jnp.bool_)
-        diff = codes != jnp.roll(codes, 1)
-        boundary = run_boundaries(diff, sorted_mask)
-        runs = SortedRuns(boundary, sorted_mask)
+        if boundary is None:
+            diff = codes != jnp.roll(codes, 1)
+            boundary = run_boundaries(diff, sorted_mask)
+        runs = SortedRuns(boundary, sorted_mask, end_positions=end_positions)
         return sorted_keys, sorted_payload, sorted_mask, runs
 
     @staticmethod

@@ -648,15 +648,30 @@ class AggExecutor:
         merged, carried = self.grouping.sort_inputs(batch, payload, mask)
         return merged, tuple(carried)
 
-    def tile_partial_post(self, s_merged, s_carried):
+    def tile_partial_boundary(self, s_merged, s_mask_raw):
+        """Middle glue: boundaries + the run-end compaction word whose
+        canonical shared sort yields SortedRuns' end positions without an
+        in-program argsort."""
+        return self.grouping.sorted_boundary(s_merged, s_mask_raw)
+
+    def tile_partial_post(self, s_merged, s_carried, boundary, s_endword):
         plan, n_payload = self._split_agg_plan
+        cap = s_merged.shape[0]
+        idxb = max((cap - 1).bit_length(), 1)
+        end_positions = (
+            s_endword & ((jnp.int64(1) << idxb) - 1)
+        ).astype(jnp.int32)
         (
             sorted_keys,
             sorted_payload,
             sorted_mask,
             runs,
         ) = self.grouping.group_from_sorted(
-            s_merged, list(s_carried), n_payload
+            s_merged,
+            list(s_carried),
+            n_payload,
+            boundary=boundary,
+            end_positions=end_positions,
         )
         return self._reduce_sorted(
             plan, sorted_keys, sorted_payload, sorted_mask, runs
@@ -1737,6 +1752,7 @@ class LocalExecutor:
         run_steps = self._make_split_steps_runner(segments)
         if group_split:
             pre_jit = jax.jit(ex.tile_partial_pre)
+            bound_jit = jax.jit(ex.tile_partial_boundary)
             post_jit = jax.jit(ex.tile_partial_post)
         else:
             partial_jit = jax.jit(ex.tile_partial)
@@ -1746,7 +1762,11 @@ class LocalExecutor:
             if group_split:
                 merged, carried = pre_jit(batch)
                 s_merged, s_carried = shared_sort_word(merged, list(carried))
-                partial = post_jit(s_merged, tuple(s_carried))
+                boundary, endword = bound_jit(s_merged, s_carried[-1])
+                s_end, _ = shared_sort_word(endword, [])
+                partial = post_jit(
+                    s_merged, tuple(s_carried), boundary, s_end
+                )
             else:
                 partial = partial_jit(batch)
             return partial, err_total
@@ -2154,16 +2174,93 @@ class LocalExecutor:
             )
             return new_keys, new_accs, jnp.minimum(count_d, node.count)
 
-        if getattr(self.config, "split_sort_programs", True):
-            from ..ops.shared_sort import shared_sort_ops
+        def topn_words(keys_d, accs_d, count_d):
+            """Packed lexicographic key WORDS for the chained-radix topn:
+            bounded limbs (dictionary ranks, bounded group keys) share words
+            greedily; full-width limbs (float sums) stand alone.  The fused
+            9-operand multi-key sort took the remote compiler 20+ minutes;
+            the chained form reuses ONE canonical stable 1-key program."""
+            from .sort import float_to_ordered_i64
 
-            pre_jit = jax.jit(topn)
+            G = keys_d[0].shape[0] if keys_d else accs_d[0][0].shape[0]
+            idxs = jnp.arange(G, dtype=jnp.int32)
+            pieces: List[Tuple[jax.Array, int]] = [
+                ((idxs >= count_d).astype(jnp.int64), 1)
+            ]
+            for item in plan:
+                if item[0] == "key":
+                    _, i, desc, ranks = item
+                    arr = keys_d[i]
+                    info = ex.key_infos[i]
+                    if ranks is not None:
+                        code = jnp.take(
+                            jnp.asarray(ranks), arr.astype(jnp.int32),
+                            mode="clip",
+                        ).astype(jnp.int64)
+                        span = max(len(ranks), 2)
+                        if desc:
+                            code = jnp.int64(span - 1) - code
+                        pieces.append((code, (span - 1).bit_length() or 1))
+                        continue
+                    if info.bounds is not None:
+                        lo, hi = info.bounds
+                        span = hi - lo + 1
+                        v = arr.astype(jnp.int64)
+                        code = jnp.clip(v - jnp.int64(lo), 0, span - 1)
+                        if desc:
+                            code = jnp.int64(span - 1) - code
+                        pieces.append(
+                            (code, max((span - 1).bit_length(), 1))
+                        )
+                        continue
+                    limbs = [arr]
+                else:
+                    _, ai, desc = item
+                    acc = accs_d[ai]
+                    agg = ex.aggs[ai]
+                    if agg.name == "sum" and len(agg.acc_dtypes) == 3:
+                        limbs = [acc[0], acc[1]]  # wide hi, lo
+                    else:
+                        limbs = [acc[0]]
+                for limb in limbs:
+                    code = (
+                        float_to_ordered_i64(limb)
+                        if jnp.issubdtype(limb.dtype, jnp.floating)
+                        else limb.astype(jnp.int64)
+                    )
+                    if desc:
+                        code = ~code  # order-reversing, overflow-free
+                    pieces.append((code, 64))
+            words: List[jax.Array] = []
+            cur = None
+            cur_bits = 0
+            for code, width in pieces:
+                if width >= 63:
+                    if cur is not None:
+                        words.append(cur)
+                        cur, cur_bits = None, 0
+                    words.append(code)
+                elif cur is not None and cur_bits + width <= 63:
+                    cur = (cur << width) | code
+                    cur_bits += width
+                else:
+                    if cur is not None:
+                        words.append(cur)
+                    cur, cur_bits = code, width
+            if cur is not None:
+                words.append(cur)
+            return tuple(words)
+
+        if getattr(self.config, "split_sort_programs", True):
+            from ..ops.shared_sort import chained_lex_sort
+
+            pre_jit = jax.jit(topn_words)
             post_jit = jax.jit(topn_post)
 
             def topn_split(keys_d, accs_d, count_d):
-                ops64, perm_src = pre_jit(keys_d, accs_d, count_d)
-                _, pays = shared_sort_ops(list(ops64), [perm_src])
-                return post_jit(keys_d, accs_d, count_d, pays[0])
+                words = pre_jit(keys_d, accs_d, count_d)
+                perm = chained_lex_sort(list(words))
+                return post_jit(keys_d, accs_d, count_d, perm)
 
             self._device_topn_jit = topn_split
         else:

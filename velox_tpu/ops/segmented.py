@@ -248,6 +248,28 @@ def run_boundaries(diff: jax.Array, mask: jax.Array) -> jax.Array:
     return mask & (prev_live_region != region)
 
 
+def run_is_end(
+    boundary: jax.Array, mask: jax.Array, run_index: Optional[jax.Array] = None
+) -> jax.Array:
+    """A run's END is its LAST LIVE row.  Dead rows may sit INSIDE or
+    BETWEEN runs (the fused join probe emits merged build+probe order with
+    build slots masked dead, exec/joins.py _probe_fused), so "the next row
+    is dead or a new run" does NOT mark an end — instead a live row ends its
+    run iff no LATER live row shares its run id (one reversed scan)."""
+    cap = boundary.shape[0]
+    if run_index is None:
+        run_index = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    big = jnp.int32(cap + 1)
+    nxt_live_rid = jnp.concatenate(
+        [
+            jnp.where(mask, run_index, big)[1:],
+            jnp.full((1,), big, jnp.int32),
+        ]
+    )
+    suffix_min = jax.lax.cummin(nxt_live_rid, reverse=True)
+    return mask & (suffix_min != run_index)
+
+
 class SortedRuns:
     """Run structure of a key-sorted tile; built once, reused per column.
 
@@ -256,28 +278,27 @@ class SortedRuns:
     produced by a stable argsort of the run-end mask (compaction-by-sort).
     """
 
-    def __init__(self, boundary: jax.Array, mask: jax.Array):
+    def __init__(
+        self,
+        boundary: jax.Array,
+        mask: jax.Array,
+        end_positions: Optional[jax.Array] = None,
+    ):
         cap = boundary.shape[0]
         self.capacity = cap
         self.boundary = boundary  # True at first row of each run (valid rows only)
         self.mask = mask
         self.run_index = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # gid per row
-        # A run's END is its LAST LIVE row.  Dead rows may sit INSIDE or
-        # BETWEEN runs (the fused join probe emits merged build+probe order
-        # with build slots masked dead, exec/joins.py _probe_fused), so "the
-        # next row is dead or a new run" does NOT mark an end — instead a live
-        # row ends its run iff no LATER live row shares its run id, computed
-        # with one reversed scan.
-        big = jnp.int32(cap + 1)
-        nxt_live_rid = jnp.concatenate(
-            [
-                jnp.where(mask, self.run_index, big)[1:],
-                jnp.full((1,), big, jnp.int32),
-            ]
-        )
-        suffix_min = jax.lax.cummin(nxt_live_rid, reverse=True)
-        self.is_end = mask & (suffix_min != self.run_index)
-        self.end_positions = jnp.argsort(~self.is_end, stable=True).astype(jnp.int32)
+        self.is_end = run_is_end(boundary, mask, self.run_index)
+        if end_positions is None:
+            # compaction-by-sort.  NOTE this argsort makes the CONTAINING
+            # program sort-bearing (40-160 s of remote compile,
+            # ops/shared_sort.py) — the split-dispatch grouping path injects
+            # ``end_positions`` from the canonical shared sort instead.
+            end_positions = jnp.argsort(~self.is_end, stable=True).astype(
+                jnp.int32
+            )
+        self.end_positions = end_positions
         self.num_runs = jnp.sum(self.is_end.astype(jnp.int32))
 
     def reduce(self, values: jax.Array, value_mask: jax.Array, op: str) -> jax.Array:
@@ -290,6 +311,20 @@ class SortedRuns:
             at_ends = jnp.take(totals, self.end_positions, mode="clip")
             prev = jnp.concatenate([jnp.zeros((1,), totals.dtype), at_ends[:-1]])
             return at_ends - prev
+        # min/max/band/bor: segment ops (scatter) instead of an
+        # associative_scan — the remote TPU compiler spends tens of minutes
+        # on an 8M-row associative_scan (log-depth slice/concat recursion;
+        # the same pathology as sorts) while scatters compile in seconds.
+        # Dead rows carry identity values, so clipping their ids is harmless.
+        seg_fn = {
+            "min": jax.ops.segment_min,
+            "max": jax.ops.segment_max,
+        }.get(op)
+        if seg_fn is not None:
+            gid = jnp.clip(self.run_index, 0, self.capacity - 1)
+            return seg_fn(v, gid, num_segments=self.capacity)
+        # band/bor (rare): the associative_scan stays — accepted slow first
+        # compile for those aggregates
         scanned = segmented_scan(v, self.boundary, op)
         return jnp.take(scanned, self.end_positions, mode="clip")
 
@@ -316,11 +351,19 @@ class SortedRuns:
     def first(self, values: jax.Array) -> jax.Array:
         """Value at each run's first row (e.g. the key itself): slot r = run r.
 
-        Implemented as a segmented first-value scan + end-position gather, so
-        dead rows interleaved with the run (merged-order join output) cannot
-        shift the start positions."""
-        propagated = segmented_scan(values, self.boundary, "first")
-        return jnp.take(propagated, self.end_positions, mode="clip")
+        One cummax over boundary positions + two gathers — NOT a segmented
+        associative_scan: the remote TPU compiler takes tens of minutes on an
+        8M-row associative_scan (its log-depth slice/concat recursion trips
+        the same pathology as sorts; round-4 measurement), while cumulative
+        ops compile in seconds.  Dead rows interleaved with a run inherit the
+        last boundary's index, so merged-order join output is handled."""
+        cap = self.capacity
+        iota = jnp.arange(cap, dtype=jnp.int32)
+        start_idx = jax.lax.cummax(jnp.where(self.boundary, iota, -1))
+        firsts = jnp.take(
+            values, jnp.maximum(start_idx, 0), mode="clip"
+        )
+        return jnp.take(firsts, self.end_positions, mode="clip")
 
     def run_mask(self) -> jax.Array:
         return (
