@@ -647,6 +647,23 @@ class TestGroupingSets:
         for k, v in df.groupby("a").x.sum().items():
             assert int(lvl_a[k]) == int(v)
 
+    def test_mixed_constructs_cross_product(self):
+        """GROUP BY ROLLUP(a), ROLLUP(b): the CROSS PRODUCT of the two set
+        lists — {}, {a}, {b}, {a,b} (standard SQL; Presto semantics)."""
+        t = self._table(seed=7)
+        df = self._df(t)
+        out = run_sql(
+            "select a, b, sum(x) as s from t group by rollup(a), rollup(b)",
+            {"t": t},
+        ).to_pandas()
+        n_ab = len(df.groupby(["a", "b"]))
+        assert len(out) == n_ab + df.a.nunique() + df.b.nunique() + 1
+        total = out[out.a.isna() & out.b.isna()]["s"].iloc[0]
+        assert int(total) == int(df.x.sum())
+        lvl_b = out[out.a.isna() & ~out.b.isna()].set_index("b")["s"]
+        for k, v in df.groupby("b").x.sum().items():
+            assert int(lvl_b[k]) == int(v)
+
 
 class TestWindowWithGroupBy:
     """Window functions evaluate over the aggregated rows (SQL order of

@@ -1366,12 +1366,18 @@ def _assemble(
             g[0].low in ("rollup", "cube")
             or (g[0].low == "grouping" and len(g) > 1 and g[1].low == "sets")
         ):
-            if set_lists is not None:
-                raise NotImplementedError(
-                    "multiple GROUPING SETS / ROLLUP / CUBE constructs in one "
-                    "GROUP BY are not supported"
-                )
-            set_lists = _parse_grouping_construct(g, plan.schema)
+            parsed_sets = _parse_grouping_construct(g, plan.schema)
+            if set_lists is None:
+                set_lists = parsed_sets
+            else:
+                # multiple grouping constructs in one GROUP BY: standard SQL
+                # semantics is the CROSS PRODUCT of their set lists
+                # (reference: Presto's GROUP BY ROLLUP(a), CUBE(b))
+                set_lists = [
+                    a + [k for k in b if k not in a]
+                    for a in set_lists
+                    for b in parsed_sets
+                ]
             continue
         if len(g) == 1 and g[0].kind == "number":
             g = items[int(g[0].text) - 1][0]
