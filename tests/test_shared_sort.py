@@ -82,3 +82,31 @@ def test_program_cache_shared():
     shared_sort_word(w, [w + 1])  # same signature -> same program
     after = len(ss._PROGRAMS)
     assert after == before + 1
+
+
+def test_float32_payload_roundtrip():
+    # round-4 advisor (high): float32 payloads used to fall through to
+    # astype(int64), silently truncating the fraction; they must ride as
+    # 32-bit bitcasts and come back bit-exact
+    word = jnp.asarray(np.array([2, 0, 1], np.int64))
+    pf = jnp.asarray(np.array([1.5, -2.25, 0.75], np.float32))
+    _, (sf,) = shared_sort_word(word, [pf])
+    assert sf.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(sf), np.array([-2.25, 0.75, 1.5], np.float32)
+    )
+    # and through the multi-key form
+    (s_key,), (sf2,) = shared_sort_ops([word], [pf])
+    np.testing.assert_array_equal(
+        np.asarray(sf2), np.array([-2.25, 0.75, 1.5], np.float32)
+    )
+
+
+def test_uint64_payload_roundtrip():
+    word = jnp.asarray(np.array([1, 0], np.int64))
+    pu = jnp.asarray(np.array([2**63 + 5, 7], np.uint64))
+    _, (su,) = shared_sort_word(word, [pu])
+    assert su.dtype == jnp.uint64
+    np.testing.assert_array_equal(
+        np.asarray(su), np.array([7, 2**63 + 5], np.uint64)
+    )

@@ -140,6 +140,47 @@ class TestAgg:
         )
 
 
+    def test_all_null_group_yields_null_filter(self):
+        # reference BloomFilterAggAggregateTest.nullBloomFilter: groups whose
+        # x values are all NULL still appear, with a NULL serialized filter
+        t = Table(
+            RowType(["g", "x"], [vt.BIGINT, vt.BIGINT]),
+            {
+                "g": np.array([1, 1, 2, 2], np.int64),
+                "x": np.array([7, 8, 0, 0], np.int64),
+            },
+            validities={"x": np.array([True, True, False, False])},
+        )
+        out = run_plan(
+            PlanBuilder()
+            .table_scan(t)
+            .aggregation(["g"], ["bloom_filter_agg(x, 10, 1024) as bf"])
+            .orderby(["g"])
+            .build()
+        )
+        df = out.to_pandas()
+        assert len(df) == 2
+        assert df["bf"][0] == build_host(np.array([7, 8], np.int64), num_bits=1024)
+        assert df["bf"][1] is None or (df["bf"].isna()[1])
+
+    def test_empty_input_yields_null_filter(self):
+        # reference BloomFilterAggAggregateTest.emptyInput: a global agg over
+        # zero rows emits one row with a NULL filter
+        t = Table(
+            RowType(["x"], [vt.BIGINT]),
+            {"x": np.array([1, 2, 3], np.int64)},
+        )
+        out = run_plan(
+            PlanBuilder()
+            .table_scan(t, filter="x > 100")
+            .aggregation([], ["bloom_filter_agg(x, 10, 1024) as bf"])
+            .build()
+        )
+        df = out.to_pandas()
+        assert len(df) == 1
+        assert df["bf"].isna().all()
+
+
 class TestMightContain:
     def test_probe_literal(self):
         vals = np.array([10, 20, 30], np.int64)
@@ -173,14 +214,16 @@ class TestMightContain:
         got = np.asarray(out["m"].tolist())
         assert got[::3].all(), "no false negatives"
 
-    def test_null_filter_probes_false(self):
-        # MightContain.h: an unset filter answers false (not NULL)
+    def test_null_filter_probes_null(self):
+        # reference MightContainTest.nullBloomFilter: a NULL filter argument
+        # gets default-null semantics (NULL out), unlike an EMPTY filter
+        # (isSet() ?: false -> constant false)
         out = run_plan(
             scan(y=[1, 2])
             .project(["might_contain(cast(null as varbinary), y) as m"])
             .build()
         ).to_pandas()
-        assert out["m"].tolist() == [False, False]
+        assert out["m"].isna().all()
 
 
 def test_varbinary_hex_literal_parses():

@@ -111,6 +111,19 @@ class TestScalarRender:
         ).to_pandas()
         assert out["s"].tolist() == ["3"]
 
+    def test_try_protects_erroring_argument(self):
+        # round-4 advisor (medium): try(cast(a/b as varchar)) must NULL the
+        # division-by-zero row, not raise (the construction itself cannot
+        # error, but its argument can — the TRY stays on the argument)
+        out = run_plan(
+            scan(["a", "b"], [BIGINT, BIGINT],
+                 a=np.array([6, 7]), b=np.array([2, 0]))
+            .project(["try(cast(a / b as varchar)) as s"])
+            .build()
+        ).to_pandas()
+        assert out["s"][0] == "3"
+        assert out["s"].isna()[1]
+
 
 class TestArrayJoin:
     def _table(self):

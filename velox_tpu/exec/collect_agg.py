@@ -350,20 +350,37 @@ def compute_collect(
 
     if agg.name == "__bloom_assemble":
         # per-group: scatter (word_idx -> or_bits) into a zeroed word array
-        # and emit the Spark wire format (utils/spark_bloom.serialize)
+        # and emit the Spark wire format (utils/spark_bloom.serialize).
+        # Rows whose word is NULL carry an all-NULL x group (the rewrite is
+        # null-propagating, not filtering); a group with NO live rows
+        # yields a NULL filter, matching the reference
+        # (BloomFilterAggAggregateTest emptyInput/nullBloomFilter).
         from ..utils.spark_bloom import serialize
 
         w = np.asarray(args[0]).astype(np.int64)
         bits = np.asarray(args[1]).astype(np.int64).view(np.uint64)
+        live = (
+            np.asarray(validities[0], dtype=bool)
+            if validities[0] is not None
+            else np.ones(n, dtype=bool)
+        )
+        if validities[1] is not None:
+            live = live & np.asarray(validities[1], dtype=bool)
         nwords = int(np.asarray(args[2])[0]) if n else 4
         out = np.empty(num_groups, dtype=object)
+        valid = np.zeros(num_groups, dtype=bool)
         for g in range(num_groups):
             s = starts[g]
             e = starts[g + 1] if g + 1 < num_groups else n
+            lv = live[s:e]
+            if not lv.any():
+                out[g] = None
+                continue
             words = np.zeros(nwords, dtype=np.uint64)
-            words[w[s:e]] = bits[s:e]
+            words[w[s:e][lv]] = bits[s:e][lv]
             out[g] = serialize(words)
-        return out, None
+            valid[g] = True
+        return out, valid
 
     if agg.name == "__dd_quantile":
         from .sketch import dd_bucket_value

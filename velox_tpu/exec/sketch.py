@@ -104,11 +104,11 @@ def _register_hll_functions():
     # distinct bit patterns)
     def _bits_of(a):
         if jnp.issubdtype(a.dtype, jnp.floating):
-            import jax
+            # platform-dependent word: distinct doubles keep distinct words
+            # (64-bit float bitcasts don't compile on this TPU stack)
+            from ..ops.f64bits import f64_to_word
 
-            return jax.lax.bitcast_convert_type(
-                a.astype(jnp.float64), jnp.int64
-            )
+            return f64_to_word(a.astype(jnp.float64))
         return a.astype(jnp.int64)
 
     reg.register(
@@ -264,9 +264,13 @@ def _rewrite_bloom(node: AggregationNode) -> PlanNode:
             source, tuple(names), tuple(parse_expr(t, s) for t in texts)
         )
 
-    flt = FilterNode(src, parse_expr(f"{xcol} is not null", src.output_schema))
+    # NO pre-filter on x IS NOT NULL: the word/mask projections propagate
+    # NULL (default-null semantics), so all-NULL groups survive to the
+    # assembler and come out as rows with a NULL filter — the reference's
+    # behavior (BloomFilterAggAggregateTest emptyInput/nullBloomFilter);
+    # a filter here made those groups vanish (round-4 advisor finding)
     p1 = proj(
-        flt,
+        src,
         gkeys + ["__bf_w", "__bf_m", "__bf_n"],
         gkeys
         + [

@@ -43,16 +43,14 @@ _I64_MIN = np.iinfo(np.int64).min
 
 
 def float_to_ordered_i64(x: jax.Array) -> jax.Array:
-    """Map float bits to an int64 whose ordering matches the float ordering.
+    """Map a float column to an int64 whose ordering matches the float
+    ordering; NaN maps above +inf (Presto's NaN-is-largest convention) and
+    ±0.0 share one code.  Platform-dependent under the hood
+    (ops/f64bits): the classic sign-magnitude bit flip on CPU, the
+    f32-pair key on TPU, where a 64-bit float bitcast does not compile."""
+    from ..ops.f64bits import f64_to_ordered
 
-    IEEE doubles compare like their sign-magnitude bit patterns: flipping all
-    non-sign bits of negatives (b ^ (b >> 63 masked to the low 63 bits)) makes
-    the int64 comparison agree with the float comparison.  NaN maps above
-    +inf (Presto's NaN-is-largest convention); -0.0 lands one code below 0.0,
-    which only affects tie order between exact signed zeros.
-    """
-    b = jax.lax.bitcast_convert_type(x.astype(jnp.float64), jnp.int64)
-    return b ^ ((b >> 63) & jnp.int64(0x7FFFFFFFFFFFFFFF))
+    return f64_to_ordered(x.astype(jnp.float64))
 
 
 def sort_operand(

@@ -104,10 +104,14 @@ def _match_construction(e: Expr) -> Optional[Tuple[Expr, RenderSpec]]:
     """Return (underlying value expr, spec) when ``e`` is a string
     construction this rewrite handles, else None."""
     if isinstance(e, Special) and e.form == SpecialForm.TRY and len(e.args) == 1:
-        # the renderable constructions cannot error per-row; TRY is a no-op
+        # the renderable constructions cannot error per-row, but the
+        # ARGUMENT can (try(cast(a/b as varchar)) must null the row on
+        # division by zero, not raise — round-4 advisor finding), so the
+        # TRY must stay wrapped around the underlying value expression
         inner = _match_construction(e.args[0])
         if inner is not None:
-            return inner
+            under, spec = inner
+            return Special(under.dtype, SpecialForm.TRY, (under,)), spec
         return None
     if (
         isinstance(e, Special)
@@ -473,11 +477,18 @@ def render_result(result: Table, specs: Dict[str, RenderSpec]) -> Table:
                 validities[name] = valid
         else:
             values = np.asarray(cols[name])
-            strings = _render_scalar(spec, values)
             if validity is not None:
-                strings = [
-                    s if ok else "" for s, ok in zip(strings, validity)
-                ]
+                # render ONLY live lanes: an invalid lane can carry garbage
+                # that crashes the renderer (chr past 0x10FFFF raises even
+                # though the row is NULL — round-4 advisor finding)
+                live = np.asarray(validity, dtype=bool)
+                strings = [""] * len(values)
+                if live.any():
+                    rendered = _render_scalar(spec, values[live])
+                    for i, s in zip(np.nonzero(live)[0], rendered):
+                        strings[i] = s
+            else:
+                strings = _render_scalar(spec, values)
         uniq, inverse = np.unique(np.asarray(strings, dtype=object), return_inverse=True)
         table = StringTable()
         code_of = np.asarray([table.intern(u) for u in uniq], dtype=np.int32)

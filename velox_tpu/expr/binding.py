@@ -135,7 +135,15 @@ def _rewrite(expr: Expr, tables, context_table: Optional[StringTable]) -> Expr:
         from ..utils.spark_bloom import register_bloom_probe
 
         data = expr.args[0].value
-        fn = register_bloom_probe(None if data is None else bytes(data))
+        if data is None:
+            # a NULL filter argument gets default-null semantics (reference:
+            # MightContainTest.nullBloomFilter expects NULL rows); only a
+            # non-null-but-EMPTY filter probes as constant false
+            # (MightContain.h isSet()?:false)
+            from ..dtypes import BOOLEAN
+
+            return Constant(BOOLEAN, None)
+        fn = register_bloom_probe(bytes(data))
         return Call(
             expr.dtype,
             fn,

@@ -99,23 +99,37 @@ def _program(n: int, bucket: int):
 
 
 def _to_i64(a: jax.Array) -> jax.Array:
+    """Invertible int64 encoding for a payload operand (values must survive
+    the ride exactly; ORDER comes from the key word, never from payloads)."""
+    from .f64bits import f32_to_bits64, f64_to_word, u64_to_i64
+
     if a.dtype == jnp.int64:
         return a
-    if a.dtype in (jnp.float64,):
-        return jax.lax.bitcast_convert_type(a, jnp.int64)
+    if a.dtype == jnp.float64:
+        # platform-dependent word (64-bit float bitcasts don't compile on
+        # this TPU stack; see ops/f64bits.py)
+        return f64_to_word(a)
+    if a.dtype == jnp.float32:
+        # 32-bit bitcast, sign-extended (a plain astype would TRUNCATE the
+        # fraction — round-4 advisor finding)
+        return f32_to_bits64(a)
     if a.dtype == jnp.uint64:
-        return jax.lax.bitcast_convert_type(a, jnp.int64)
-    # bool / small ints: widen (sort payloads carry values, not key order)
+        return u64_to_i64(a)
+    # bool / small ints: widen
     return a.astype(jnp.int64)
 
 
 def _from_i64(a: jax.Array, dtype) -> jax.Array:
+    from .f64bits import bits64_to_f32, i64_to_u64, word_to_f64
+
     if dtype == jnp.int64:
         return a
-    if dtype in (jnp.float64,):
-        return jax.lax.bitcast_convert_type(a, jnp.float64)
+    if dtype == jnp.float64:
+        return word_to_f64(a)
+    if dtype == jnp.float32:
+        return bits64_to_f32(a)
     if dtype == jnp.uint64:
-        return jax.lax.bitcast_convert_type(a, jnp.uint64)
+        return i64_to_u64(a)
     return a.astype(dtype)
 
 

@@ -143,11 +143,12 @@ def register_bloom_device_fns() -> None:
         return ((h >> 24) & (n.astype(jnp.uint64) - 1)).astype(jnp.int64)
 
     def _mask(ctx, out_t, arg_ts, x):
-        import jax
         import jax.numpy as jnp
 
         m = bloom_mask_jnp(twang_mix64_jnp(x.astype(jnp.int64)))
-        return jax.lax.bitcast_convert_type(m, jnp.int64)
+        # astype wraps two's-complement (bit-preserving); a 64-bit bitcast
+        # does not compile through this TPU stack's X64 rewriter
+        return m.astype(jnp.int64)
 
     DEFAULT_REGISTRY.register("__bloom_word64", [NUMERIC, NUMERIC], BIGINT, _word)
     DEFAULT_REGISTRY.register("__bloom_mask64", [NUMERIC], BIGINT, _mask)
@@ -160,8 +161,10 @@ def register_bloom_probe(data: bytes) -> str:
     """Register (once per distinct filter) a device probe function
     ``__bloom_probe_<id>(x) -> boolean`` closing over the filter words —
     the same bind-time specialization pattern as the timezone functions
-    (functions/presto/tzfuncs.register_zone_fn).  A NULL / empty filter
-    probes as constant false (MightContain.h: unset filter -> false)."""
+    (functions/presto/tzfuncs.register_zone_fn).  An EMPTY (but non-null)
+    filter probes as constant false (MightContain.h: isSet() ?: false); a
+    NULL filter never reaches here — expr/binding.py folds it to a NULL
+    constant (MightContainTest.nullBloomFilter)."""
     from ..dtypes import BIGINT, BOOLEAN
     from ..expr.registry import DEFAULT_REGISTRY, NUMERIC
 
