@@ -337,6 +337,18 @@ class SortGrouping:
         runs = SortedRuns(boundary, sorted_mask, end_positions=end_positions)
         return sorted_keys, sorted_payload, sorted_mask, runs
 
+    def keys_from_word(self, word):
+        """Per-slot key arrays unpacked straight from (already per-run
+        compacted) sort words — the gather-free replacement for
+        ``group_keys`` on the split path: the key word rides the run-end
+        canonical sort, so one sort operand replaces two full-capacity
+        gathers per key."""
+        plan = self.pack_plan(word.shape[0])
+        return [
+            plan.unpack(word, i).astype(dt)
+            for i, dt in enumerate(self._split_key_dtypes)
+        ]
+
     @staticmethod
     def group_keys(sorted_keys, runs):
         """Representative key value per run slot (keys are equal within a run)."""

@@ -648,13 +648,58 @@ class AggExecutor:
         merged, carried = self.grouping.sort_inputs(batch, payload, mask)
         return merged, tuple(carried)
 
-    def tile_partial_boundary(self, s_merged, s_mask_raw):
-        """Middle glue: boundaries + the run-end compaction word whose
-        canonical shared sort yields SortedRuns' end positions without an
-        in-program argsort."""
-        return self.grouping.sorted_boundary(s_merged, s_mask_raw)
+    def tile_partial_boundary(self, s_merged, s_carried):
+        """Middle glue: boundaries, the run-end compaction word, AND the
+        ride operands for the end-position canonical sort — the sorted key
+        word itself plus every sum-class accumulator's prefix sum.  Riding
+        them through the sort delivers per-run values already compacted at
+        the run ends, which removes the full-capacity gathers that
+        dominated the post program (measured round 5: one 8M-row i64
+        gather costs ~160 ms on this chip while an extra sort operand
+        costs ~12 ms — six key gathers + one per accumulator limb made
+        tile_partial_post a 1.6 s program on SF1 Q3)."""
+        from ..ops.shared_sort import _BUCKETS
 
-    def tile_partial_post(self, s_merged, s_carried, boundary, s_endword):
+        plan, n_payload = self._split_agg_plan
+        mask = s_carried[-1].astype(jnp.bool_)
+        boundary, endword = self.grouping.sorted_boundary(
+            s_merged, s_carried[-1]
+        )
+        rides: List[jax.Array] = [s_merged]
+        layout: List[Tuple[int, int]] = []  # (agg index, acc index)
+        budget = _BUCKETS[-1] - 1
+        pos = 0
+        for ai, ((n_args, has_validity), agg) in enumerate(
+            zip(plan, self.aggs)
+        ):
+            values = tuple(s_carried[pos : pos + n_args])
+            pos += n_args
+            m = mask
+            if has_validity:
+                m = m & s_carried[pos].astype(jnp.bool_)
+                pos += 1
+            paired = agg._paired_payloads() | {
+                y for y, _, _ in agg.pairs
+            }
+            if not any(
+                op == "sum" and i not in paired
+                for i, op in enumerate(agg.acc_ops)
+            ):
+                continue
+            arrays = agg._masked(agg.raw_inputs(values, m), m)
+            for i, op in enumerate(agg.acc_ops):
+                if op != "sum" or i in paired or len(layout) >= budget:
+                    continue
+                rides.append(
+                    jnp.cumsum(arrays[i].astype(agg.acc_dtypes[i]))
+                )
+                layout.append((ai, i))
+        self._split_ride_layout = tuple(layout)
+        return boundary, endword, tuple(rides)
+
+    def tile_partial_post(
+        self, s_merged, s_carried, boundary, s_endword, s_rides
+    ):
         plan, n_payload = self._split_agg_plan
         cap = s_merged.shape[0]
         idxb = max((cap - 1).bit_length(), 1)
@@ -673,9 +718,50 @@ class AggExecutor:
             boundary=boundary,
             end_positions=end_positions,
         )
-        return self._reduce_sorted(
-            plan, sorted_keys, sorted_payload, sorted_mask, runs
-        )
+        ride_layout = self._split_ride_layout
+        word_ends = s_rides[0]
+        ride_ends = {
+            key: s_rides[1 + j] for j, key in enumerate(ride_layout)
+        }
+
+        def ride_diff(at_ends):
+            prev = jnp.concatenate(
+                [jnp.zeros((1,), at_ends.dtype), at_ends[:-1]]
+            )
+            return at_ends - prev
+
+        # keys: unpack from the ridden word at run ends — no gathers
+        key_arrays = self.grouping.keys_from_word(word_ends)
+        accs_out = []
+        pos = 0
+        for ai, ((n_args, has_validity), agg) in enumerate(
+            zip(plan, self.aggs)
+        ):
+            values = tuple(sorted_payload[pos : pos + n_args])
+            pos += n_args
+            m = sorted_mask
+            if has_validity:
+                m = m & sorted_payload[pos].astype(jnp.bool_)
+                pos += 1
+            ridden = {
+                i for (aj, i) in ride_layout if aj == ai
+            }
+            if len(ridden) == len(agg.acc_ops):
+                accs_out.append(
+                    tuple(
+                        ride_diff(ride_ends[(ai, i)])
+                        for i in range(len(agg.acc_ops))
+                    )
+                )
+                continue
+            full = agg.run_reduce(values, m, runs)
+            accs_out.append(
+                tuple(
+                    ride_diff(ride_ends[(ai, i)]) if i in ridden else full[i]
+                    for i in range(len(agg.acc_ops))
+                )
+            )
+        return key_arrays, tuple(accs_out), runs.num_runs
 
     # ---- device-resident sorted-carry merge for sort mode ------------------
     #
@@ -1762,10 +1848,13 @@ class LocalExecutor:
             if group_split:
                 merged, carried = pre_jit(batch)
                 s_merged, s_carried = shared_sort_word(merged, list(carried))
-                boundary, endword = bound_jit(s_merged, s_carried[-1])
-                s_end, _ = shared_sort_word(endword, [])
+                boundary, endword, rides = bound_jit(
+                    s_merged, tuple(s_carried)
+                )
+                s_end, s_rides = shared_sort_word(endword, list(rides))
                 partial = post_jit(
-                    s_merged, tuple(s_carried), boundary, s_end
+                    s_merged, tuple(s_carried), boundary, s_end,
+                    tuple(s_rides),
                 )
             else:
                 partial = partial_jit(batch)
@@ -1915,9 +2004,14 @@ class LocalExecutor:
                 # fetch only K rows — the tunnel is the bottleneck, and K is
                 # the result size (the fetch-result-sized discipline).  The
                 # host finisher re-sorts the K rows exactly afterwards.
-                keys_d, accs_d, count_d = self._device_topn_jit(
-                    keys_d, accs_d, count_d
-                )
+                if getattr(self.config, "split_sort_programs", True):
+                    keys_d, accs_d, count_d = self._device_topn_jit(
+                        keys_d, accs_d, count_d, count_host=int(count)
+                    )
+                else:
+                    keys_d, accs_d, count_d = self._device_topn_jit(
+                        keys_d, accs_d, count_d
+                    )
                 count = min(int(count), topn_k)
             flat = list(keys_d) + [a for acc in accs_d for a in acc]
             fetched = fetch_prefix(flat, int(count))
@@ -2167,9 +2261,17 @@ class LocalExecutor:
             return tuple(ops64), perm_src
 
         def topn_post(keys_d, accs_d, count_d, perm):
-            new_keys = tuple(jnp.take(k, perm, mode="clip") for k in keys_d)
+            # only the top-K slots are ever read downstream: gather K2 rows,
+            # not G — the gathers were the dominant cost of the old topn
+            # (measured round 5: a full-capacity i64 gather is ~160 ms at 8M
+            # rows on this chip, vs ~0 for a K-sized one)
+            from ..utils.transfer import bucket_of
+
+            K2 = min(bucket_of(max(node.count, 1)), perm.shape[0])
+            permK = perm[:K2]
+            new_keys = tuple(jnp.take(k, permK, mode="clip") for k in keys_d)
             new_accs = tuple(
-                tuple(jnp.take(a, perm, mode="clip") for a in acc)
+                tuple(jnp.take(a, permK, mode="clip") for a in acc)
                 for acc in accs_d
             )
             return new_keys, new_accs, jnp.minimum(count_d, node.count)
@@ -2179,14 +2281,21 @@ class LocalExecutor:
             bounded limbs (dictionary ranks, bounded group keys) share words
             greedily; full-width limbs (float sums) stand alone.  The fused
             9-operand multi-key sort took the remote compiler 20+ minutes;
-            the chained form reuses ONE canonical stable 1-key program."""
+            the chained form reuses ONE canonical stable 1-key program.
+
+            Dead slots (index >= count) carry no word of their own (that
+            cost a whole radix pass): full-width words force them to
+            INT64_MAX and every packed word reserves its top bit as a dead
+            flag, so dead rows lose every comparison against live rows —
+            exactly, because any tie on all full words is broken by a
+            packed word's flag (a dead-only word is appended in the rare
+            all-full-width shape)."""
             from .sort import float_to_ordered_i64
 
             G = keys_d[0].shape[0] if keys_d else accs_d[0][0].shape[0]
             idxs = jnp.arange(G, dtype=jnp.int32)
-            pieces: List[Tuple[jax.Array, int]] = [
-                ((idxs >= count_d).astype(jnp.int64), 1)
-            ]
+            dead = idxs >= count_d
+            pieces: List[Tuple[jax.Array, int]] = []
             for item in plan:
                 if item[0] == "key":
                     _, i, desc, ranks = item
@@ -2232,23 +2341,37 @@ class LocalExecutor:
                         code = ~code  # order-reversing, overflow-free
                     pieces.append((code, 64))
             words: List[jax.Array] = []
+            packed_any = False
+            dead64 = dead.astype(jnp.int64)
+            i64max = jnp.int64(np.iinfo(np.int64).max)
+
+            def flush_packed(cur):
+                # top bit = dead flag (packing is capped at 62 bits below)
+                return (dead64 << 62) | cur
+
             cur = None
             cur_bits = 0
             for code, width in pieces:
-                if width >= 63:
+                if width >= 62:
                     if cur is not None:
-                        words.append(cur)
+                        words.append(flush_packed(cur))
+                        packed_any = True
                         cur, cur_bits = None, 0
-                    words.append(code)
-                elif cur is not None and cur_bits + width <= 63:
+                    # full-width word: dead lanes forced to MAX
+                    words.append(jnp.where(dead, i64max, code))
+                elif cur is not None and cur_bits + width <= 62:
                     cur = (cur << width) | code
                     cur_bits += width
                 else:
                     if cur is not None:
-                        words.append(cur)
+                        words.append(flush_packed(cur))
+                        packed_any = True
                     cur, cur_bits = code, width
             if cur is not None:
-                words.append(cur)
+                words.append(flush_packed(cur))
+                packed_any = True
+            if not packed_any:
+                words.append(dead64)  # all-full-width shape: explicit flag
             return tuple(words)
 
         if getattr(self.config, "split_sort_programs", True):
@@ -2257,7 +2380,27 @@ class LocalExecutor:
             pre_jit = jax.jit(topn_words)
             post_jit = jax.jit(topn_post)
 
-            def topn_split(keys_d, accs_d, count_d):
+            def topn_split(keys_d, accs_d, count_d, count_host=None):
+                if count_host is not None:
+                    # live groups occupy the first `count` slots: run the
+                    # radix passes over the next bucket, not the carry
+                    # capacity (Q3 SF1: 1.1M live groups in an 8.4M-slot
+                    # carry — a 4x cut on every pass and gather)
+                    from ..utils.transfer import bucket_of
+
+                    cap = (
+                        keys_d[0].shape[0]
+                        if keys_d
+                        else accs_d[0][0].shape[0]
+                    )
+                    G2 = min(
+                        cap, bucket_of(max(int(count_host), node.count, 1))
+                    )
+                    if G2 < cap:
+                        keys_d = tuple(k[:G2] for k in keys_d)
+                        accs_d = tuple(
+                            tuple(a[:G2] for a in acc) for acc in accs_d
+                        )
                 words = pre_jit(keys_d, accs_d, count_d)
                 perm = chained_lex_sort(list(words))
                 return post_jit(keys_d, accs_d, count_d, perm)

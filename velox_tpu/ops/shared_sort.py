@@ -204,15 +204,21 @@ _STABLE_PROGRAMS: Dict[int, object] = {}
 
 
 def _stable_program(n: int):
+    """Canonical stable radix pass: gather the word into the running
+    permutation's order INSIDE the program (one dispatch per pass, and the
+    gather fuses with the sort's operand staging)."""
     fn = _STABLE_PROGRAMS.get(n)
     if fn is None:
 
         @jax.jit
-        def _sort(word, perm):
-            out = jax.lax.sort([word, perm], num_keys=1, is_stable=True)
+        def _pass(word, perm):
+            wp = jnp.take(word, perm.astype(jnp.int32), mode="clip")
+            out = jax.lax.sort(
+                [wp, perm.astype(jnp.int64)], num_keys=1, is_stable=True
+            )
             return out[1]
 
-        fn = _logged(_sort, f"stable n={n}")
+        fn = _logged(_pass, f"stable n={n}")
         _STABLE_PROGRAMS[n] = fn
     return fn
 
@@ -225,15 +231,15 @@ def chained_lex_sort(words: Sequence[jax.Array]) -> jax.Array:
     multi-key consumer at this shape.
 
     Each pass stably sorts the running permutation by its word (gathered to
-    the current order), so after processing words last-to-first the
-    permutation is ordered by (words[0], words[1], ..., input position).
-    Returns perm (int32): perm[i] = input row in output slot i."""
+    the current order inside the canonical program), so after processing
+    words last-to-first the permutation is ordered by (words[0], words[1],
+    ..., input position).  Returns perm (int32): perm[i] = input row in
+    output slot i."""
     n = words[0].shape[0]
     perm = jnp.arange(n, dtype=jnp.int32)
     prog = _stable_program(n)
     for w in reversed(list(words)):
-        wp = jnp.take(w, perm, mode="clip")
-        perm = prog(wp, perm.astype(jnp.int64)).astype(jnp.int32)
+        perm = prog(w, perm).astype(jnp.int32)
     return perm
 
 
