@@ -56,7 +56,12 @@ if (
 ):
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERYTHING: through the remote-compile tunnel even a tiny
+        # glue program costs 0.3-0.6 s, and a query builds dozens of them —
+        # at the default 1.0 s threshold they re-compiled every process and
+        # dominated executor build time (measured round 5: 13 sub-second
+        # compiles = 7.5 s of Q3's 17 s cold build)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
     except Exception:  # older jax without the knob
         pass
 
