@@ -265,6 +265,34 @@ def measure_device_seconds(executor, tiles, repeats=3, k=9):
     return per_run
 
 
+def measure_device_programs(executor, tiles, repeats=3, hbm_gbps=None):
+    """Per-PROGRAM device-time attribution (the per-operator timing of
+    velox/exec/Driver.cpp:538-542): capture the dispatch stream of one run,
+    then time each unique program honestly (chained-K for sort-free programs,
+    self-feeding for canonical sorts — utils/devtime.py).
+
+    Returns (device_seconds_total_or_None, programs list, n_dispatches)."""
+    from velox_tpu.utils import devtime
+
+    with devtime.capture() as records:
+        executor.run(prefetched_tiles=tiles)
+    programs = devtime.measure(records, repeats=repeats)
+    for p in programs:
+        if p["seconds"] and hbm_gbps:
+            # achieved bandwidth share: bandwidth-bound programs read+write
+            # roughly their operand bytes once each
+            gbps = 2.0 * p["arg_bytes"] / p["seconds"] / 1e9
+            p["achieved_gbps"] = round(gbps, 1)
+            p["pct_hbm"] = round(100.0 * gbps / hbm_gbps, 1)
+    measured = [p for p in programs if p["seconds"] is not None]
+    unmeasured = sum(p.get("unmeasured_calls", 0) for p in programs)
+    total = sum(p["seconds"] for p in measured) if measured else None
+    if total is not None and unmeasured:
+        # some dispatches could not be timed: the sum is a lower bound
+        total = None
+    return total, programs, len(records)
+
+
 def query_min_bytes(plan, tables) -> int:
     """Minimum bytes a perfect engine must touch: ONE pass over every scanned
     column that survives pruning (the roofline numerator).  Walks the plan for
@@ -350,6 +378,15 @@ def bench_query(num, sf, tile_rows, repeats=3, hbm_gbps=None):
         device_s = measure_device_seconds(executor, tiles, repeats)
     except Exception as e:  # measurement must never sink the matrix
         log(f"q{num}: device-loop measurement failed ({e!r})")
+    programs = n_dispatches = None
+    try:
+        prog_total, programs, n_dispatches = measure_device_programs(
+            executor, tiles, repeats, hbm_gbps
+        )
+        if device_s is None:
+            device_s = prog_total
+    except Exception as e:
+        log(f"q{num}: per-program measurement failed ({e!r})")
     row = {
         "query": num,
         "sf": sf,
@@ -367,6 +404,10 @@ def bench_query(num, sf, tile_rows, repeats=3, hbm_gbps=None):
     }
     if device_s is not None:
         row["device_seconds"] = round(device_s, 6)
+    if n_dispatches is not None:
+        row["n_dispatches"] = n_dispatches
+    if programs:
+        row["programs"] = programs
     if hbm_gbps:
         min_bytes = query_min_bytes(plan, tables)
         sol_s = min_bytes / (hbm_gbps * 1e9)

@@ -127,7 +127,11 @@ def test_mixed_aggregation_keeps_exact_path():
     )
 
 
-# ---- approx_percentile (DDSketch-style log buckets, exec/sketch.py) --------
+# ---- approx_percentile --------------------------------------------------
+# Default sketch = kll rank-compression (exec/sketch.py
+# _rewrite_percentile_kll): RANK error <= 2/kll_points of the group size,
+# the reference KllSketch's contract (velox/functions/lib/KllSketch.h).
+# percentile_sketch="ddsketch" keeps the legacy 0.5%-value-error buckets.
 
 
 def pct_plan(t, p, keys=()):
@@ -139,15 +143,72 @@ def pct_plan(t, p, keys=()):
     )
 
 
+def assert_rank_error(values, est, p, m=256, slack=2):
+    """The estimate's empirical rank must be within 2/m (+slack rows) of the
+    target rank — the kll sketch's bound."""
+    sv = np.sort(np.asarray(values, dtype=np.float64))
+    n = len(sv)
+    target = np.floor(p * n)
+    lo = np.searchsorted(sv, est, "left")
+    hi = np.searchsorted(sv, est, "right") - 1
+    dist = max(lo - target, target - hi, 0)
+    assert dist <= 2.0 / m * n + slack, (est, p, n, lo, hi, target)
+
+
 @pytest.mark.parametrize("p", [0.1, 0.5, 0.99])
-def test_percentile_relative_error(p):
+def test_percentile_rank_error(p):
     rng = np.random.default_rng(int(p * 100))
     v = (rng.lognormal(8, 2, 200_000)).astype(np.int64) + 1
     t = Table(RowType(["v"], [vt.BIGINT]), {"v": v})
     out = run_plan(pct_plan(t, p)).to_pandas()
+    assert_rank_error(v, float(out["q"].iloc[0]), p)
+
+
+def test_percentile_rank_error_dense_range():
+    """All values inside one DD log bucket: value-error sketches cannot
+    separate quantiles here, rank-error ones must (the reason the reference
+    uses KLL)."""
+    rng = np.random.default_rng(5)
+    v = rng.uniform(1.0, 1.004, 100_000)
+    from velox_tpu.dtypes import DOUBLE
+
+    t = Table(RowType(["v"], [DOUBLE]), {"v": v})
+    for p in (0.25, 0.75):
+        out = run_plan(pct_plan(t, p)).to_pandas()
+        assert_rank_error(v, float(out["q"].iloc[0]), p)
+
+
+@pytest.mark.parametrize("p", [0.1, 0.5, 0.99])
+def test_percentile_ddsketch_value_error(p):
+    """The legacy value-error path stays available behind config."""
+    from velox_tpu.config import DEFAULT_CONFIG
+
+    rng = np.random.default_rng(int(p * 100))
+    v = (rng.lognormal(8, 2, 200_000)).astype(np.int64) + 1
+    t = Table(RowType(["v"], [vt.BIGINT]), {"v": v})
+    cfg = DEFAULT_CONFIG.copy(percentile_sketch="ddsketch")
+    out = (
+        LocalExecutor(pct_plan(t, p), 1 << 20, config=cfg).run().to_pandas()
+    )
     exact = np.sort(v)[int(np.floor(p * len(v)))]
     est = float(out["q"].iloc[0])
     assert abs(est - exact) <= 0.011 * exact + 1, (est, exact)
+
+
+def test_percentile_accuracy_argument():
+    """approx_percentile(x, p, accuracy): the accuracy literal tightens the
+    rank bound (m = ceil(2/accuracy))."""
+    rng = np.random.default_rng(17)
+    v = rng.integers(0, 1 << 40, 300_000).astype(np.int64)
+    t = Table(RowType(["v"], [vt.BIGINT]), {"v": v})
+    plan = (
+        PlanBuilder()
+        .table_scan(t)
+        .aggregation([], ["approx_percentile(v, 0.5, 0.001) as q"])
+        .build()
+    )
+    out = run_plan(plan).to_pandas()
+    assert_rank_error(v, float(out["q"].iloc[0]), 0.5, m=2000)
 
 
 def test_percentile_grouped_with_negatives():
@@ -167,10 +228,8 @@ def test_percentile_grouped_with_negatives():
     )
     df = pd.DataFrame({"g": g, "v": v})
     for gid, est in zip(out["g"], out["q"]):
-        vals = np.sort(df[df.g == gid]["v"].to_numpy())
-        exact = vals[int(np.floor(0.5 * len(vals)))]
-        tol = 0.011 * abs(exact) + 2
-        assert abs(float(est) - exact) <= tol, (gid, est, exact)
+        vals = df[df.g == gid]["v"].to_numpy()
+        assert_rank_error(vals, float(est), 0.5)
 
 
 def test_percentile_tile_invariance():
@@ -190,8 +249,7 @@ def test_percentile_double_values():
 
     t = Table(RowType(["v"], [DOUBLE]), {"v": v})
     out = run_plan(pct_plan(t, 0.5)).to_pandas()
-    exact = np.sort(v)[int(np.floor(0.5 * len(v)))]
-    assert abs(float(out["q"].iloc[0]) - exact) <= 0.011 * exact
+    assert_rank_error(v, float(out["q"].iloc[0]), 0.5)
 
 
 def test_percentile_multi_call_bounded_state():
@@ -214,10 +272,8 @@ def test_percentile_multi_call_bounded_state():
         .build()
     )
     out = run_plan(plan).to_pandas()
-    vs = np.sort(v)
     for name, q in (("p50", 0.5), ("p90", 0.9)):
-        exact = float(vs[int(q * len(vs))])
-        assert abs(float(out[name].iloc[0]) - exact) <= 0.011 * exact + 1
+        assert_rank_error(v, float(out[name].iloc[0]), q)
 
 
 # ---------------------------------------------------------------------------

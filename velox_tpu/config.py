@@ -85,6 +85,15 @@ class QueryConfig:
     # OutputBuffer limits, velox/exec/OutputBuffer.h:131).  None = per-device
     # tile rows.
     distributed_carry_rows: Optional[int] = None
+    # approx_percentile sketch family (reference: functions/lib/KllSketch.h):
+    # "kll" = rank-error sketch (deterministic rank-compressed ECDF; error
+    # <= 2/kll_points of the rank, Presto's semantics); "ddsketch" = legacy
+    # value-error log buckets (0.5% relative value error).
+    percentile_sketch: str = "kll"
+    # Rank-space compression points per group for the kll sketch; rank error
+    # <= 2/kll_points.  An explicit accuracy argument overrides this
+    # (m = ceil(2 / accuracy)).
+    kll_points: int = 256
     # Timezone for timestamp functions (reference: kSessionTimezone).
     session_timezone: str = "UTC"
     # Adjust timestamps to the session timezone before extracting calendar

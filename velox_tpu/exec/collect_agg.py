@@ -31,6 +31,7 @@ COLLECT_AGG_NAMES = (
     "entropy",
     "multimap_agg",
     "__dd_quantile",
+    "__kll_quantile",
     "__bloom_assemble",
 )
 
@@ -109,6 +110,17 @@ def bind_collect(name: str, types: Tuple[DataType, ...]) -> CollectAggregate:
         assert len(types) == 3
         return CollectAggregate(
             name, DOUBLE, types, ("plain", "plain", "plain")
+        )
+    if name == "__kll_quantile":
+        # (x, cum_rank, total, percentage) -> quantile from the rank-
+        # compressed per-group ECDF (exec/sketch.py kll rewrite; rank error
+        # <= 2/kll_points — the reference KllSketch's contract shape,
+        # velox/functions/lib/KllSketch.h)
+        from ..dtypes import DOUBLE
+
+        assert len(types) == 4
+        return CollectAggregate(
+            name, DOUBLE, types, ("plain", "plain", "plain", "plain")
         )
     if name == "__bloom_assemble":
         # (word_idx, or_bits, num_words) -> Spark-format serialized bloom
@@ -421,6 +433,36 @@ def compute_collect(
         vals = dd_bucket_value(bs[np.clip(chosen, 0, max(len(bs) - 1, 0))]) if len(bs) else np.zeros(num_groups)
         out = np.where(totals > 0, vals, 0.0)
         return out, totals > 0
+
+    if agg.name == "__kll_quantile":
+        x = np.asarray(args[0]).astype(np.float64)
+        cum = np.asarray(args[1]).astype(np.int64)
+        tot = np.asarray(args[2]).astype(np.int64)
+        pt = agg.arg_types[3]
+        if n:
+            p_raw = float(np.asarray(args[3])[0])
+            p = p_raw / 10.0**pt.scale if pt.kind == TypeKind.DECIMAL else p_raw
+        else:
+            p = 0.5
+        # rank convention matches the exact path: element index
+        # floor(p * count), clipped into range; pick the first compressed
+        # ECDF point whose cumulative rank covers it
+        order = np.lexsort((cum, gids))
+        xs, gs, cs = x[order], gids[order], cum[order]
+        totals = np.zeros(num_groups, np.int64)
+        if len(gs):
+            np.maximum.at(totals, gs, tot[order])
+        rank = np.minimum(
+            np.maximum(totals - 1, 0), np.floor(p * totals).astype(np.int64)
+        )
+        hit = cs > rank[gs]
+        pos = np.arange(len(gs))
+        sel = np.full(num_groups, len(gs), np.int64)
+        if len(gs):
+            np.minimum.at(sel, gs[hit], pos[hit])
+        chosen = np.clip(sel, 0, max(len(gs) - 1, 0))
+        vals = xs[chosen] if len(xs) else np.zeros(num_groups)
+        return np.where(totals > 0, vals, 0.0), totals > 0
 
     if agg.name == "approx_most_frequent":
         buckets = int(np.asarray(args[0])[0]) if n else 0

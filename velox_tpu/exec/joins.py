@@ -1433,7 +1433,12 @@ class HashJoinExec:
             def post(s_word, payloads):
                 return self._fused_post(plan, s_word, payloads)
 
-            jits = (jax.jit(pre), jax.jit(post))
+            from ..utils.devtime import tjit
+
+            jits = (
+                tjit(pre, label="probe_pre"),
+                tjit(post, label="probe_post"),
+            )
             self._split_jits = jits
         pre_jit, post_jit = jits
         word, ops, vbits = pre_jit(batch)

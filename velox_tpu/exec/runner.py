@@ -51,6 +51,7 @@ from ..plan.nodes import (
     TopNNode,
     ValuesNode,
 )
+from ..utils.devtime import tjit
 from ..vector.column import Batch, Column
 from ..vector.string_table import StringTable
 from .aggregates import BoundAggregate, bind_aggregate
@@ -1305,7 +1306,7 @@ class LocalExecutor:
         root, self._strcast_specs = rewrite_string_construction(root)
         from .sketch import rewrite_sketch_aggregates
 
-        root = rewrite_sketch_aggregates(root)
+        root = rewrite_sketch_aggregates(root, cfg)
         from .joins import rewrite_filtered_existence_joins
 
         root = rewrite_filtered_existence_joins(root)
@@ -1430,14 +1431,15 @@ class LocalExecutor:
         self._pending_errs: List = []
         if self._pre_segments:
             self._seg_jits = [
-                jax.jit(functools.partial(_apply_steps, steps=seg))
+                tjit(functools.partial(_apply_steps, steps=seg), label="glue")
                 for seg, _ in self._pre_segments
             ]
             self._span_jits = [
-                jax.jit(ex.probe_spans) for _, ex in self._pre_segments
+                tjit(ex.probe_spans, label="probe_spans")
+                for _, ex in self._pre_segments
             ]
             self._expand_jits = [
-                jax.jit(ex.expand, static_argnums=2)
+                tjit(ex.expand, label="join_expand", static_argnums=2)
                 for _, ex in self._pre_segments
             ]
             self._full_tail_jits = {
@@ -1550,13 +1552,14 @@ class LocalExecutor:
             elif ex.mode in ("ungrouped", "array"):
                 self.kind = "direct_agg"
 
-                @functools.partial(jax.jit, donate_argnums=(0,))
                 def tile_step(carry, batch):
                     (accs_rc, errs) = carry
                     batch2, err = apply_streaming(batch, lin.steps)
                     return (ex.update_carry(accs_rc, batch2), errs + err)
 
-                self._tile_step = tile_step
+                self._tile_step = tjit(
+                    tile_step, label="agg_tile_step", donate_argnums=(0,)
+                )
             elif self.config.device_agg_merge:
                 self.kind = "sort_agg_device"
 
@@ -1577,11 +1580,14 @@ class LocalExecutor:
                     )
                     self._split_mode = True
                 elif has_joins:
-                    steps_jit = jax.jit(
-                        lambda batch: apply_streaming(batch, lin.steps)
+                    steps_jit = tjit(
+                        lambda batch: apply_streaming(batch, lin.steps),
+                        label="pipeline_steps",
                     )
 
-                    partial_only = jax.jit(lambda b2: ex.tile_partial(b2))
+                    partial_only = tjit(
+                        lambda b2: ex.tile_partial(b2), label="tile_partial"
+                    )
 
                     def sort_tile_partial(batch):
                         b2, err = steps_jit(batch)
@@ -1589,22 +1595,26 @@ class LocalExecutor:
 
                 else:
 
-                    @jax.jit
+                    @tjit(label="tile_partial")
                     def sort_tile_partial(batch):
                         batch2, err = apply_streaming(batch, lin.steps)
                         return ex.tile_partial(batch2), err
 
-                @functools.partial(jax.jit, donate_argnums=(0,))
-                def sort_merge_step(carry, partial, err):
+                def sort_merge_step_fn(carry, partial, err):
                     state, errs = carry
                     return (ex.merge_partial_into_carry(state, partial), errs + err)
+
+                sort_merge_step = tjit(
+                    sort_merge_step_fn, label="carry_merge",
+                    donate_argnums=(0,),
+                )
 
                 self._sort_tile_partial_jit = sort_tile_partial
                 self._sort_merge_step = sort_merge_step
             else:
                 self.kind = "sort_agg"
 
-                @jax.jit
+                @tjit(label="tile_partial")
                 def tile_partial(batch):
                     batch2, err = apply_streaming(batch, lin.steps)
                     return ex.tile_partial(batch2), err
@@ -1622,7 +1632,7 @@ class LocalExecutor:
                 self._split_mode = True
             else:
 
-                @jax.jit
+                @tjit(label="tile_out")
                 def tile_out(batch):
                     batch2, err = apply_streaming(batch, lin.steps)
                     return compact(batch2), err
@@ -1792,7 +1802,13 @@ class LocalExecutor:
         for kind, obj in segments:
             if kind == "glue":
                 compiled.append(
-                    ("glue", jax.jit(lambda b, _st=obj: apply_streaming(b, _st)))
+                    (
+                        "glue",
+                        tjit(
+                            lambda b, _st=obj: apply_streaming(b, _st),
+                            label="glue",
+                        ),
+                    )
                 )
             else:
                 compiled.append(("join", obj))
@@ -1818,8 +1834,10 @@ class LocalExecutor:
         from ..ops.shared_sort import shared_sort_word
 
         run_steps = self._make_split_steps_runner(segments)
-        word_jit = jax.jit(lambda b: compaction_word(b.active_mask()))
-        post_jit = jax.jit(compact_from_sorted_word)
+        word_jit = tjit(
+            lambda b: compaction_word(b.active_mask()), label="compact_word"
+        )
+        post_jit = tjit(compact_from_sorted_word, label="compact_post")
 
         def tile_out(batch):
             batch, err_total = run_steps(batch)
@@ -1837,11 +1855,11 @@ class LocalExecutor:
         segments, group_split = split_plan
         run_steps = self._make_split_steps_runner(segments)
         if group_split:
-            pre_jit = jax.jit(ex.tile_partial_pre)
-            bound_jit = jax.jit(ex.tile_partial_boundary)
-            post_jit = jax.jit(ex.tile_partial_post)
+            pre_jit = tjit(ex.tile_partial_pre, label="group_pre")
+            bound_jit = tjit(ex.tile_partial_boundary, label="group_boundary")
+            post_jit = tjit(ex.tile_partial_post, label="group_post")
         else:
-            partial_jit = jax.jit(ex.tile_partial)
+            partial_jit = tjit(ex.tile_partial, label="tile_partial")
 
         def sort_tile_partial(batch):
             batch, err_total = run_steps(batch)
@@ -2377,8 +2395,8 @@ class LocalExecutor:
         if getattr(self.config, "split_sort_programs", True):
             from ..ops.shared_sort import chained_lex_sort
 
-            pre_jit = jax.jit(topn_words)
-            post_jit = jax.jit(topn_post)
+            pre_jit = tjit(topn_words, label="topn_words")
+            post_jit = tjit(topn_post, label="topn_post")
 
             def topn_split(keys_d, accs_d, count_d, count_host=None):
                 if count_host is not None:
@@ -2693,7 +2711,7 @@ class LocalExecutor:
 
                 run_steps = self._make_split_steps_runner(split_steps)
 
-                @jax.jit
+                @tjit(label="orderby_pre")
                 def sort_pre(batch2):
                     mask = batch2.active_mask()
                     ops = [~mask] + spec.operands(
@@ -2709,7 +2727,7 @@ class LocalExecutor:
                     }
                     return ops, perm_src, mask
 
-                @jax.jit
+                @tjit(label="orderby_post")
                 def sort_post(batch2, perm, mask):
                     count = jnp.sum(mask).astype(jnp.int32)
                     if tile_keep is not None and tile_keep < batch2.capacity:
@@ -2734,7 +2752,7 @@ class LocalExecutor:
                 self._split_mode = True
             else:
 
-                @jax.jit
+                @tjit(label="tile_sorted")
                 def tile_sorted(batch):
                     batch2, err = apply_streaming(batch, steps)
                     arrays, layout, count = tile_sorted_prefix(
@@ -2984,6 +3002,12 @@ def _materialize_window(wnode, tile_rows: int, pool=None, config=None) -> Table:
     child = LocalExecutor(wnode.source, tile_rows, pool=pool).run()
     rows = child.num_rows
     if rows <= tile_rows:
+        return _window_one_tile(
+            wnode, child, _pick_capacity(max(rows, 1), 1 << 62)
+        )
+    if not wnode.partition_keys:
+        # global window: ONE partition — it gets a single program sized to
+        # fit (the oversized-partition path below)
         return _window_one_tile(
             wnode, child, _pick_capacity(max(rows, 1), 1 << 62)
         )

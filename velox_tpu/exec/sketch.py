@@ -172,15 +172,30 @@ def dd_bucket_value(buckets: np.ndarray) -> np.ndarray:
 
 
 def _percentile_eligible(c) -> bool:
-    """approx_percentile(x, p) or approx_percentile(x, w, p) over plain
-    numeric columns rewrites to the bounded dd-bucket form."""
+    """approx_percentile(x, p) / (x, w, p) / (x, p, accuracy) /
+    (x, w, p, accuracy) over plain numeric columns rewrites to the bounded
+    sketch form (kll rank-compression by default, dd-buckets as fallback)."""
     return (
         c.name == "approx_percentile"
-        and len(c.args) in (2, 3)
+        and len(c.args) in (2, 3, 4)
         and all(isinstance(a, FieldAccess) for a in c.args)
         and not c.args[0].dtype.is_string
         and c.args[0].dtype.kind != _DECIMAL_KIND()
     )
+
+
+def _percentile_args(cargs):
+    """Split approx_percentile's argument forms (Presto signatures:
+    the weight is an integer column; percentage/accuracy are fractional).
+    Returns (xarg, warg|None, parg, accuracy_arg|None)."""
+    if len(cargs) == 2:
+        return cargs[0], None, cargs[1], None
+    if len(cargs) == 4:
+        return cargs[0], cargs[1], cargs[2], cargs[3]
+    # 3 args: (x, w, p) when the middle column is integral, else (x, p, acc)
+    if cargs[1].dtype.is_integer:
+        return cargs[0], cargs[1], cargs[2], None
+    return cargs[0], None, cargs[1], cargs[2]
 
 
 def _bloom_eligible(c) -> bool:
@@ -310,10 +325,137 @@ def _rewrite_bloom(node: AggregationNode) -> PlanNode:
     )
 
 
-def _rewrite_percentile(node: AggregationNode) -> PlanNode:
-    """approx_percentile(x, [w,] p) -> dd-bucket counts (weight-summed for
-    the weighted form) + a tiny per-group quantile-from-buckets collect
-    aggregate (see module docstring)."""
+def _rewrite_percentile_kll(node: AggregationNode, cfg) -> PlanNode:
+    """approx_percentile with RANK-error semantics (the reference's KllSketch
+    contract, velox/functions/lib/KllSketch.h) as a plan rewrite:
+
+        agg g: approx_percentile(x[, w], p[, accuracy])
+          -> filter x is not null
+          -> agg (g, x): c = count(*) | sum(w), p carried by min
+          -> window over (partition by g order by x):
+                 cum = sum(c) rows unbounded preceding..current row
+                 tot = sum(c) rows unbounded preceding..unbounded following
+          -> filter KEEP rows whose cumulative rank crosses a multiple of
+             tot/m (plus each group's first and last row)
+          -> agg g: __kll_quantile(x, cum, tot, p)   -- tiny per-group collect
+
+    The kept rows are a deterministic rank-compressed ECDF: between two kept
+    points the cumulative rank advances at most ~2*tot/m, so the reported
+    quantile's rank error is <= 2/m of the group size — the KLL guarantee
+    shape, with determinism instead of the reference's random compaction
+    (merge order cannot change results; cf. the approx_distinct design note
+    above).  State is bounded by m+2 rows per group after the keep filter;
+    the (g, x) pre-aggregation upstream is ordinary grouped execution with
+    the engine's tiling/spill.  m defaults to config.kll_points; an explicit
+    accuracy argument (resolved to a literal) sets m = ceil(2/accuracy)."""
+    import math as _math
+
+    from ..dtypes import BIGINT as _BI
+    from ..expr.parser import parse_expr
+    from ..plan.nodes import FilterNode, ProjectNode
+    from .window import WindowNode, parse_window_call
+
+    gkeys = list(node.grouping_keys)
+    out_name = node.agg_names[0]
+    cargs = node.aggregates[0].args
+    xarg, warg, parg, aarg = _percentile_args(cargs)
+    xcol, pcol = xarg.name, parg.name
+    src = node.source
+    m = int(getattr(cfg, "kll_points", 256))
+    if aarg is not None:
+        acc = _const_field_value(src, aarg.name)
+        if acc is not None:
+            accf = float(acc)
+            if hasattr(aarg.dtype, "scale") and aarg.dtype.kind == _DECIMAL_KIND():
+                accf /= 10.0 ** aarg.dtype.scale
+            if accf > 0:
+                m = max(m, int(_math.ceil(2.0 / accf)))
+
+    def proj(source, names, texts):
+        s = source.output_schema
+        return ProjectNode(
+            source, tuple(names), tuple(parse_expr(t, s) for t in texts)
+        )
+
+    flt = FilterNode(src, parse_expr(f"{xcol} is not null", src.output_schema))
+    p1 = proj(
+        flt,
+        gkeys + ["__kx", "__kp"] + (["__kw"] if warg is not None else []),
+        gkeys + [xcol, pcol] + ([warg.name] if warg is not None else []),
+    )
+    a1 = AggregationNode(
+        p1,
+        node.step,
+        tuple(gkeys + ["__kx"]),
+        ("__kc", "__kpp"),
+        (
+            Call(_BI, "count", ())
+            if warg is None
+            else Call(_BI, "sum", (FieldAccess(warg.dtype, "__kw"),)),
+            Call(parg.dtype, "min", (FieldAccess(parg.dtype, "__kp"),)),
+        ),
+    )
+    from ..plan.nodes import SortKey
+
+    w1 = WindowNode(
+        a1,
+        tuple(gkeys),
+        (SortKey("__kx"),),
+        (
+            parse_window_call(
+                "sum(__kc) rows between unbounded preceding and current row"
+            ),
+            parse_window_call(
+                "sum(__kc) rows between unbounded preceding and unbounded"
+                " following"
+            ),
+        ),
+        ("__kcum", "__ktot"),
+    )
+    mlit = _lit(float(m))
+    keep = (
+        f"floor(cast(__kcum as double) * {mlit} / cast(__ktot as double)) > "
+        f"floor(cast(__kcum - __kc as double) * {mlit} / "
+        f"cast(__ktot as double)) or __kcum = __kc or __kcum = __ktot"
+    )
+    f1 = FilterNode(w1, parse_expr(keep, w1.output_schema))
+    a2 = AggregationNode(
+        f1,
+        node.step,
+        tuple(gkeys),
+        ("__kq",),
+        (
+            Call(
+                DOUBLE,
+                "__kll_quantile",
+                (
+                    FieldAccess(xarg.dtype, "__kx"),
+                    FieldAccess(_BI, "__kcum"),
+                    FieldAccess(_BI, "__ktot"),
+                    FieldAccess(parg.dtype, "__kpp"),
+                ),
+            ),
+        ),
+    )
+    if xarg.dtype.kind.name in ("DOUBLE", "REAL"):
+        final = "__kq"
+    else:
+        final = f"cast(round(__kq) as {xarg.dtype.kind.name.lower()})"
+    return proj(a2, gkeys + [out_name], gkeys + [final])
+
+
+def _rewrite_percentile(node: AggregationNode, config=None) -> PlanNode:
+    """approx_percentile(x[, w], p[, accuracy]) -> bounded sketch form.
+
+    Default: the kll rank-compression rewrite (_rewrite_percentile_kll),
+    matching the reference's KllSketch RANK-error semantics
+    (velox/functions/lib/KllSketch.h).  config.percentile_sketch="ddsketch"
+    keeps the legacy value-error log-bucket form below."""
+    from ..config import DEFAULT_CONFIG
+
+    cfg = config or DEFAULT_CONFIG
+    if getattr(cfg, "percentile_sketch", "kll") == "kll":
+        return _rewrite_percentile_kll(node, cfg)
     from ..expr.parser import parse_expr
     from ..plan.nodes import FilterNode, ProjectNode
 
@@ -321,8 +463,7 @@ def _rewrite_percentile(node: AggregationNode) -> PlanNode:
     gkeys = list(node.grouping_keys)
     out_name = node.agg_names[0]
     cargs = node.aggregates[0].args
-    warg = cargs[1] if len(cargs) == 3 else None
-    xarg, parg = cargs[0], cargs[-1]
+    xarg, warg, parg, _acc = _percentile_args(cargs)
     xcol, pcol = xarg.name, parg.name
     src = node.source
 
@@ -485,7 +626,7 @@ def _split_mixed_node(node: AggregationNode, rewrite) -> PlanNode:
     return ProjectNode(left, tuple(out_names), tuple(out_exprs), id=node.id)
 
 
-def rewrite_sketch_aggregates(root: PlanNode) -> PlanNode:
+def rewrite_sketch_aggregates(root: PlanNode, config=None) -> PlanNode:
     """Rewrite eligible approx_distinct aggregations bottom-up (see module
     docstring); returns the (possibly new) plan root."""
     from ..expr.parser import parse_expr
@@ -529,7 +670,7 @@ def rewrite_sketch_aggregates(root: PlanNode) -> PlanNode:
             return node
         call = node.aggregates[0]
         if _percentile_eligible(call):
-            return _rewrite_percentile(node)
+            return _rewrite_percentile(node, config)
         if _bloom_eligible(call):
             return _rewrite_bloom(node)
         if call.name != "approx_distinct" or len(call.args) != 1:

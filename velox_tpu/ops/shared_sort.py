@@ -141,13 +141,20 @@ def shared_sort_word(
     (length, payload-bucket) — callers MUST invoke this at host level (not
     inside jit; tracing it would inline the sort back into the caller's
     program and re-create the per-program compile cost)."""
+    from ..utils import devtime
+
     n = word.shape[0]
     dtypes = [p.dtype for p in payloads]
     ps = [_to_i64(p) for p in payloads]
     bucket = payload_bucket(len(ps))
     while len(ps) < bucket:
         ps.append(jnp.zeros((n,), jnp.int64))
-    s_word, s_ps = _program(n, bucket)(word, tuple(ps))
+    prog = _program(n, bucket)
+    devtime.record(
+        f"sort:word[n={n},b={bucket}]", prog, (word, tuple(ps)),
+        kind="selffeed", feed=lambda o, a: (o[0], o[1]),
+    )
+    s_word, s_ps = prog(word, tuple(ps))
     return s_word, [
         _from_i64(p, dt) for p, dt in zip(s_ps[: len(dtypes)], dtypes)
     ]
@@ -188,12 +195,20 @@ def shared_sort_ops(
                 "shared_sort_ops keys must be order-preserving under int64 "
                 "conversion (bool / signed ints)"
             )
+    from ..utils import devtime
+
     ks = [k.astype(jnp.int64) for k in key_ops]
     ps = [_to_i64(p) for p in payload_ops]
     bucket = payload_bucket(len(ps))
     while len(ps) < bucket:
         ps.append(jnp.zeros((n,), jnp.int64))
-    s_ks, s_ps = _multi_program(n, len(ks), bucket)(tuple(ks), tuple(ps))
+    prog = _multi_program(n, len(ks), bucket)
+    devtime.record(
+        f"sort:multi[n={n},k={len(ks)},b={bucket}]", prog,
+        (tuple(ks), tuple(ps)),
+        kind="selffeed", feed=lambda o, a: (o[0], o[1]),
+    )
+    s_ks, s_ps = prog(tuple(ks), tuple(ps))
     return (
         [k.astype(dt) for k, dt in zip(s_ks, kdt)],
         [_from_i64(p, dt) for p, dt in zip(s_ps[: len(pdt)], pdt)],
@@ -235,10 +250,17 @@ def chained_lex_sort(words: Sequence[jax.Array]) -> jax.Array:
     words last-to-first the permutation is ordered by (words[0], words[1],
     ..., input position).  Returns perm (int32): perm[i] = input row in
     output slot i."""
+    from ..utils import devtime
+
     n = words[0].shape[0]
     perm = jnp.arange(n, dtype=jnp.int32)
     prog = _stable_program(n)
     for w in reversed(list(words)):
+        devtime.record(
+            f"sort:radix_pass[n={n}]", prog, (w, perm),
+            kind="selffeed",
+            feed=lambda o, a: (a[0], o.astype(jnp.int32)),
+        )
         perm = prog(w, perm).astype(jnp.int32)
     return perm
 

@@ -101,7 +101,7 @@ class DistributedExecutor:
         from ..exec.strcast import rewrite_string_construction
 
         root, self._strcast_specs = rewrite_string_construction(root)
-        root = rewrite_sketch_aggregates(root)
+        root = rewrite_sketch_aggregates(root, self.config)
         from ..exec.joins import rewrite_filtered_existence_joins
 
         root = rewrite_filtered_existence_joins(root)

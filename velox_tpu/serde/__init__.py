@@ -8,8 +8,10 @@ from .page import deserialize_page, serialize_page
 from .rows import (
     decode_compactrow,
     decode_unsaferow,
+    deserialize_unsaferow_stream,
     encode_compactrow,
     encode_unsaferow,
+    serialize_unsaferow_stream,
 )
 
 SERDES = {
@@ -26,4 +28,6 @@ __all__ = [
     "decode_unsaferow",
     "encode_compactrow",
     "decode_compactrow",
+    "serialize_unsaferow_stream",
+    "deserialize_unsaferow_stream",
 ]

@@ -46,6 +46,11 @@ _WIDTHS = {
 def _column_bytes(table: Table, name: str, dtype: DataType):
     """(fixed numpy array | None, list-of-bytes | None) for a column."""
     arr = table.columns[name]
+    if getattr(dtype, "is_long_decimal", False):
+        raise NotImplementedError(
+            "UnsafeRow DECIMAL(p>18) uses the 16-byte var-width form "
+            "(Spark BigInteger bytes); only long-backed decimals are encoded"
+        )
     if dtype.is_string:
         strings = table.string_tables.get(name)
         if strings is None:
@@ -91,11 +96,22 @@ def encode_unsaferow(table: Table) -> List[bytes]:
                 if dtype.kind == TypeKind.BOOLEAN:
                     slots += struct.pack("<Q", int(bool(v)))
                 elif dtype.is_floating:
+                    # Spark canonicalizes NaN before writing
+                    # (UnsafeRowWriter.write(float/double))
+                    fv = float(v)
+                    if fv != fv:
+                        fv = float("nan")
                     fmt = "<d" if dtype.kind == TypeKind.DOUBLE else "<f"
-                    raw = struct.pack(fmt, float(v))
+                    raw = struct.pack(fmt, fv)
                     slots += raw + b"\x00" * (8 - len(raw))
                 else:
-                    slots += struct.pack("<q", int(v))
+                    # sub-8-byte ints occupy the LOW bytes of a zeroed slot
+                    # (UnsafeRowWriter zeroes the slot then putInt/putShort/
+                    # putByte) — NOT sign-extended to 8 bytes
+                    w = _WIDTHS[dtype.kind]
+                    fmt = {1: "<b", 2: "<h", 4: "<i", 8: "<q"}[w]
+                    raw = struct.pack(fmt, int(v))
+                    slots += raw + b"\x00" * (8 - len(raw))
         row = struct.pack(f"<{null_words}Q", *( (nulls >> (64*w)) & ((1<<64)-1) for w in range(null_words))) + bytes(slots) + bytes(var)
         rows.append(row)
     return rows
@@ -129,7 +145,11 @@ def decode_unsaferow(rows: List[bytes], schema: RowType) -> Table:
                 fmt = "<d" if dtype.kind == TypeKind.DOUBLE else "<f"
                 out_cols[f].append(struct.unpack_from(fmt, row, slot_off)[0])
             else:
-                out_cols[f].append(struct.unpack_from("<q", row, slot_off)[0])
+                # read the field at its native width from the slot's low
+                # bytes (Spark's UnsafeRow.getInt/getShort/getByte)
+                w = _WIDTHS.get(dtype.kind, 8)
+                fmt = {1: "<b", 2: "<h", 4: "<i", 8: "<q"}[w]
+                out_cols[f].append(struct.unpack_from(fmt, row, slot_off)[0])
     cols, tables, validities = {}, {}, {}
     for f, (name, dtype) in enumerate(zip(schema.names, schema.types)):
         if dtype.is_string:
@@ -151,6 +171,29 @@ def decode_unsaferow(rows: List[bytes], schema: RowType) -> Table:
         if not validity.all():
             validities[name] = validity
     return Table(schema, cols, tables, validities)
+
+
+def serialize_unsaferow_stream(table: Table) -> bytes:
+    """Frame each UnsafeRow with a BIG-endian uint32 size — the wire format
+    of the reference's Spark serializer (UnsafeRowVectorSerializer,
+    velox/serializers/UnsafeRowSerializer.cpp:69-73: "Write raw size. Needs
+    to be in big endian order.")."""
+    out = bytearray()
+    for row in encode_unsaferow(table):
+        out += struct.pack(">I", len(row))
+        out += row
+    return bytes(out)
+
+
+def deserialize_unsaferow_stream(data: bytes, schema: RowType) -> Table:
+    rows: List[bytes] = []
+    off = 0
+    while off < len(data):
+        (size,) = struct.unpack_from(">I", data, off)
+        off += 4
+        rows.append(data[off : off + size])
+        off += size
+    return decode_unsaferow(rows, schema)
 
 
 def encode_compactrow(table: Table) -> List[bytes]:
