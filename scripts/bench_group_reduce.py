@@ -129,12 +129,14 @@ def time_chained(fn, cols64, colsf, gids, mask, label):
     @jax.jit
     def chained(c64, cf, gi, m, kk):
         def body(_, acc):
-            _, zero = jax.lax.optimization_barrier(
-                (acc, jnp.zeros((), jnp.int64))
-            )
-            c64p = [c + zero for c in c64]
-            cfp = [c + zero.astype(c.dtype) for c in cf]
-            gip = gi + zero.astype(gi.dtype)
+            # REAL value-changing perturbation (acc & 1): exactness does not
+            # matter for timing, and a provably-zero perturbation was
+            # hoisted for the matmul/i32 formulations (measured: 1.7 TB/s
+            # "effective" — above HBM physics)
+            bit = (acc & jnp.int64(1))
+            c64p = [c + bit for c in c64]
+            cfp = [c + bit.astype(c.dtype) for c in cf]
+            gip = gi + bit.astype(gi.dtype) * 0
             return acc + fold(fn(c64p, cfp, gip, m))
 
         return jax.lax.fori_loop(0, kk, body, jnp.zeros((), jnp.int64))
@@ -225,7 +227,8 @@ def formulation_onehot_matmul(cols64, colsf, gids, mask):
     """MXU route: per-block one-hot matmul over 8-bit limbs in bf16, exact
     block partials in f32 (< 2^24), recombined in int64 with natural wrap."""
     BS = 4096
-    nb = CAP // BS
+    n = cols64[0].shape[0]
+    nb = n // BS
     garange = jnp.arange(G, dtype=jnp.int32)
     onehot = (
         (mask[:, None] & (gids[:, None] == garange[None, :]))

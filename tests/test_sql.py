@@ -809,3 +809,86 @@ def test_correlated_not_in_subquery():
         {"O": O, "T": T},
     ).to_pandas()
     assert sorted(out["v"].tolist()) == [11, 30]
+
+
+def test_correlated_scalar_subquery_non_equality():
+    """Non-equality correlated scalar aggregates (round-4 verdict item 10):
+    general decorrelation via unique-row-id join + per-row aggregation
+    (sql/planner._attach_scalar_subquery_nonequi)."""
+    from velox_tpu.dtypes import BIGINT
+
+    rng = np.random.default_rng(7)
+    n, m = 200, 300
+    O = Table(
+        RowType(["ok", "od", "ov"], [BIGINT] * 3),
+        {"ok": rng.integers(0, 5, n), "od": rng.integers(0, 40, n),
+         "ov": rng.integers(0, 1000, n)},
+    )
+    I = Table(
+        RowType(["ik", "idt", "ix"], [BIGINT] * 3),
+        {"ik": rng.integers(0, 5, m), "idt": rng.integers(0, 40, m),
+         "ix": rng.integers(0, 100, m)},
+    )
+    cat = {"o": O, "i": I}
+    do = pd.DataFrame({k: np.asarray(v) for k, v in O.columns.items()})
+    di = pd.DataFrame({k: np.asarray(v) for k, v in I.columns.items()})
+
+    # eq + non-eq correlation feeding avg (the classic decorrelation shape)
+    out = (
+        run_sql(
+            "select ok, od, ov from o where ov > (select avg(ix) from i "
+            "where i.ik = o.ok and i.idt < o.od)",
+            cat,
+        )
+        .to_pandas()
+        .sort_values(["ok", "od", "ov"])
+        .reset_index(drop=True)
+    )
+    keep = []
+    for _, r in do.iterrows():
+        s = di[(di.ik == r.ok) & (di.idt < r.od)]["ix"]
+        if len(s) and r.ov > s.mean():
+            keep.append(r)
+    exp = (
+        pd.DataFrame(keep).sort_values(["ok", "od", "ov"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out.astype("int64"), exp.astype("int64"))
+
+    # pure non-equality correlation (no equality keys: nested-loop route)
+    out2 = (
+        run_sql(
+            "select ok, od from o where od * 3 < "
+            "(select count(*) from i where i.idt < o.od)",
+            cat,
+        )
+        .to_pandas()
+        .sort_values(["ok", "od"])
+        .reset_index(drop=True)
+    )
+    keep2 = do[
+        [r.od * 3 < (di.idt < r.od).sum() for _, r in do.iterrows()]
+    ][["ok", "od"]].sort_values(["ok", "od"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out2.astype("int64"), keep2.astype("int64"))
+
+    # SELECT-list scalar with non-eq correlation: empty row sets give NULL
+    out3 = (
+        run_sql(
+            "select ok, od, (select sum(ix) from i where i.ik = o.ok and "
+            "i.idt > o.od) as s from o",
+            cat,
+        )
+        .to_pandas()
+        .sort_values(["ok", "od"])
+        .reset_index(drop=True)
+    )
+    out3["s"] = out3["s"].astype("float64")
+    exp3 = []
+    for _, r in do.iterrows():
+        s = di[(di.ik == r.ok) & (di.idt > r.od)]["ix"]
+        exp3.append(float(s.sum()) if len(s) else float("nan"))
+    exp3 = (
+        pd.DataFrame({"ok": do.ok, "od": do.od, "s": exp3})
+        .sort_values(["ok", "od"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out3, exp3, check_dtype=False)

@@ -69,12 +69,85 @@ class RenderSpec:
     src_type: DataType  # the physical column's type
     sep: Optional[str] = None  # array_join only
     null_repl: Optional[str] = None  # array_join only
+    # CHAINED string functions applied host-side after the base render, in
+    # order: each entry is (fn name, args template) where the template is
+    # the literal argument tuple with None at the string-value position —
+    # e.g. upper(cast(x as varchar)) -> post=(("upper", (None,)),);
+    # concat('a', cast(x as varchar), '!') -> (("concat", ("a", None, "!")),)
+    post: Tuple = ()
 
     @property
     def injective(self) -> bool:
         # distinct inputs always render to distinct strings for the scalar
-        # kinds; array_join is lossy about element boundaries
-        return self.kind != "array_join"
+        # kinds; array_join is lossy about element boundaries, and chained
+        # functions (substr/replace/...) are treated as lossy conservatively
+        return self.kind != "array_join" and not self.post
+
+
+def _substr_chain(v: str, start, length=None) -> str:
+    # SQL 1-based indexing; negative start counts from the end (mirrors
+    # expr/binding._bind_substr; semantic parity enforced by
+    # tests/test_strcast.py::test_chain_matches_plain_string_fn)
+    start = int(start)
+    if start > 0:
+        s = v[start - 1 :]
+    elif start < 0:
+        s = v[start:]
+    else:
+        s = v
+    return s[: int(length)] if length is not None else s
+
+
+def _pad_chain(left: bool):
+    def fn(v: str, n, fill=" ") -> str:
+        n = int(n)
+        if len(v) >= n:
+            return v
+        pad = (str(fill) * n)[: n - len(v)]
+        return pad + v if left else v + pad
+
+    return fn
+
+
+# Host implementations of string->string functions chainable over a
+# constructed string (same semantics as the dictionary binders in
+# expr/binding._STRING_FN_BINDERS; parity is test-enforced).  Each callable
+# takes (rendered value, *literal args) — the value slot's position inside
+# the original call is recorded in the args template.
+_HOST_CHAIN_FNS: Dict[str, object] = {
+    "upper": lambda v: v.upper(),
+    "lower": lambda v: v.lower(),
+    "trim": lambda v: v.strip(),
+    "ltrim": lambda v: v.lstrip(),
+    "rtrim": lambda v: v.rstrip(),
+    "reverse": lambda v: v[::-1],
+    "substr": _substr_chain,
+    "substring": _substr_chain,
+    "lpad": _pad_chain(True),
+    "rpad": _pad_chain(False),
+    "replace": lambda v, find, repl="": v.replace(str(find), str(repl)),
+    "split_part": lambda v, delim, index: (
+        v.split(str(delim))[int(index) - 1]
+        if 0 < int(index) <= len(v.split(str(delim)))
+        else ""
+    ),
+    "concat": None,  # positional: handled by the args template directly
+}
+
+
+def _apply_chain(spec: "RenderSpec", strings: List[str]) -> List[str]:
+    """Apply the spec's chained functions to base-rendered strings."""
+    for fn_name, template in spec.post:
+        if fn_name == "concat":
+            strings = [
+                "".join(v if a is None else str(a) for a in template)
+                for v in strings
+            ]
+            continue
+        fn = _HOST_CHAIN_FNS[fn_name]
+        lits = [a for a in template if a is not None]
+        strings = [fn(v, *lits) for v in strings]
+    return strings
 
 
 def _unsupported(use: str):
@@ -154,6 +227,133 @@ def _match_construction(e: Expr) -> Optional[Tuple[Expr, RenderSpec]]:
                     ),
                 )
     return None
+
+
+_LEX_REGISTERED = False
+
+
+def _register_lex_functions() -> None:
+    """Device functions __strlex_w{0,1,2}(x): bytes 8w..8w+7 of the decimal
+    rendering of an integer, packed BIG-endian into one int64 — so int64
+    ascending order of (w0, w1, w2) IS the byte-lexicographic order of the
+    rendered string.  Positions past the string's end pack as 0 (sorts
+    before any character, so "1" < "10" like Presto's VARCHAR order).
+
+    This is what lets ORDER BY cast(int as varchar) run ON DEVICE: the sort
+    uses the lex words while the string itself still renders host-side at
+    materialization (the strcast contract)."""
+    global _LEX_REGISTERED
+    if _LEX_REGISTERED:
+        return
+    _LEX_REGISTERED = True
+    import jax.numpy as jnp
+
+    from ..dtypes import BIGINT
+    from ..expr.registry import DEFAULT_REGISTRY, NUMERIC
+
+    def _word(w):
+        def impl(ctx, out_t, arg_ts, x):
+            xi = x.astype(jnp.int64)
+            neg = xi < 0
+            n = xi.astype(jnp.uint64)
+            n = jnp.where(neg, (~n) + jnp.uint64(1), n)  # |x|, INT64_MIN-safe
+            ndig = jnp.ones(x.shape, jnp.int32)
+            p = jnp.uint64(10)
+            for _ in range(19):
+                ndig = ndig + (n >= p).astype(jnp.int32)
+                p = p * jnp.uint64(10)
+            length = ndig + neg.astype(jnp.int32)
+            pow10 = jnp.asarray(
+                [np.uint64(10) ** k for k in range(20)], dtype=jnp.uint64
+            )
+            word = jnp.zeros(x.shape, jnp.int64)
+            for j in range(8 * w, 8 * w + 8):
+                e = ndig - 1 - (j - neg.astype(jnp.int32))
+                digit = (
+                    (n // jnp.take(pow10, jnp.clip(e, 0, 19), mode="clip"))
+                    % jnp.uint64(10)
+                ).astype(jnp.int64) + jnp.int64(48)
+                c = jnp.where(
+                    neg & (j == 0), jnp.int64(45), digit  # '-'
+                )
+                c = jnp.where(j < length, c, jnp.int64(0))
+                word = (word << jnp.int64(8)) | c
+            return word
+
+        return impl
+
+    for w in range(3):
+        DEFAULT_REGISTRY.register(f"__strlex_w{w}", [NUMERIC], BIGINT, _word(w))
+
+
+def _lex_sortable(spec: RenderSpec) -> Optional[str]:
+    """Can ORDER BY this constructed string run on device?  Returns
+    'words' (project decimal lex words), 'value' (underlying numeric order
+    == string order: chr is codepoint order under UTF-8, booleans render
+    "false" < "true"), or None (still gated: doubles/dates/decimals/
+    array_join/chained specs)."""
+    if spec.post:
+        return None
+    if spec.kind == "chr":
+        return "value"
+    if spec.kind == "cast":
+        k = spec.src_type.kind
+        if k == TypeKind.BOOLEAN:
+            return "value"
+        if k in (
+            TypeKind.TINYINT,
+            TypeKind.SMALLINT,
+            TypeKind.INTEGER,
+            TypeKind.BIGINT,
+        ):
+            return "words"
+    return None
+
+
+def _match_chain(e: Expr, child_specs: Dict[str, RenderSpec]):
+    """Match a chain of host-applicable string functions whose string input
+    is a constructed column / construction / another chain: returns
+    (underlying physical expr, RenderSpec with the call appended to post),
+    else None.  Non-concat functions need the string value in argument 0;
+    concat accepts it at any position.  All other arguments must be
+    literals."""
+    from ..expr.ir import Constant
+
+    if not isinstance(e, Call) or e.name not in _HOST_CHAIN_FNS:
+        return None
+    if e.dtype.kind != TypeKind.VARCHAR:
+        return None
+    val_idx = None
+    template: List[Optional[object]] = []
+    for i, a in enumerate(e.args):
+        if isinstance(a, Constant):
+            template.append(a.value)
+            continue
+        if val_idx is not None:
+            return None  # two non-literal args
+        val_idx = i
+        template.append(None)
+    if val_idx is None:
+        return None
+    if e.name != "concat" and val_idx != 0:
+        return None  # value must be the operand string for non-concat fns
+    arg = e.args[val_idx]
+    # resolve the string input: an already-rewritten constructed column,
+    # a direct construction, or a nested chain
+    if isinstance(arg, FieldAccess) and arg.name in child_specs:
+        base_spec = child_specs[arg.name]
+        under: Expr = FieldAccess(base_spec.src_type, arg.name)
+    else:
+        m = _match_construction(arg) or _match_chain(arg, child_specs)
+        if m is None:
+            return None
+        under, base_spec = m
+    if base_spec.kind == "array_join":
+        # rendering happens per-row for array_join too; chains compose
+        pass
+    return under, dataclasses.replace(
+        base_spec, post=base_spec.post + ((e.name, tuple(template)),)
+    )
 
 
 def _refs(e: Expr, names) -> bool:
@@ -253,6 +453,16 @@ def _rw(node: PlanNode) -> Tuple[PlanNode, Dict[str, RenderSpec]]:
                 exprs.append(_retype(e, child_specs))
                 out_specs[name] = child_specs[e.name]
                 continue
+            ch = _match_chain(e, child_specs)
+            if ch is not None:
+                # a string function chained over a constructed string: the
+                # physical plan carries the underlying value; the chain
+                # applies host-side after the base render (render_result)
+                under, spec = ch
+                names.append(name)
+                exprs.append(under)
+                out_specs[name] = spec
+                continue
             if _refs(e, cs):
                 _unsupported("inside another expression")
             if _expr_has_construction(e):
@@ -307,12 +517,74 @@ def _rw(node: PlanNode) -> Tuple[PlanNode, Dict[str, RenderSpec]]:
         )
         return new, out_specs
 
-    if isinstance(node, (OrderByNode, TopNNode, MergeExchangeNode)):
+    if isinstance(node, (OrderByNode, TopNNode)):
+        from ..plan.nodes import SortKey
+
+        hit = [k for k in node.keys if k.name in cs]
+        if not hit:
+            return dataclasses.replace(node, **kids), child_specs
+        modes = {k.name: _lex_sortable(child_specs[k.name]) for k in hit}
+        if any(m is None for m in modes.values()):
+            _unsupported(
+                "as a sort key (lexicographic device order is implemented "
+                "for integer/boolean casts and chr; doubles/dates/decimals/"
+                "array_join/chained strings still gate)"
+            )
+        _register_lex_functions()
+        src = kids["source"]
+        sschema = src.output_schema
+        base_names = list(sschema.names)
+        pass_exprs: List[Expr] = [
+            FieldAccess(t, n)
+            for n, t in zip(sschema.names, sschema.types)
+        ]
+        add_names: List[str] = []
+        add_exprs: List[Expr] = []
+        new_keys: List = []
+        from ..dtypes import BIGINT as _BI
+
+        for k in node.keys:
+            if k.name not in cs:
+                new_keys.append(k)
+                continue
+            if modes[k.name] == "value":
+                # underlying numeric order == rendered-string order
+                new_keys.append(k)
+                continue
+            under_t = child_specs[k.name].src_type
+            for w in range(3):
+                nm = f"__strlex_{k.name}_{w}"
+                add_names.append(nm)
+                add_exprs.append(
+                    Call(_BI, f"__strlex_w{w}", (FieldAccess(under_t, k.name),))
+                )
+                new_keys.append(
+                    SortKey(nm, k.ascending, k.nulls_first)
+                )
+        pre = ProjectNode(
+            src,
+            tuple(base_names + add_names),
+            tuple(pass_exprs + add_exprs),
+        )
+        sorted_node = dataclasses.replace(
+            node, source=pre, keys=tuple(new_keys)
+        )
+        post = ProjectNode(
+            sorted_node,
+            tuple(base_names),
+            tuple(
+                FieldAccess(t, n)
+                for n, t in zip(sschema.names, sschema.types)
+            ),
+        )
+        return post, child_specs
+
+    if isinstance(node, MergeExchangeNode):
         for k in getattr(node, "keys", ()):
             if k.name in cs:
                 _unsupported(
-                    "as a sort key (string order is lexicographic; sort the "
-                    "underlying value explicitly instead)"
+                    "as a merge-exchange sort key (sort the underlying "
+                    "value explicitly instead)"
                 )
         return dataclasses.replace(node, **kids), child_specs
 
@@ -473,6 +745,15 @@ def render_result(result: Table, specs: Dict[str, RenderSpec]) -> Table:
         validity = validities.get(name)
         if spec.kind == "array_join":
             strings, valid = _render_array_join(spec, cols[name], validity)
+            if spec.post:
+                live2 = np.asarray(valid, dtype=bool)
+                chained = _apply_chain(
+                    spec, [s for s, ok in zip(strings, live2) if ok]
+                )
+                it = iter(chained)
+                strings = [
+                    next(it) if ok else s for s, ok in zip(strings, live2)
+                ]
             if validity is None and not valid.all():
                 validities[name] = valid
         else:
@@ -484,11 +765,13 @@ def render_result(result: Table, specs: Dict[str, RenderSpec]) -> Table:
                 live = np.asarray(validity, dtype=bool)
                 strings = [""] * len(values)
                 if live.any():
-                    rendered = _render_scalar(spec, values[live])
+                    rendered = _apply_chain(
+                        spec, _render_scalar(spec, values[live])
+                    )
                     for i, s in zip(np.nonzero(live)[0], rendered):
                         strings[i] = s
             else:
-                strings = _render_scalar(spec, values)
+                strings = _apply_chain(spec, _render_scalar(spec, values))
         uniq, inverse = np.unique(np.asarray(strings, dtype=object), return_inverse=True)
         table = StringTable()
         code_of = np.asarray([table.intern(u) for u in uniq], dtype=np.int32)

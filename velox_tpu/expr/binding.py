@@ -92,6 +92,28 @@ def _per_entry(table: StringTable, fn: Callable[[str], object], dtype, np_dtype)
     return HostArray(arr)
 
 
+def _has_string_construction(e: Expr) -> bool:
+    """Does this subtree construct a data-dependent string (cast-to-varchar
+    over a non-string, bin, chr, array_join)?  Such expressions carry no
+    dictionary; the strcast plan rewrite handles them after planning."""
+    from .ir import Special as _Sp
+    from .ir import SpecialForm as _SF
+
+    if (
+        isinstance(e, _Sp)
+        and e.form in (_SF.CAST, _SF.TRY_CAST)
+        and e.dtype.is_string
+        and e.args
+        and not e.args[0].dtype.is_string
+    ):
+        return True
+    if isinstance(e, Call) and e.name in ("bin", "chr", "array_join"):
+        return True
+    return any(
+        _has_string_construction(c) for c in (getattr(e, "children", ()) or ())
+    )
+
+
 def _rewrite(expr: Expr, tables, context_table: Optional[StringTable]) -> Expr:
     if isinstance(expr, Constant):
         if expr.dtype.is_string and isinstance(expr.value, str):
@@ -166,6 +188,26 @@ def _rewrite(expr: Expr, tables, context_table: Optional[StringTable]) -> Expr:
         and expr.args
         and expr.args[0].dtype.is_string
     ):
+        if any(
+            _has_string_construction(a)
+            for a in expr.args
+            if not isinstance(a, Constant)
+        ):
+            # the string input is a data-dependent CONSTRUCTION (cast-to-
+            # varchar / bin / chr / array_join): it has no dictionary to
+            # bind against — the strcast plan rewrite (exec/strcast.py)
+            # consumes the whole chain later, and needs literal arguments
+            # as raw text, so they must not intern here
+            return Call(
+                expr.dtype,
+                expr.name,
+                tuple(
+                    a
+                    if isinstance(a, Constant)
+                    else _rewrite(a, tables, context_table)
+                    for a in expr.args
+                ),
+            )
         # names like reverse/concat/contains are shared with the array family;
         # the dictionary rewrites only apply to string-typed arguments
         non_lit = [

@@ -1169,6 +1169,157 @@ def _apply_correlated_not_in(
     return PlanBuilder().union_all([keep.build(), rest.build()])
 
 
+_SCALAR_SUB_AGGS = (
+    "min", "max", "sum", "count", "avg", "arbitrary", "count_if",
+    "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
+    "geometric_mean", "bool_and", "bool_or", "every",
+)
+
+
+def _strip_leading_aggregate(sub_toks):
+    """If ``sub_toks`` is 'SELECT agg(expr) FROM ...' with a single
+    aggregate item, return (agg fn name, rewritten tokens whose select list
+    is 'expr as __sq_v, *') — the raw-rows form the non-equality
+    decorrelation aggregates per outer row.  None when the shape doesn't
+    match (multiple items, DISTINCT, GROUP BY, non-aggregate item)."""
+    toks = list(sub_toks)
+    if not toks or toks[0].low != "select":
+        return None
+    depth = 0
+    from_i = None
+    for i, t in enumerate(toks):
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        elif (
+            depth == 0 and t.kind == "name" and t.low == "from" and i > 0
+        ):
+            from_i = i
+            break
+    if from_i is None:
+        return None
+    d = 0
+    for t in toks[from_i:]:
+        if t.kind == "op" and t.text == "(":
+            d += 1
+        elif t.kind == "op" and t.text == ")":
+            d -= 1
+        elif d == 0 and t.kind == "name" and t.low == "group":
+            return None  # subquery has its own GROUP BY
+    items = toks[1:from_i]
+    # single item only (no depth-0 commas)
+    d = 0
+    for t in items:
+        if t.kind == "op" and t.text == "(":
+            d += 1
+        elif t.kind == "op" and t.text == ")":
+            d -= 1
+        elif d == 0 and t.kind == "op" and t.text == ",":
+            return None
+    if (
+        len(items) < 3
+        or items[0].kind != "name"
+        or items[0].low not in _SCALAR_SUB_AGGS
+        or items[1].text != "("
+        or items[-1].text != ")"
+    ):
+        return None
+    fn = items[0].low
+    inner = items[2:-1]
+    if inner and inner[0].kind == "name" and inner[0].low == "distinct":
+        return None
+    if fn == "count" and (
+        not inner or (len(inner) == 1 and inner[0].text == "*")
+    ):
+        value_toks = [_Tok("number", "1")]
+    else:
+        value_toks = list(inner)
+    new_toks = (
+        [toks[0]]
+        + value_toks
+        + [_Tok("name", "as"), _Tok("name", "__sq_v"), _Tok("op", ","),
+           _Tok("op", "*")]
+        + toks[from_i:]
+    )
+    return fn, new_toks
+
+
+def _attach_scalar_subquery_nonequi(
+    plan: PlanBuilder, ph: str, sub_toks, catalog, scope, fn, new_toks
+) -> PlanBuilder:
+    """Correlated scalar aggregate with NON-equality correlations
+    (e.g. o.v > (select avg(i.x) from i where i.d < o.d)): general
+    decorrelation over raw rows —
+
+      1. tag every outer row with a unique id (AssignUniqueIdNode);
+      2. LEFT-join the UN-aggregated subquery rows (value + correlation
+         columns) on the equality keys with the non-equality predicates as
+         the join filter (nested-loop when no equality keys exist);
+      3. aggregate the original function per outer-row id — exact for ANY
+         aggregate, because the aggregation runs once over each outer
+         row's true row set;
+      4. join the (id, value) pairs back onto the outer plan.
+
+    Reference analog: Velox has no SQL planner; engines above it lower this
+    shape to the same join+group-by plan (dedup/magic-set decorrelation)."""
+    sub, entries = _plan_subquery(new_toks, catalog, scope, True)
+    eqs = [(e[1], e[2]) for e in entries if e[0] == "eq"]
+    preds = [e for e in entries if e[0] == "pred"]
+    out_names = list(plan.schema.names)
+    rid = _unique_name("__sq_rid", set(out_names))
+    plan.assign_unique_id(rid)
+
+    # collision renames + filter text over probe ++ build columns (same
+    # mechanics as the EXISTS branch above)
+    used = set(plan.schema.names) | set(sub.schema.names)
+    renames: Dict[str, str] = {}
+    for n in sub.schema.names:
+        if n in plan.schema.names:
+            renames[n] = _unique_name(f"__sq_{n}", used)
+            used.add(renames[n])
+    if renames:
+        sub.project(
+            [
+                f"{n} as {renames[n]}" if n in renames else n
+                for n in sub.schema.names
+            ]
+        )
+    vcol = renames.get("__sq_v", "__sq_v")
+    parts_all: List[str] = []
+    for _, ptoks, _refs in preds:
+        parts = []
+        for t in ptoks:
+            if t.kind == "name" and t.text.startswith("__outer__"):
+                parts.append(t.text[len("__outer__"):])
+            elif t.kind == "name" and t.text in renames:
+                parts.append(renames[t.text])
+            else:
+                parts.append(t.text)
+        parts_all.append("( " + " ".join(parts) + " )")
+    filter_text = " and ".join(parts_all)
+
+    join_out = [rid, vcol]
+    if eqs:
+        joined = PlanBuilder(plan.node).hash_join(
+            sub,
+            [scope.resolve(o) or o for o, _ in eqs],
+            [renames.get(i, i) for _, i in eqs],
+            output=join_out,
+            join_type="left",
+            filter=filter_text,
+        )
+    else:
+        joined = PlanBuilder(plan.node).nested_loop_join(
+            sub, output=join_out, join_type="left", condition=filter_text
+        )
+    aggp = joined.aggregation([rid], [f"{fn}({vcol}) as {ph}"])
+    plan.hash_join(
+        aggp, [rid], [rid], output=out_names + [ph], join_type="left"
+    )
+    return plan
+
+
 def _attach_scalar_subquery(
     plan: PlanBuilder, ph: str, sub_toks, catalog, scope
 ) -> PlanBuilder:
@@ -1177,9 +1328,16 @@ def _attach_scalar_subquery(
     sub, entries = _plan_subquery(sub_toks, catalog, scope, True)
     eqs = [(e[1], e[2]) for e in entries if e[0] == "eq"]
     if any(e[0] == "pred" for e in entries):
-        raise NotImplementedError(
-            "correlated scalar subqueries support equality "
-            "correlations only"
+        stripped = _strip_leading_aggregate(sub_toks)
+        if stripped is None:
+            raise NotImplementedError(
+                "correlated scalar subqueries with non-equality "
+                "correlations must be a single plain aggregate "
+                "(no DISTINCT / GROUP BY / multiple items)"
+            )
+        fn, new_toks = stripped
+        return _attach_scalar_subquery_nonequi(
+            plan, ph, sub_toks, catalog, scope, fn, new_toks
         )
     if not eqs:
         if len(sub.schema.names) != 1:
