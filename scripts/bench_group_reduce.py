@@ -34,14 +34,21 @@ K = 9
 
 
 def make_inputs(seed=0):
-    rng = np.random.default_rng(seed)
+    """Generate ON DEVICE: uploading ~1 GB through the tunnel costs tens of
+    minutes at its worst (measured round 5); jax.random costs nothing."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), N_SUM64 + N_SUMF + 2)
     cols64 = [
-        jnp.asarray(rng.integers(0, 1 << 40, CAP, dtype=np.int64))
-        for _ in range(N_SUM64)
+        jax.random.randint(
+            keys[i], (CAP,), 0, 1 << 40, dtype=jnp.int64
+        )
+        for i in range(N_SUM64)
     ]
-    colsf = [jnp.asarray(rng.random(CAP)) for _ in range(N_SUMF)]
-    gids = jnp.asarray(rng.integers(0, G, CAP, dtype=np.int32))
-    mask = jnp.asarray(rng.random(CAP) < 0.97)
+    colsf = [
+        jax.random.uniform(keys[N_SUM64 + i], (CAP,), jnp.float64)
+        for i in range(N_SUMF)
+    ]
+    gids = jax.random.randint(keys[-2], (CAP,), 0, G, dtype=jnp.int32)
+    mask = jax.random.uniform(keys[-1], (CAP,)) < 0.97
     return cols64, colsf, gids, mask
 
 
@@ -178,6 +185,7 @@ def main():
     sf = [c[:small] for c in colsf]
     sg, sm = gids[:small], mask[:small]
     ref = [np.asarray(x) for x in formulation_current(s64, sf, sg, sm)]
+
     for name, fn in (
         ("variadic_2d", formulation_variadic_2d),
         ("variadic_flat", formulation_variadic_flat),

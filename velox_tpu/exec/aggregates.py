@@ -333,6 +333,41 @@ def _splitmix64(v: jax.Array) -> jax.Array:
     return x.astype(jnp.int64)
 
 
+def narrow_int_sum(result_type: DataType, input_index=None) -> BoundAggregate:
+    """Single-accumulator exact integer sum, valid when the planner proves
+    |sum| < 2^62 from column bounds x capacity (runner.AggExecutor).  Same
+    accumulator shape as the float sum: (value, nonnull count)."""
+    return BoundAggregate(
+        "sum", result_type, (jnp.int64, jnp.int64), ("sum", "sum"),
+        lambda values, mask: (
+            values[0].astype(jnp.int64),
+            jnp.ones_like(values[0], dtype=jnp.int64),
+        ),
+        lambda accs: (accs[0], accs[1] > 0),
+        input_index, arg_roles=("plain",),
+    )
+
+
+def narrow_int_avg(scale: int, input_index=None) -> BoundAggregate:
+    """avg over a bounds-proven integer column: (sum, count) instead of the
+    wide (hi, lo, count) limbs — same gating as narrow_int_sum."""
+
+    def extract(accs):
+        total, count = np.asarray(accs[0]), np.asarray(accs[1])
+        safe = np.maximum(count, 1)
+        value = (total / safe).astype(np.float64) / (10.0**scale)
+        return value, count > 0
+
+    return BoundAggregate(
+        "avg", DOUBLE, (jnp.int64, jnp.int64), ("sum", "sum"),
+        lambda values, mask: (
+            values[0].astype(jnp.int64),
+            jnp.ones_like(values[0], dtype=jnp.int64),
+        ),
+        extract, input_index, arg_roles=("plain",),
+    )
+
+
 def bind_aggregate(
     name: str,
     input_types: Union[None, DataType, Sequence[DataType]],

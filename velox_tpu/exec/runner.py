@@ -112,7 +112,9 @@ def resolve_column_bounds(node: PlanNode, name: str):
 
     Feeds the normalized-key sort packing (ops/sortkey.py) — the analog of the
     reference's VectorHasher range mode computed from column stats
-    (velox/exec/VectorHasher.h:118).  Conservative: any step that can produce
+    (velox/exec/VectorHasher.h:118) — and the narrow-sum decision
+    (AggExecutor: a sum whose bound x capacity provably fits int64 drops the
+    wide 96-bit limb accumulators).  Conservative: any step that can produce
     values outside the source column's range returns None (multi-operand sort
     fallback)."""
     from ..plan.nodes import ArrowStreamNode
@@ -121,9 +123,7 @@ def resolve_column_bounds(node: PlanNode, name: str):
         return node.table.column_bounds(name)
     if isinstance(node, ProjectNode):
         expr = node.exprs[node.names.index(name)]
-        if isinstance(expr, FieldAccess):
-            return resolve_column_bounds(node.source, expr.name)
-        return None
+        return _expr_bounds(expr, node.source)
     if isinstance(node, (FilterNode, LimitNode, TopNNode, OrderByNode)):
         return resolve_column_bounds(node.sources[0], name)
     if isinstance(node, HashJoinNode):
@@ -132,6 +132,82 @@ def resolve_column_bounds(node: PlanNode, name: str):
             if name in s.output_schema:
                 return resolve_column_bounds(s, name)
         return None
+    return None
+
+
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _expr_bounds(e: Expr, src: PlanNode):
+    """Interval arithmetic over integer-backed expressions (ints, dates,
+    short decimals): (lo, hi) of the DEVICE representation, or None.
+
+    Handles field provenance, integer/decimal literals, the implicit CASTs
+    the registry inserts (decimal rescale = x10^ds; integer widening), and
+    plus/minus/multiply/negate whose semantics are plain representation
+    arithmetic (functions/presto/scalar.py: after coercion plus/minus share
+    a scale, and multiply is va*vb with scale s1+s2).  Any overflow past
+    int64 returns None."""
+    from ..expr.ir import Call, Constant, Special, SpecialForm
+
+    def _int_backed(t: DataType) -> bool:
+        if t.kind == TypeKind.DECIMAL:
+            return not t.is_long_decimal
+        return t.is_integer or t.kind in (TypeKind.DATE, TypeKind.BOOLEAN)
+
+    if isinstance(e, FieldAccess):
+        return resolve_column_bounds(src, e.name)
+    if isinstance(e, Constant):
+        v = e.value
+        if v is None or not _int_backed(e.dtype):
+            return None
+        if isinstance(v, (bool, np.bool_, int, np.integer)):
+            return (int(v), int(v))
+        return None
+    if (
+        isinstance(e, Special)
+        and e.form in (SpecialForm.CAST, SpecialForm.TRY_CAST)
+        and len(e.args) == 1
+    ):
+        st, dt = e.args[0].dtype, e.dtype
+        if not (_int_backed(st) and _int_backed(dt)):
+            return None
+        inner = _expr_bounds(e.args[0], src)
+        if inner is None:
+            return None
+        s_in = st.scale if st.kind == TypeKind.DECIMAL else 0
+        s_out = dt.scale if dt.kind == TypeKind.DECIMAL else 0
+        d = s_out - s_in
+        if d < 0:
+            return None  # representation shrinks with rounding: bail
+        lo, hi = inner[0] * 10**d, inner[1] * 10**d
+        if lo < _I64_MIN or hi > _I64_MAX:
+            return None
+        return (lo, hi)
+    if isinstance(e, Call) and e.name in ("plus", "minus", "multiply", "negate"):
+        if not _int_backed(e.dtype):
+            return None
+        bs = [_expr_bounds(a, src) for a in e.args]
+        if any(b is None for b in bs):
+            return None
+        if e.name == "negate":
+            lo, hi = -bs[0][1], -bs[0][0]
+        elif e.name == "plus":
+            if e.args[0].dtype != e.args[1].dtype:
+                return None  # un-aligned scales: representation math invalid
+            lo, hi = bs[0][0] + bs[1][0], bs[0][1] + bs[1][1]
+        elif e.name == "minus":
+            if e.args[0].dtype != e.args[1].dtype:
+                return None
+            lo, hi = bs[0][0] - bs[1][1], bs[0][1] - bs[1][0]
+        else:  # multiply: representation product (scale s1+s2)
+            corners = [
+                a * b for a in bs[0] for b in bs[1]
+            ]
+            lo, hi = min(corners), max(corners)
+        if lo < _I64_MIN or hi > _I64_MAX:
+            return None
+        return (lo, hi)
     return None
 
 
@@ -443,7 +519,16 @@ def apply_streaming(batch: Batch, steps: Sequence[Tuple]):
 class AggExecutor:
     """Executes one AggregationNode over a stream of tiles."""
 
-    def __init__(self, node: AggregationNode, capacity: int, presorted: bool = False):
+    def __init__(
+        self,
+        node: AggregationNode,
+        capacity: int,
+        presorted: bool = False,
+        max_rows: Optional[int] = None,
+    ):
+        """``max_rows``: a proven upper bound on TOTAL input rows across all
+        tiles (None = unbounded; e.g. expansion joins upstream) — gates the
+        narrow-sum rebinding below."""
         self.node = node
         self.capacity = capacity
         self.presorted = presorted
@@ -492,6 +577,41 @@ class AggExecutor:
             self.arg_transforms.append(transforms)
             self.out_strings.append(out_tab)
             self.out_inverse.append(out_inv)
+
+        # Narrow-sum rebinding: a wide (96-bit limb) integer sum whose input
+        # bounds prove |sum| < 2^62 over this capacity drops to a single
+        # int64 accumulator — one accumulator array instead of three per sum
+        # (Q1-class aggregations are accumulator-count-bound on device).
+        # Reference analog: DecimalAggregate's overflow-tracking is likewise
+        # skipped when the type's range proves it dead
+        # (velox/functions/prestosql/aggregates/DecimalAggregate.h).
+        from .aggregates import narrow_int_avg, narrow_int_sum
+
+        for i, (agg, names) in enumerate(zip(self.aggs, self.arg_names)):
+            if (
+                max_rows is not None
+                and getattr(agg, "name", "") in ("sum", "avg")
+                and len(getattr(agg, "acc_dtypes", ())) == 3
+                and names
+            ):
+                b = resolve_column_bounds(node.source, names[0])
+                if b is not None:
+                    bound_mag = max(abs(b[0]), abs(b[1]))
+                    if bound_mag * max(max_rows, 1) <= (1 << 62):
+                        if agg.name == "sum":
+                            self.aggs[i] = narrow_int_sum(
+                                agg.result_type, agg.input_index
+                            )
+                        else:
+                            t0 = in_schema.type_of(names[0])
+                            scale = (
+                                t0.scale
+                                if t0.kind == TypeKind.DECIMAL
+                                else 0
+                            )
+                            self.aggs[i] = narrow_int_avg(
+                                scale, agg.input_index
+                            )
 
         self.key_infos: List[KeyInfo] = [
             key_info(
@@ -574,19 +694,90 @@ class AggExecutor:
         return tuple(values), validity
 
     def update_carry(self, carry, batch: Batch):
+        """One tile's update of the direct-mode accumulators.
+
+        EVERY plain (non-pair) accumulator reduction across all aggregates
+        — plus the row counts — batches into ONE variadic reduce
+        (ops/segmented.direct_group_reduce_batch), so each input column
+        streams from HBM once per tile instead of once per accumulator.
+        Lexicographic pairs (min_by/max_by) and exotic combine ops keep the
+        per-aggregate path."""
+        import os
+
+        from ..ops.segmented import direct_group_reduce_batch
+
         accs, rowcounts = carry
         mask = batch.active_mask()
         if self.mode == "array":
             gids = self.grouping.group_ids(batch)
         else:
             gids = jnp.zeros((batch.capacity,), dtype=jnp.int32)
+
+        if self.mode == "array" and self.num_groups <= 256:
+            # materialize the composite group id ONCE as int8/int32: every
+            # accumulator pass then re-reads 1-4 B/row instead of
+            # recomputing it from the key columns' dictionary codes
+            # (4 B per key per pass) — measured on Q1 (A/B below)
+            small = self.num_groups <= 127
+            gids = jax.lax.optimization_barrier(
+                gids.astype(jnp.int8) if small else gids
+            ).astype(jnp.int32)
+        # A/B measured on SF1 Q1 (v5e, round 5): the batched variadic
+        # reduce runs the whole update in ONE pass but pays per-element
+        # int64-emulated routing for every group — 4.17 ms vs 2.53 ms for
+        # the per-accumulator loop, whose passes XLA keeps memory-bound
+        # (identical count reductions CSE into one).  Default: per-acc.
+        if os.environ.get("VELOX_TPU_BATCH_REDUCE", "0") == "0":
+            return self._update_carry_per_acc(accs, rowcounts, batch, mask, gids)
+        _BATCHABLE = ("sum", "min", "max", "band", "bor")
+        items = [(mask.astype(jnp.int64), "sum")]  # rowcounts ride first
+        slots: List[Tuple[int, int]] = []  # (agg idx, acc idx) per item
+        deferred: List[int] = []
+        masked_arrays: Dict[int, list] = {}
+        for i, agg in enumerate(self.aggs):
+            values, validity = self._decode_args(batch, i)
+            m = mask if validity is None else (mask & validity)
+            paired = agg._paired_payloads() | {
+                y for y, _, _ in agg.pairs
+            }
+            if paired or any(op not in _BATCHABLE for op in agg.acc_ops):
+                deferred.append(i)
+                masked_arrays[i] = (values, m)
+                continue
+            arrays = agg._masked(agg.raw_inputs(values, m), m)
+            masked_arrays[i] = None
+            for j, (arr, op) in enumerate(zip(arrays, agg.acc_ops)):
+                slots.append((i, j))
+                items.append((arr, op))
+
+        outs = direct_group_reduce_batch(items, mask, gids, self.num_groups)
+        rowcounts = rowcounts + outs[0]
+        news: Dict[int, list] = {
+            i: [None] * len(self.aggs[i].acc_ops)
+            for i, _ in slots
+        }
+        for (i, j), arr in zip(slots, outs[1:]):
+            news[i][j] = arr
+        out = []
+        for i, (agg, acc) in enumerate(zip(self.aggs, accs)):
+            if i in news:
+                out.append(agg._combine_states(acc, tuple(news[i])))
+            else:
+                values, m = masked_arrays[i]
+                out.append(
+                    agg.update(acc, values, m, gids, self.num_groups)
+                )
+        return (tuple(out), rowcounts)
+
+    def _update_carry_per_acc(self, accs, rowcounts, batch, mask, gids):
+        """Legacy per-aggregate update (A/B toggle VELOX_TPU_BATCH_REDUCE=0)."""
+        from ..ops.segmented import direct_group_reduce, masked_reduce
+
         out = []
         for i, (agg, acc) in enumerate(zip(self.aggs, accs)):
             values, validity = self._decode_args(batch, i)
             m = mask if validity is None else (mask & validity)
             out.append(agg.update(acc, values, m, gids, self.num_groups))
-        from ..ops.segmented import direct_group_reduce, masked_reduce
-
         ones = mask.astype(jnp.int64)
         if self.num_groups == 1:
             rowcounts = rowcounts + masked_reduce(ones, mask, "sum").reshape(1)
@@ -1532,7 +1723,17 @@ class LocalExecutor:
                 # secondary keys interleave, forcing the merge)
                 and self.source_table.num_tiles(self.capacity) > 1
             )
-            ex = AggExecutor(lin.agg, self.capacity, presorted)
+            # total-row bound for narrow sums: only filter/project steps
+            # cannot grow the row count (joins/expansions can)
+            agg_max_rows = (
+                self.source_table.num_rows
+                if not self._pre_segments
+                and all(s[0] in ("filter", "project") for s in lin.steps)
+                else None
+            )
+            ex = AggExecutor(
+                lin.agg, self.capacity, presorted, max_rows=agg_max_rows
+            )
             self.agg_exec = ex
             if ex.mode == "collect_rows":
                 self.kind = "collect_agg"

@@ -86,6 +86,44 @@ def direct_group_reduce(
     return jnp.stack(outs)
 
 
+def direct_group_reduce_batch(
+    items, mask: jax.Array, gids: jax.Array, num_groups: int
+):
+    """ALL of a node's accumulator reductions in ONE variadic lax.reduce.
+
+    ``items``: sequence of (values [capacity], op) — values already carry
+    their identity at dead rows.  Returns a list of [num_groups] arrays.
+
+    Measured on v5e (scripts/bench_group_reduce.py, 8.4M rows x 13 cols,
+    G=8): one variadic reduce over fused (cap, G) contribution producers
+    runs 1.3x faster than the per-accumulator loop (7.9 ms vs 10.3 ms) and,
+    more importantly, scales with the column count instead of the
+    (accumulator x group) product — each input column streams from HBM
+    once.  The remaining gap to the HBM roofline is int64-EMULATION compute
+    (the int32 control runs at 327 GB/s vs 115 for int64); a Pallas kernel
+    cannot help on this stack because the X64 rewriter rejects any
+    custom-call with 64-bit operands (ops/pallas_group_sum.py holds the
+    kernel + the measured verdict)."""
+    garange = jnp.arange(num_groups, dtype=gids.dtype)
+    onehot = mask[:, None] & (gids[:, None] == garange[None, :])
+    operands, inits = [], []
+    for values, op in items:
+        ident = jnp.asarray(identity_for(op, values.dtype), values.dtype)
+        operands.append(jnp.where(onehot, values[:, None], ident))
+        inits.append(ident)
+
+    def comb(accs, xs):
+        return tuple(
+            _COMBINE[op](a, x)
+            for (_, op), a, x in zip(items, accs, xs)
+        )
+
+    outs = jax.lax.reduce(
+        tuple(operands), tuple(inits), comb, dimensions=(0,)
+    )
+    return list(outs)
+
+
 def _pair_wins(op: str, ay, ax, by, bx):
     """Lexicographic (ordering, payload): does (b) replace (a)?  Ties go to the
     smaller payload so results are deterministic."""
