@@ -287,6 +287,10 @@ class SortGrouping:
         key_vals, key_valid = self._decode_keys(batch)
         plan = self.pack_plan(cap)
         assert plan is not None, "call supports_split first"
+        # downstream programs may run over a live-count PREFIX of the
+        # sorted word (runner._make_split_tile_partial): they must unpack
+        # with THIS capacity's plan, not one derived from their own shape
+        self._pack_capacity = cap
         idx64 = jnp.arange(cap, dtype=jnp.int64)
         packed = plan.pack_with_sentinel(key_vals, ~mask, key_valid)
         self._split_key_dtypes = [kv.dtype for kv in key_vals]
@@ -299,7 +303,7 @@ class SortGrouping:
         from ..ops.compact import compaction_word
         from ..ops.segmented import run_boundaries, run_is_end
 
-        cap = s_merged.shape[0]
+        cap = getattr(self, "_pack_capacity", s_merged.shape[0])
         plan = self.pack_plan(cap)
         low = plan.shifts[-1] if plan.shifts else 0
         codes = s_merged >> low
@@ -320,7 +324,7 @@ class SortGrouping:
         Returns the same tuple as sort_and_group."""
         from ..ops.segmented import SortedRuns, run_boundaries
 
-        cap = s_merged.shape[0]
+        cap = getattr(self, "_pack_capacity", s_merged.shape[0])
         plan = self.pack_plan(cap)
         s = s_merged
         low = plan.shifts[-1] if plan.shifts else 0
@@ -343,7 +347,9 @@ class SortGrouping:
         ``group_keys`` on the split path: the key word rides the run-end
         canonical sort, so one sort operand replaces two full-capacity
         gathers per key."""
-        plan = self.pack_plan(word.shape[0])
+        plan = self.pack_plan(
+            getattr(self, "_pack_capacity", word.shape[0])
+        )
         return [
             plan.unpack(word, i).astype(dt)
             for i, dt in enumerate(self._split_key_dtypes)

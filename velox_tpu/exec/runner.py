@@ -1723,12 +1723,27 @@ class LocalExecutor:
                 # secondary keys interleave, forcing the merge)
                 and self.source_table.num_tiles(self.capacity) > 1
             )
-            # total-row bound for narrow sums: only filter/project steps
-            # cannot grow the row count (joins/expansions can)
+            # total-row bound for narrow sums: filters/projects and
+            # NON-expanding joins of row-preserving kinds cannot grow the
+            # row count (expansion joins and FULL epilogues can)
+            from ..plan.nodes import JoinType as _JTn
+
+            def _keeps_rowbound(s) -> bool:
+                if s[0] in ("filter", "project", "left_join_filter"):
+                    return True
+                if s[0] == "join":
+                    je = s[1]
+                    return not getattr(
+                        je, "expansion", True
+                    ) and je.node.join_type in (
+                        _JTn.INNER, _JTn.LEFT, _JTn.LEFT_SEMI, _JTn.ANTI
+                    )
+                return False
+
             agg_max_rows = (
                 self.source_table.num_rows
                 if not self._pre_segments
-                and all(s[0] in ("filter", "project") for s in lin.steps)
+                and all(_keeps_rowbound(s) for s in lin.steps)
                 else None
             )
             ex = AggExecutor(
@@ -2050,23 +2065,49 @@ class LocalExecutor:
     def _make_split_tile_partial(self, split_plan, ex):
         """Host-level tile program: dispatches glue jits, split probes, and
         (when the grouping splits) the canonical grouping sort as separate
-        programs."""
+        programs.
+
+        Live-count shrink (single-tile pipelines): the merged sort packs a
+        liveness sentinel as the most significant field, so its output is
+        live-prefix — every program AFTER it (boundary glue, run-end
+        canonical sort, post) can run over bucket_of(live) rows instead of
+        the tile capacity.  The count program dispatches BEFORE the big
+        sort, so its ~25 ms tunnel fetch overlaps the sort's own device
+        time — the shrink costs no added latency.  (Q3 SF1: ~3.2M live of
+        8.4M capacity — the b=2 run-end sort drops ~2x.)"""
         from ..ops.shared_sort import shared_sort_word
+        from ..utils.transfer import _prefix_slicer, bucket_of, fetch_tree
 
         segments, group_split = split_plan
         run_steps = self._make_split_steps_runner(segments)
+        single_tile = self.source_table.num_tiles(self.capacity) == 1
         if group_split:
             pre_jit = tjit(ex.tile_partial_pre, label="group_pre")
             bound_jit = tjit(ex.tile_partial_boundary, label="group_boundary")
             post_jit = tjit(ex.tile_partial_post, label="group_post")
+            count_jit = tjit(
+                lambda b: jnp.sum(b.active_mask().astype(jnp.int32)),
+                label="live_count",
+            )
         else:
             partial_jit = tjit(ex.tile_partial, label="tile_partial")
 
         def sort_tile_partial(batch):
             batch, err_total = run_steps(batch)
             if group_split:
+                count_d = count_jit(batch) if single_tile else None
                 merged, carried = pre_jit(batch)
                 s_merged, s_carried = shared_sort_word(merged, list(carried))
+                if count_d is not None:
+                    # fetch overlaps the canonical sort just dispatched
+                    live = int(fetch_tree(count_d))
+                    bucket = min(
+                        bucket_of(max(live, 1)), batch.capacity
+                    )
+                    if bucket <= batch.capacity // 2:
+                        cut = _prefix_slicer(bucket)
+                        (s_merged,) = cut((s_merged,))
+                        s_carried = list(cut(tuple(s_carried)))
                 boundary, endword, rides = bound_jit(
                     s_merged, tuple(s_carried)
                 )

@@ -124,8 +124,12 @@ def _is_device_leaf(leaf) -> bool:
 
 
 def _perturb(leaves, acc):
-    """Add an opaque, acc-dependent zero to every numeric array leaf: the
-    value is unchanged but the simplifier cannot hoist the loop body."""
+    """Add a REAL acc-dependent bit to every numeric array leaf.  A
+    provably-zero perturbation gets hoisted by the simplifier (measured:
+    "effective bandwidth" above HBM physics, scripts/bench_group_reduce.py
+    round 5) — measurement runs happen after the parity-checked run, so
+    changing the values is fine."""
+    bit = (acc & jnp.int64(1))
     out = []
     for leaf in leaves:
         if (
@@ -134,10 +138,7 @@ def _perturb(leaves, acc):
             and hasattr(leaf, "dtype")
             and jnp.issubdtype(leaf.dtype, jnp.number)
         ):
-            _, zero = jax.lax.optimization_barrier(
-                (acc, jnp.zeros((), jnp.int64))
-            )
-            leaf = leaf + zero.astype(leaf.dtype)
+            leaf = leaf + bit.astype(leaf.dtype)
         out.append(leaf)
     return out
 
