@@ -39,6 +39,17 @@ class Encoding(str, Enum):
     FLAT = "FLAT"
     CONSTANT = "CONSTANT"
     DICTIONARY = "DICTIONARY"
+    # run-length runs over a base of run values (velox SequenceVector,
+    # vector/VectorEncoding.h:32): ``data`` holds int32 run LENGTHS, ``base``
+    # the per-run values.  decode() expands on device with a broadcast
+    # compare against the run end positions — O(capacity x n_runs) VPU work
+    # that XLA fuses into the consumer, so it is intended for genuinely
+    # run-compressed columns (n_runs << capacity).
+    SEQUENCE = "SEQUENCE"
+    # narrow deltas from a shared bias value (velox BiasVector): ``base`` is
+    # a CONSTANT column carrying the bias, ``data`` the narrow (int8/int16/
+    # int32) deltas; decode() widens and adds in-program.
+    BIAS = "BIAS"
 
 
 @jax.tree_util.register_dataclass
@@ -99,11 +110,53 @@ class Column:
             indices, validity, base, base.dtype, Encoding.DICTIONARY, base.strings
         )
 
+    @staticmethod
+    def sequence(
+        run_values: "Column",
+        run_lengths,
+        capacity: int,
+    ) -> "Column":
+        """Run-length column: row r takes the value of the run containing r.
+
+        ``run_values`` is a FLAT column of per-run values (its validity is
+        the per-run null flag); ``run_lengths`` the matching run lengths,
+        which must sum to ``capacity``.  Reference: velox SequenceVector
+        (vector/SequenceVector.h)."""
+        assert run_values.encoding == Encoding.FLAT, "sequence base must be flat"
+        lengths = jnp.asarray(run_lengths, dtype=jnp.int32)
+        assert lengths.shape[0] == run_values.capacity
+        assert int(jnp.sum(lengths)) == capacity, "run lengths must sum to capacity"
+        return Column(
+            lengths, None, run_values, run_values.dtype, Encoding.SEQUENCE,
+            run_values.strings,
+        )
+
+    @staticmethod
+    def bias(
+        bias_value,
+        deltas,
+        dtype: DataType,
+        validity: Optional[jax.Array] = None,
+    ) -> "Column":
+        """Bias column: value[r] = bias + deltas[r], deltas stored narrow.
+
+        Reference: velox BiasVector (vector/BiasVector.h) — same trade:
+        a 64-bit column whose values cluster near a center stores 1/2/4-byte
+        deltas."""
+        base = Column.constant(bias_value, dtype)
+        d = jnp.asarray(deltas)
+        assert jnp.issubdtype(d.dtype, jnp.integer)
+        return Column(d, validity, base, dtype, Encoding.BIAS, None)
+
     # ---- shape -----------------------------------------------------------
     @property
     def capacity(self) -> int:
         if self.encoding == Encoding.CONSTANT:
             raise ValueError("constant column has no capacity; use batch capacity")
+        if self.encoding == Encoding.SEQUENCE:
+            # data holds run lengths, not rows — row capacity comes from the
+            # batch (like CONSTANT)
+            raise ValueError("sequence column has no row capacity; use batch capacity")
         return self.data.shape[0]
 
     @property
@@ -125,6 +178,29 @@ class Column:
             if self.validity is None:
                 return values, None
             return values, jnp.broadcast_to(self.validity, (capacity,))
+        if self.encoding == Encoding.SEQUENCE:
+            # row -> run index: count of run END positions <= row.  A
+            # broadcast compare fuses into the consumer; cost is
+            # O(capacity x n_runs), i.e. cheap exactly when the encoding
+            # is earning its keep (few runs).
+            ends = jnp.cumsum(self.data)  # exclusive end of each run
+            rows = jnp.arange(capacity, dtype=jnp.int32)
+            run_idx = jnp.sum(
+                (rows[:, None] >= ends[None, :]).astype(jnp.int32), axis=1
+            )
+            values = self._widen(
+                jnp.take(self.base.data, run_idx, axis=0, mode="clip")
+            )
+            validity = None
+            if self.base.validity is not None:
+                validity = jnp.take(
+                    self.base.validity, run_idx, axis=0, mode="clip"
+                )
+            return values, validity
+        if self.encoding == Encoding.BIAS:
+            wide = self.dtype.device_dtype
+            values = self.base.data.astype(wide) + self.data.astype(wide)
+            return values, self.validity
         # DICTIONARY
         base_values, base_validity = self.base.data, self.base.validity
         values = self._widen(jnp.take(base_values, self.data, axis=0, mode="clip"))
@@ -177,6 +253,22 @@ class Column:
             cap = indices.shape[0]
             values, validity = self.decode(cap)
             return Column.flat(values, self.dtype, validity, self.strings)
+        if self.encoding == Encoding.SEQUENCE:
+            # compose: map gathered row positions to run indices, come back
+            # as a DICTIONARY over the run values (no materialization)
+            ends = jnp.cumsum(self.data)
+            run_idx = jnp.sum(
+                (indices[:, None] >= ends[None, :]).astype(jnp.int32), axis=1
+            )
+            return Column.dictionary(run_idx, self.base, None)
+        if self.encoding == Encoding.BIAS:
+            data = jnp.take(self.data, indices, axis=0, mode="clip")
+            validity = (
+                None
+                if self.validity is None
+                else jnp.take(self.validity, indices, axis=0, mode="clip")
+            )
+            return dataclasses.replace(self, data=data, validity=validity)
         if self.encoding == Encoding.DICTIONARY:
             # Compose index arrays instead of materializing the gather.
             new_idx = jnp.take(self.data, indices, axis=0, mode="clip")
@@ -258,7 +350,11 @@ class Column:
             values = np.empty(length, dtype=object)
             values[:] = seg.to_pylist()
             return values, validity
-        cap = length if self.is_constant else self.capacity
+        cap = (
+            length
+            if self.is_constant or self.encoding == Encoding.SEQUENCE
+            else self.capacity
+        )
         values, validity = self.decode(cap)
         values = np.asarray(values)[:length]
         validity_np = None if validity is None else np.asarray(validity)[:length]
@@ -300,7 +396,9 @@ class Batch:
     ) -> "Batch":
         if capacity is None:
             capacity = next(
-                c.capacity for c in columns if c.encoding != Encoding.CONSTANT
+                c.capacity
+                for c in columns
+                if c.encoding not in (Encoding.CONSTANT, Encoding.SEQUENCE)
             )
         return Batch(
             tuple(columns),

@@ -60,6 +60,8 @@ class FuzzerOptions:
     null_ratio: float = 0.1
     dictionary_ratio: float = 0.3  # chance a column is dictionary-encoded
     constant_ratio: float = 0.1
+    sequence_ratio: float = 0.0  # chance a column is run-length encoded
+    bias_ratio: float = 0.0  # chance an int64 column is bias-encoded
     string_pool_size: int = 24
 
 
@@ -128,6 +130,39 @@ class VectorFuzzer:
             return Column.dictionary(
                 jnp.asarray(idx),
                 base,
+                None if validity is None else jnp.asarray(validity),
+            )
+        roll -= self.opts.constant_ratio + self.opts.dictionary_ratio
+        if roll < self.opts.sequence_ratio:
+            # run-length: few runs, lengths summing to capacity
+            n_runs = int(self.rng.integers(1, max(2, capacity // 4)))
+            cuts = np.sort(self.rng.choice(capacity - 1, n_runs - 1, replace=False)) + 1 if n_runs > 1 else np.array([], dtype=np.int64)
+            bounds = np.concatenate([[0], cuts, [capacity]])
+            lengths = np.diff(bounds).astype(np.int32)
+            values, table = self._values(dtype, n_runs)
+            run_validity = self._validity(n_runs)
+            base = Column.flat(
+                jnp.asarray(values, dtype=dtype.device_dtype),
+                dtype,
+                None if run_validity is None else jnp.asarray(run_validity),
+                table,
+            )
+            return Column.sequence(base, lengths, capacity)
+        roll -= self.opts.sequence_ratio
+        wide = np.dtype(dtype.device_dtype)
+        if (
+            roll < self.opts.bias_ratio
+            and wide.kind == "i"
+            and wide.itemsize == 8
+            and not dtype.is_string
+        ):
+            bias = int(self.rng.integers(-(1 << 40), 1 << 40))
+            deltas = self.rng.integers(-128, 128, capacity).astype(np.int8)
+            validity = self._validity(capacity)
+            return Column.bias(
+                bias,
+                jnp.asarray(deltas),
+                dtype,
                 None if validity is None else jnp.asarray(validity),
             )
         values, table = self._values(dtype, capacity)
