@@ -515,6 +515,31 @@ def main():
             _partial["matrix"][f"q{num}"] = {
                 "query": num, "sf": args.sf, "error": repr(e)[:300],
             }
+
+    # SF10 pass (BASELINE's progression: SF10 -> SF100): the SF1 compute is
+    # sub-millisecond on device, so scaling behavior — multiple tiles, real
+    # carry merges, GB-class ingest — is only exercised here.  Runs after the
+    # SF1 matrix and bows out at the soft deadline; generation hits the
+    # persistent parquet cache (~/.cache/velox_tpu).
+    if args.sf == 1.0 and not args.all and not args.quick:
+        for num in queries:
+            elapsed = time.perf_counter() - t_start
+            if args.deadline and elapsed > args.deadline * 0.9:
+                log(f"deadline nearing at {elapsed:.0f}s; skipping "
+                    f"q{num} sf10 and the rest")
+                _partial["matrix"][f"q{num}_sf10"] = {
+                    "query": num, "sf": 10.0, "skipped": "deadline",
+                }
+                continue
+            try:
+                _partial["matrix"][f"q{num}_sf10"] = bench_query(
+                    num, 10.0, args.tile, args.repeats, hbm_gbps
+                )
+            except Exception as e:
+                log(f"q{num} sf10 FAILED: {e!r}")
+                _partial["matrix"][f"q{num}_sf10"] = {
+                    "query": num, "sf": 10.0, "error": repr(e)[:300],
+                }
     emit()
 
 

@@ -211,6 +211,98 @@ def _expr_bounds(e: Expr, src: PlanNode):
     return None
 
 
+def resolve_affine_product(src: PlanNode, name: str):
+    """Resolve a named aggregation input to ``const * prod(scale*col + off)``
+    over SCAN columns, or None.
+
+    Feeds the Pallas grouped piece-sum lowering (ops/pallas_group_piece.py):
+    a sum input that is a product of affine transforms of scan columns can be
+    computed in-kernel from the raw bounds-narrowed device columns, so the
+    whole grouped aggregation reads each scanned byte exactly once.  Returns
+    (const, [(scan_node, col_name, scale, offset), ...]) with all literals
+    folded.  Mirrors resolve_column_bounds' provenance walk; conservative —
+    anything unrecognized returns None."""
+    from ..expr.ir import Call, Special, SpecialForm
+
+    def field(nm, node):
+        if isinstance(node, TableScanNode):
+            return ("scan", node, nm) if nm in node.output_schema.names else None
+        if isinstance(node, ProjectNode):
+            if nm in node.names:
+                return ("expr", node.exprs[node.names.index(nm)], node.source)
+            return None
+        if isinstance(node, FilterNode):
+            return field(nm, node.sources[0])
+        return None
+
+    def go(e, node):
+        """-> (const, factors) with value == const * prod(s*col + o), or None."""
+        if isinstance(e, FieldAccess):
+            r = field(e.name, node)
+            if r is None:
+                return None
+            if r[0] == "scan":
+                return (1, [(r[1], r[2], 1, 0)])
+            return go(r[1], r[2])
+        b = _expr_bounds(e, node)
+        if b is not None and b[0] == b[1]:
+            return (b[0], [])
+        if (
+            isinstance(e, Special)
+            and e.form in (SpecialForm.CAST, SpecialForm.TRY_CAST)
+            and len(e.args) == 1
+        ):
+            st, dt = e.args[0].dtype, e.dtype
+            s_in = st.scale if st.kind == TypeKind.DECIMAL else 0
+            s_out = dt.scale if dt.kind == TypeKind.DECIMAL else 0
+            d = s_out - s_in
+            if d < 0:
+                return None
+            inner = go(e.args[0], node)
+            if inner is None:
+                return None
+            return (inner[0] * 10**d, inner[1])
+        if isinstance(e, Call):
+            if e.name == "multiply" and len(e.args) == 2:
+                a = go(e.args[0], node)
+                b2 = go(e.args[1], node)
+                if a is None or b2 is None:
+                    return None
+                return (a[0] * b2[0], a[1] + b2[1])
+            if e.name == "negate" and len(e.args) == 1:
+                a = go(e.args[0], node)
+                if a is None:
+                    return None
+                return (-a[0], a[1])
+            if e.name in ("plus", "minus") and len(e.args) == 2:
+                if e.args[0].dtype != e.args[1].dtype:
+                    return None  # un-aligned decimal scales
+                a = go(e.args[0], node)
+                b2 = go(e.args[1], node)
+                if a is None or b2 is None:
+                    return None
+                sgn = -1 if e.name == "minus" else 1
+                # affine fold: const +- (c * single factor)
+                if not a[1] and len(b2[1]) == 1 and b2[0] != 0:
+                    sn, cn, s, o = b2[1][0]
+                    c = sgn * b2[0]
+                    return (1, [(sn, cn, c * s, c * o + a[0])])
+                if not b2[1] and len(a[1]) == 1 and a[0] != 0:
+                    sn, cn, s, o = a[1][0]
+                    return (1, [(sn, cn, a[0] * s, a[0] * o + sgn * b2[0])])
+                if not a[1] and not b2[1]:
+                    return (a[0] + sgn * b2[0], [])
+                return None
+        return None
+
+    r = field(name, src)
+    if r is None:
+        return None
+    if r[0] == "scan":
+        return (1, [(r[1], r[2], 1, 0)])
+    return go(r[1], r[2])
+
+
 def resolve_column_nullable(node: PlanNode, name: str) -> bool:
     """May this column hold NULLs?  Conservative (True when unsure) — feeds
     null-aware grouping (SQL: NULL keys form ONE group; reference:
@@ -693,7 +785,134 @@ class AggExecutor:
                 validity = val if validity is None else (validity & val)
         return tuple(values), validity
 
-    def update_carry(self, carry, batch: Batch):
+    # ---- int32 piece-sum fast path (ops/pallas_group_piece.py) -----------
+    def try_enable_piece_path(self) -> bool:
+        """Lower ALL accumulator updates onto the exact int32 grouped
+        piece-sum path when every aggregate is a (narrow) sum/avg/count over
+        a product of affine transforms of non-nullable scan columns with
+        int32-provable bounds (resolve_affine_product).
+
+        The win (measured, scripts/bench_pallas_group_piece.py): the default
+        update widens inputs to int64 and pays ~G x A int64-EMULATED VPU ops
+        per element (~115 GB/s ceiling); the piece path keeps all
+        per-element arithmetic int32 over the raw bounds-narrowed device
+        columns.  Reference analog: single-pass accumulator updates over
+        group pointers, velox/exec/GroupingSet.cpp:294."""
+        import os
+
+        if os.environ.get("VELOX_TPU_PIECE_AGG", "1") == "0":
+            return False
+        if self.mode not in ("array", "ungrouped"):
+            return False
+        if self.num_groups > 64 or self.capacity % 512:
+            return False
+        from ..ops.pallas_group_piece import Factor, plan_spec
+
+        node = self.node
+        col_names: List[str] = []
+        scan_id = [None]
+
+        def col_index(scan_node, cn) -> Optional[int]:
+            if scan_id[0] is None:
+                scan_id[0] = id(scan_node)
+            elif scan_id[0] != id(scan_node):
+                return None  # factors must share one scan
+            v = scan_node.table.validities.get(cn)
+            if v is not None and not bool(np.asarray(v).all()):
+                return None  # nullable input: counts would diverge
+            if cn not in col_names:
+                col_names.append(cn)
+            return col_names.index(cn)
+
+        spec_keys: List[tuple] = []
+        spec_factors: List[list] = []
+
+        def spec_of(factors) -> int:
+            key = tuple((f.col, f.scale, f.offset) for f in factors)
+            if key in spec_keys:
+                return spec_keys.index(key)
+            spec_keys.append(key)
+            spec_factors.append(list(factors))
+            return len(spec_keys) - 1
+
+        count_idx = spec_of(())  # live-row count rides spec 0
+        slot_map: List[List[int]] = []
+        for i, agg in enumerate(self.aggs):
+            if agg.pairs or agg.post_combine:
+                return False
+            if any(t is not None for t in self.arg_transforms[i]):
+                return False
+            if agg.name == "count" and not self.arg_names[i]:
+                slot_map.append([count_idx])
+                continue
+            if (
+                agg.name in ("sum", "avg", "count")
+                and tuple(agg.acc_ops) in (("sum", "sum"), ("sum",))
+                and all(dt == jnp.int64 for dt in agg.acc_dtypes)
+                and len(self.arg_names[i]) == 1
+            ):
+                ap = resolve_affine_product(node.source, self.arg_names[i][0])
+                if ap is None:
+                    return False
+                const, raw_factors = ap
+                if not raw_factors or const == 0:
+                    return False
+                factors = []
+                for j, (sn, cn, s, o) in enumerate(raw_factors):
+                    if j == 0:
+                        s, o = s * const, o * const
+                    b = sn.table.column_bounds(cn)
+                    if b is None or b[0] < -(1 << 31) or b[1] >= 1 << 31:
+                        return False
+                    ci = col_index(sn, cn)
+                    if ci is None:
+                        return False
+                    lo = min(s * b[0] + o, s * b[1] + o)
+                    hi = max(s * b[0] + o, s * b[1] + o)
+                    factors.append(Factor(ci, s, o, lo, hi))
+                if agg.name == "count":
+                    # count(x) over proven non-null x == live-row count
+                    slot_map.append([count_idx])
+                    continue
+                vi = spec_of(factors)
+                slot_map.append([vi, count_idx])
+                continue
+            return False
+        plans = tuple(plan_spec(f) for f in spec_factors)
+        if any(p is None for p in plans):
+            return False
+        self._piece_plan = (tuple(col_names), plans, slot_map, count_idx)
+        return True
+
+    def _piece_update(self, carry, scan_batch: Batch, mask, gids):
+        from ..ops.pallas_group_piece import grouped_piece_sums_xla
+        from ..vector.column import Encoding as _Enc
+
+        col_names, plans, slot_map, count_idx = self._piece_plan
+        cols = []
+        for nm in col_names:
+            c = scan_batch.column(nm)
+            if c.encoding != _Enc.FLAT or c.validity is not None:
+                return None
+            if not jnp.issubdtype(c.data.dtype, jnp.integer):
+                return None
+            cols.append(c.data)
+        accs, rowcounts = carry
+        small = self.num_groups <= 127
+        gid_live = jnp.where(mask, gids, -1).astype(
+            jnp.int8 if small else jnp.int32
+        )
+        outs = grouped_piece_sums_xla(
+            tuple(cols), gid_live, plans, self.num_groups
+        )
+        rowcounts = rowcounts + outs[count_idx]
+        new_accs = []
+        for agg, acc, slots in zip(self.aggs, accs, slot_map):
+            news = tuple(outs[s] for s in slots)
+            new_accs.append(agg._combine_states(acc, news))
+        return (tuple(new_accs), rowcounts)
+
+    def update_carry(self, carry, batch: Batch, scan_batch: Optional[Batch] = None):
         """One tile's update of the direct-mode accumulators.
 
         EVERY plain (non-pair) accumulator reduction across all aggregates
@@ -701,7 +920,10 @@ class AggExecutor:
         (ops/segmented.direct_group_reduce_batch), so each input column
         streams from HBM once per tile instead of once per accumulator.
         Lexicographic pairs (min_by/max_by) and exotic combine ops keep the
-        per-aggregate path."""
+        per-aggregate path.  When the scan tile rides along row-aligned
+        (filter/project-only pipelines) and try_enable_piece_path() proved
+        an exact int32 lowering, the whole update runs as one grouped
+        piece-sum over the raw narrow columns instead."""
         import os
 
         from ..ops.segmented import direct_group_reduce_batch
@@ -712,6 +934,10 @@ class AggExecutor:
             gids = self.grouping.group_ids(batch)
         else:
             gids = jnp.zeros((batch.capacity,), dtype=jnp.int32)
+        if getattr(self, "_piece_plan", None) is not None and scan_batch is not None:
+            res = self._piece_update(carry, scan_batch, mask, gids)
+            if res is not None:
+                return res
 
         if self.mode == "array" and self.num_groups <= 256:
             # materialize the composite group id ONCE as int8/int32: every
@@ -1767,11 +1993,26 @@ class LocalExecutor:
                 self._collect_rows_jit = collect_rows
             elif ex.mode in ("ungrouped", "array"):
                 self.kind = "direct_agg"
+                # filter/project steps never compact, so the scan tile stays
+                # row-aligned with the aggregation input — the precondition
+                # for the int32 piece-sum path (raw narrow columns in, one
+                # pass over every scanned byte)
+                piece_rows_aligned = all(
+                    s[0] in ("filter", "project") for s in lin.steps
+                )
+                use_piece = piece_rows_aligned and ex.try_enable_piece_path()
 
                 def tile_step(carry, batch):
                     (accs_rc, errs) = carry
                     batch2, err = apply_streaming(batch, lin.steps)
-                    return (ex.update_carry(accs_rc, batch2), errs + err)
+                    return (
+                        ex.update_carry(
+                            accs_rc,
+                            batch2,
+                            scan_batch=batch if use_piece else None,
+                        ),
+                        errs + err,
+                    )
 
                 self._tile_step = tjit(
                     tile_step, label="agg_tile_step", donate_argnums=(0,)
