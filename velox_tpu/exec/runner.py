@@ -881,6 +881,14 @@ class AggExecutor:
         plans = tuple(plan_spec(f) for f in spec_factors)
         if any(p is None for p in plans):
             return False
+        # cost gate: the int64-emulating variadic reduce is already
+        # HBM-bound when groups x accumulators is small (SF1 Q6 measured
+        # 106% of roofline on it, and the piece form was SLOWER there);
+        # the piece decomposition only wins when the G x A VPU product
+        # dominates (SF1 Q1: G=6 x 15 slots, 1.86 -> 1.51 ms)
+        total_slots = 1 + sum(len(s) for s in slot_map)
+        if self.num_groups * total_slots < 16:
+            return False
         self._piece_plan = (tuple(col_names), plans, slot_map, count_idx)
         return True
 
