@@ -123,3 +123,80 @@ def test_xla_form_matches():
     exp = _np_oracle([ep, d, t], gid, plans, G)
     for g, e in zip(got, exp):
         np.testing.assert_array_equal(np.asarray(g), e)
+
+
+def test_executor_piece_gates():
+    """try_enable_piece_path: activates for Q1-shaped plans, refuses
+    nullable inputs and non-sum aggregates (exec/runner.py)."""
+    import velox_tpu as vt
+    from velox_tpu.io.table import Table
+    from velox_tpu.plan.builder import PlanBuilder
+    from velox_tpu.exec.runner import LocalExecutor
+    from velox_tpu.dtypes import RowType
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    k = rng.integers(0, 4, n).astype(np.int64)
+    a = rng.integers(0, 1000, n).astype(np.int64)
+    b = rng.integers(0, 50, n).astype(np.int64)
+
+    def mk(validities=None):
+        t = Table(
+            RowType(["k", "a", "b"], [vt.BIGINT] * 3),
+            {"k": k, "a": a, "b": b},
+        )
+        if validities:
+            t.validities.update(validities)
+        return t
+
+    # enough aggregates to pass the G x slots >= 16 cost gate
+    aggs = ["sum(a)", "sum(a * b)", "avg(a)", "avg(b)", "count(*)"]
+    plan = (
+        PlanBuilder().table_scan(mk()).aggregation(["k"], aggs).build()
+    )
+    ex = LocalExecutor(plan)
+    assert getattr(ex.agg_exec, "_piece_plan", None) is not None
+    out = ex.run().to_pandas().sort_values("k")
+    import pandas as pd
+
+    df = pd.DataFrame({"k": k, "a": a, "b": b})
+    exp = df.groupby("k").apply(
+        lambda g: pd.Series(
+            {
+                "s": g.a.sum(),
+                "sab": (g.a * g.b).sum(),
+                "cnt": len(g),
+            }
+        ),
+        include_groups=False,
+    )
+    names = list(out.columns)
+    got_s = dict(zip(out["k"], out[names[1]]))
+    got_sab = dict(zip(out["k"], out[names[2]]))
+    got_c = dict(zip(out["k"], out[names[5]]))
+    for kk in exp.index:
+        assert got_s[kk] == exp.loc[kk, "s"]
+        assert got_sab[kk] == exp.loc[kk, "sab"]
+        assert got_c[kk] == exp.loc[kk, "cnt"]
+
+    # nullable input -> refused (counts would diverge)
+    val = np.ones(n, bool)
+    val[::7] = False
+    plan2 = (
+        PlanBuilder()
+        .table_scan(mk({"a": val}))
+        .aggregation(["k"], aggs)
+        .build()
+    )
+    ex2 = LocalExecutor(plan2)
+    assert getattr(ex2.agg_exec, "_piece_plan", None) is None
+
+    # min() in the mix -> refused
+    plan3 = (
+        PlanBuilder()
+        .table_scan(mk())
+        .aggregation(["k"], aggs + ["min(a)"])
+        .build()
+    )
+    ex3 = LocalExecutor(plan3)
+    assert getattr(ex3.agg_exec, "_piece_plan", None) is None

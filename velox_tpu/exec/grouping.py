@@ -70,6 +70,19 @@ def key_info(
             name, dtype, strings, len(strings),
             (0, max(len(strings) - 1, 0)), nullable,
         )
+    if (
+        bounds is not None
+        and not dtype.is_string
+        and not dtype.is_complex
+        and np.issubdtype(np.dtype(dtype.device_dtype), np.integer)
+    ):
+        # bounded integer-backed key (ints, dates, short decimals): value id
+        # = value - lo, exactly the reference VectorHasher's range mode
+        # (velox/exec/VectorHasher.h:118) — makes small-range int keys
+        # eligible for kArray-style direct grouping
+        span = int(bounds[1]) - int(bounds[0]) + 1
+        if 0 < span <= MAX_ARRAY_GROUPS:
+            return KeyInfo(name, dtype, strings, span, bounds, nullable)
     return KeyInfo(name, dtype, strings, None, bounds, nullable)
 
 
@@ -95,6 +108,9 @@ class ArrayGrouping:
         gid = jnp.zeros((batch.capacity,), dtype=jnp.int32)
         for k, stride in zip(self.keys, self.strides):
             values, validity = batch.column(k.name).decode(batch.capacity)
+            base = int(k.bounds[0]) if k.bounds else 0
+            if base:
+                values = values - jnp.asarray(base, values.dtype)
             v = values.astype(jnp.int32)
             if k.nullable and validity is not None:
                 v = jnp.where(validity, v, jnp.int32(k.radix))
@@ -107,10 +123,13 @@ class ArrayGrouping:
         out = []
         ids = np.arange(self.num_groups)
         for k, r, stride in zip(self.keys, self.radixes, self.strides):
-            v = ((ids // stride) % r).astype(np.int32)
+            v = ((ids // stride) % r).astype(np.int64)
             if k.nullable:
                 v = np.minimum(v, k.radix - 1)  # null slot: placeholder value
-            out.append(v)
+            base = int(k.bounds[0]) if k.bounds else 0
+            if base:
+                v = v + base  # range-mode id -> value (VectorHasher.h:118)
+            out.append(v if base else v.astype(np.int32))
         return out
 
     def key_validities(self) -> List[Optional[np.ndarray]]:
