@@ -143,3 +143,58 @@ def test_bucketed_partitioned_writes(tmp_path):
     assert any("00000_0_" in os.path.basename(f) or "00001_0_" in os.path.basename(f) for f in files)
     back = read_table(root)
     assert sorted(np.asarray(back.columns["v"]).tolist()) == [10, 20, 30, 40]
+
+
+def test_parquet_row_group_pruning(tmp_path):
+    """Predicate bounds skip row groups by file statistics — the reference's
+    selective-reader/ScanSpec stats pruning (SelectiveColumnReader.h:121) at
+    row-group granularity (io/table.py Table.load_parquet)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import velox_tpu as vt
+    from velox_tpu.dtypes import RowType
+    from velox_tpu.io.table import Table
+
+    # three row groups with disjoint key ranges
+    path = str(tmp_path / "t.parquet")
+    ks = np.arange(3000, dtype=np.int64)
+    vs = ks * 10
+    pq.write_table(
+        pa.table({"k": ks, "v": vs}), path, row_group_size=1000
+    )
+
+    full = Table.load_parquet(path)
+    assert full.num_rows == 3000
+
+    pruned = Table.load_parquet(path, ranges={"k": (1200, 1300)})
+    # only the middle row group survives the stats check
+    assert pruned.num_rows == 1000
+    assert pruned.columns["k"].min() == 1000
+    assert pruned.columns["k"].max() == 1999
+
+    none = Table.load_parquet(path, ranges={"k": (5000, None)})
+    assert none.num_rows == 0
+
+    open_lo = Table.load_parquet(path, ranges={"k": (None, 999)})
+    assert open_lo.num_rows == 1000
+
+
+def test_hive_source_range_filter(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from velox_tpu.connectors.base import ConnectorSplit
+    from velox_tpu.connectors.hive import HiveDataSource
+
+    path = str(tmp_path / "part.parquet")
+    ks = np.arange(2000, dtype=np.int64)
+    pq.write_table(pa.table({"k": ks}), path, row_group_size=500)
+
+    src = HiveDataSource(columns=["k"], range_filter={"k": (600, 700)})
+    src.add_split(ConnectorSplit(path=path, partition_keys={}))
+    t = src.to_table()
+    assert t.num_rows == 500  # one of four row groups decoded
+    assert t.columns["k"].min() == 500

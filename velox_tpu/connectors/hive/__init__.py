@@ -67,9 +67,15 @@ class HiveDataSource(DataSource):
         columns: Optional[Sequence[str]] = None,
         partition_filter: Optional[Callable[[Dict[str, str]], bool]] = None,
         max_workers: Optional[int] = None,
+        range_filter: Optional[Dict[str, tuple]] = None,
     ):
         self.columns = list(columns) if columns else None
         self.partition_filter = partition_filter
+        # column -> (lo, hi) pushed predicate bounds: row groups whose file
+        # statistics prove no overlap are never decoded (the reference's
+        # ScanSpec/selective-reader stats pruning); the row-exact filter
+        # still runs on device
+        self.range_filter = dict(range_filter) if range_filter else None
         if max_workers is None:
             # connector config tier (reference: HiveConfig split preloading)
             from ...config import DEFAULT_CONFIG
@@ -95,7 +101,9 @@ class HiveDataSource(DataSource):
             file_cols = None
             if self.columns is not None:
                 file_cols = [c for c in self.columns if c not in part_names]
-            DEFAULT_CACHE.prefetch(split.path, file_cols)
+            if self.range_filter is None:
+                # predicate-pruned reads skip the whole-file cache
+                DEFAULT_CACHE.prefetch(split.path, file_cols)
 
     def _read_one(self, split: ConnectorSplit) -> Table:
         part_names = list(split.partition_keys)
@@ -107,7 +115,9 @@ class HiveDataSource(DataSource):
         else:
             from ...io.cache import cached_load_parquet
 
-            t = cached_load_parquet(split.path, columns=file_cols)
+            t = cached_load_parquet(
+                split.path, columns=file_cols, ranges=self.range_filter
+            )
         # attach partition-key columns as constants (reference: HiveDataSource
         # synthesizes partition columns)
         want = self.columns or (list(t.schema.names) + part_names)

@@ -172,6 +172,13 @@ _ROOT_POOL.add_reclaimer(DEFAULT_CACHE.evict_bytes)
 
 
 def cached_load_parquet(
-    path: str, columns: Optional[Sequence[str]] = None
+    path: str,
+    columns: Optional[Sequence[str]] = None,
+    ranges=None,
 ) -> Table:
+    if ranges:
+        # predicate-pruned reads bypass the whole-file cache (they decode a
+        # subset of row groups; caching them under the file key would poison
+        # full reads)
+        return Table.load_parquet(path, columns=columns, ranges=ranges)
     return DEFAULT_CACHE.get_or_load(path, columns)

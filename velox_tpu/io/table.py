@@ -401,16 +401,49 @@ class Table:
         return Table._from_arrow_table(pa_table, {})
 
     @staticmethod
-    def load_parquet(path: str, columns: Optional[Sequence[str]] = None) -> "Table":
+    def load_parquet(
+        path: str,
+        columns: Optional[Sequence[str]] = None,
+        ranges: Optional[Dict[str, tuple]] = None,
+    ) -> "Table":
+        """Load a parquet file, optionally pruning row groups by predicate.
+
+        ``ranges`` maps column name -> (lo, hi) inclusive bounds (either may
+        be None); row groups whose column statistics prove no overlap are
+        never decoded — the selective-reader capability of the reference's
+        dwio stack (velox/dwio/common/SelectiveColumnReader.h:121), applied
+        at row-group granularity: the filter still runs row-exact on device,
+        this skips the IO + decode for provably-dead stripes."""
         import pyarrow.parquet as pq
 
         from .filesystems import filesystem_for
 
         fs, local = filesystem_for(path)
         with fs.open_input(local) as f:
-            pa_table = pq.read_table(
-                f, columns=list(columns) if columns else None
-            )
+            if ranges:
+                pf = pq.ParquetFile(f)
+                keep = [
+                    i
+                    for i in range(pf.metadata.num_row_groups)
+                    if _row_group_may_match(pf.metadata.row_group(i), ranges)
+                ]
+                if len(keep) < pf.metadata.num_row_groups:
+                    if not keep:
+                        pa_table = pf.schema_arrow.empty_table()
+                        if columns:
+                            pa_table = pa_table.select(list(columns))
+                    else:
+                        pa_table = pf.read_row_groups(
+                            keep, columns=list(columns) if columns else None
+                        )
+                else:
+                    pa_table = pf.read(
+                        columns=list(columns) if columns else None
+                    )
+            else:
+                pa_table = pq.read_table(
+                    f, columns=list(columns) if columns else None
+                )
         meta = {
             k.decode().split(":", 1)[1]: v.decode()
             for k, v in (pa_table.schema.metadata or {}).items()
@@ -567,3 +600,28 @@ def _dtype_from_tag(tag: str, field) -> DataType:
     if pa.types.is_int8(t):
         return DataType(TypeKind.TINYINT)
     raise TypeError(f"cannot infer type for arrow field {field}")
+
+
+def _row_group_may_match(rg_meta, ranges: Dict[str, tuple]) -> bool:
+    """Can this row group contain a row satisfying every (lo, hi) range?
+
+    Conservative: missing/untyped statistics keep the group.  Reference:
+    the reader-level stats pruning of dwio/common/ScanSpec + the row-group
+    skipping in velox/dwio/parquet/reader/ParquetReader.cpp."""
+    for ci in range(rg_meta.num_columns):
+        col = rg_meta.column(ci)
+        name = col.path_in_schema
+        if name not in ranges:
+            continue
+        stats = col.statistics
+        if stats is None or not stats.has_min_max:
+            continue
+        lo, hi = ranges[name]
+        try:
+            if lo is not None and stats.max is not None and stats.max < lo:
+                return False
+            if hi is not None and stats.min is not None and stats.min > hi:
+                return False
+        except TypeError:
+            continue  # incomparable stats type: keep the group
+    return True
